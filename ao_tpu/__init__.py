@@ -1,0 +1,67 @@
+"""ao_tpu — TPU-native quantization & model-optimization framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of pytorch/ao:
+quantized array pytrees, Pallas fused dequant+matmul kernels, a
+``quantize_``-style config API, PTQ algorithms (HQQ/GPTQ/AWQ/SmoothQuant),
+MX/NVFP4 block formats, sparsity, QAT and low-precision training, low-bit
+optimizers, and pjit/shard_map distributed composition.
+"""
+
+__version__ = "0.1.0"
+
+from ao_tpu.core.config import (
+    AOBaseConfig,
+    config_from_dict,
+    config_from_json,
+    config_to_dict,
+    config_to_json,
+)
+from ao_tpu.quantization.configs import (
+    Float8DynamicActivationFloat8WeightConfig,
+    Float8StaticActivationFloat8WeightConfig,
+    Float8WeightOnlyConfig,
+    FqnToConfig,
+    Int4WeightOnlyConfig,
+    Int8DynamicActivationInt8WeightConfig,
+    Int8StaticActivationInt8WeightConfig,
+    Int8WeightOnlyConfig,
+    ModuleFqnToConfig,
+)
+from ao_tpu.quantization.granularity import (
+    PerAxis,
+    PerBlock,
+    PerGroup,
+    PerRow,
+    PerTensor,
+    PerToken,
+)
+from ao_tpu.quantization.primitives import MappingType, ZeroPointDomain, compute_error
+from ao_tpu.quantization.quantize import quantize_, quantize_params
+
+__all__ = [
+    "AOBaseConfig",
+    "config_to_dict",
+    "config_from_dict",
+    "config_to_json",
+    "config_from_json",
+    "quantize_",
+    "quantize_params",
+    "compute_error",
+    "MappingType",
+    "ZeroPointDomain",
+    "PerTensor",
+    "PerAxis",
+    "PerGroup",
+    "PerRow",
+    "PerToken",
+    "PerBlock",
+    "Int4WeightOnlyConfig",
+    "Int8WeightOnlyConfig",
+    "Int8DynamicActivationInt8WeightConfig",
+    "Int8StaticActivationInt8WeightConfig",
+    "Float8WeightOnlyConfig",
+    "Float8DynamicActivationFloat8WeightConfig",
+    "Float8StaticActivationFloat8WeightConfig",
+    "FqnToConfig",
+    "ModuleFqnToConfig",
+]

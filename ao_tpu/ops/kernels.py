@@ -1,0 +1,217 @@
+"""Kernel backend selection + XLA/emulated implementations of the hot ops.
+
+(ref analog: torchao's KernelPreference AUTO/TORCH/MSLK/EMULATED selection,
+quantize_/common/kernel_preference.py:17, and the mslk/triton call sites.)
+
+Backends:
+  * "pallas"   — fused Pallas TPU kernels (ao_tpu.ops.pallas.*)
+  * "xla"      — jnp/lax ops arranged so XLA hits the MXU natively
+                 (int8xint8→int32 dot_general, scaled epilogues)
+  * "emulated" — dequantize to high precision then dot; bit-exact reference
+                 for numerics tests (ref: KernelPreference.EMULATED)
+  * "auto"     — pallas for the ops where it wins on TPU, else xla
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ao_tpu.quantization import primitives as P
+
+_BACKEND = "auto"
+
+
+def set_backend(name: str) -> None:
+    global _BACKEND
+    assert name in ("auto", "pallas", "xla", "emulated"), name
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    return _BACKEND
+
+
+@contextlib.contextmanager
+def backend(name: str):
+    global _BACKEND
+    prev = _BACKEND
+    set_backend(name)
+    try:
+        yield
+    finally:
+        _BACKEND = prev
+
+
+def on_tpu() -> bool:
+    try:
+        dev = jax.devices()[0]
+        return "tpu" in dev.platform.lower() or "tpu" in str(dev).lower()
+    except Exception:
+        return False
+
+
+def _use_pallas() -> bool:
+    b = _BACKEND
+    if b == "pallas":
+        return True
+    if b == "auto":
+        return on_tpu()
+    return False
+
+
+# ---------------------------------------------------------------------------
+# int8 weight-only
+# ---------------------------------------------------------------------------
+
+
+def int8_wo_matmul(x, qw, sw, zw, wbs):
+    """x (M, K) hp; qw int8 (K, N); sw rank-preserved scale."""
+    k, n = qw.shape[-2], qw.shape[-1]
+    if zw is None and sw.shape == (1, n):
+        # per-out-channel symmetric: fold scale into the output epilogue so
+        # the weight is read as int8 (cast fuses into the dot prologue)
+        y = jnp.matmul(x, qw.astype(x.dtype))
+        return y * sw.reshape(1, n).astype(y.dtype)
+    w_dq = P.dequantize_affine(qw, wbs, sw, zw, output_dtype=x.dtype)
+    return jnp.matmul(x, w_dq)
+
+
+# ---------------------------------------------------------------------------
+# int8 dynamic-activation x int8 weight (W8A8)
+# ---------------------------------------------------------------------------
+
+
+def int8_dynamic_matmul(qx, sx, zx, qw, sw, zw, wbs, out_dtype=jnp.bfloat16):
+    """Integer matmul with int32 accumulation on the MXU.
+
+    y = (qx - zx) @ (qw - zw) * sx * sw
+      = [qx@qw - zx*colsum(qw) - rowsum(qx)*zw + K*zx*zw] * sx * sw
+
+    (ref: zero-point correction int8_tensor.py:319-330; on TPU the
+    int8xint8→int32 dot_general IS the fast path — no custom kernel needed
+    for the plain case.)
+    """
+    m, k = qx.shape
+    n = qw.shape[-1]
+    per_channel_w = sw.shape == (1, n) or sw.size == 1
+    per_token_x = sx.shape == (m, 1) or sx.size == 1
+    if not (per_channel_w and per_token_x):
+        # per-group weight scales: fall back to dequant + hp matmul
+        # (ref: int8_tensor.py:338-345 does the same)
+        x_dq = P.dequantize_affine(
+            qx, (1, k) if sx.shape == (m, 1) else (m, k), sx, zx,
+            output_dtype=jnp.float32,
+        )
+        w_dq = P.dequantize_affine(qw, wbs, sw, zw, output_dtype=jnp.float32)
+        return jnp.matmul(x_dq, w_dq).astype(out_dtype)
+
+    acc = jax.lax.dot_general(
+        qx, qw, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    acc = acc.astype(jnp.float32)
+    if zx is not None:
+        colsum_w = jnp.sum(qw.astype(jnp.int32), axis=0, keepdims=True).astype(
+            jnp.float32
+        )
+        acc = acc - zx.reshape(m, 1).astype(jnp.float32) * colsum_w
+    if zw is not None:
+        rowsum_x = jnp.sum(qx.astype(jnp.int32), axis=1, keepdims=True).astype(
+            jnp.float32
+        )
+        zw_f = zw.reshape(1, -1).astype(jnp.float32)
+        acc = acc - rowsum_x * zw_f
+        if zx is not None:
+            acc = acc + (
+                k
+                * zx.reshape(m, 1).astype(jnp.float32)
+                * zw_f
+            )
+    y = acc * sx.reshape(-1, 1).astype(jnp.float32) * sw.reshape(1, -1).astype(
+        jnp.float32
+    )
+    return y.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# int4 weight-only (groupwise)
+# ---------------------------------------------------------------------------
+
+
+def int4_wo_matmul(x, packed, scale, zp, group_size, zp_domain):
+    """x (M, K) hp; packed uint8 (K/2, N) split-half layout;
+    scale/zp (K/g, N)."""
+    if _use_pallas():
+        from ao_tpu.ops.pallas import UnsupportedShape
+
+        try:
+            from ao_tpu.ops.pallas import int4_matmul as pk
+
+            return pk.int4_wo_matmul_pallas(
+                x, packed, scale, zp, group_size, zp_domain
+            )
+        except (ImportError, UnsupportedShape):
+            pass
+    return _int4_wo_matmul_xla(x, packed, scale, zp, group_size, zp_domain)
+
+
+def _int4_wo_matmul_xla(x, packed, scale, zp, group_size, zp_domain):
+    from ao_tpu.quantization.qarrays.int4 import unpack_int4
+
+    k = packed.shape[-2] * 2
+    n = packed.shape[-1]
+    bs = (group_size, 1)
+    u = unpack_int4(packed, axis=-2).astype(jnp.int32) - 8
+    if zp_domain is P.ZeroPointDomain.FLOAT:
+        w_dq = P.dequantize_affine_tinygemm(
+            u, bs, scale, zp, -8, 7, output_dtype=x.dtype
+        )
+    else:
+        w_dq = P.dequantize_affine(u, bs, scale, zp, output_dtype=x.dtype)
+    return jnp.matmul(x, w_dq)
+
+
+# ---------------------------------------------------------------------------
+# float8
+# ---------------------------------------------------------------------------
+
+
+def fp8_wo_matmul(x, qw, sw, wbs):
+    w_dq = P.dequantize_float8(qw, wbs, sw, output_dtype=x.dtype)
+    return jnp.matmul(x, w_dq)
+
+
+def fp8_dynamic_matmul(qx, sx, qw, sw, wbs, out_dtype=jnp.bfloat16):
+    """fp8 act x fp8 weight with rowwise (per-token x per-out-channel) scales.
+
+    On TPU generations with native fp8 MXU support XLA lowers the fp8
+    dot_general directly; otherwise it upcasts — either way the scale
+    epilogue stays fused.  Blockwise (deepseek 1x128/128x128) scales go
+    through the Pallas kernel.
+    """
+    m, k = qx.shape
+    n = qw.shape[-1]
+    rowwise = (sx.shape in ((m, 1), (1, 1))) and (sw.shape in ((1, n), (1, 1)))
+    if rowwise:
+        acc = jax.lax.dot_general(
+            qx, qw, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        y = acc * sx.reshape(-1, 1) * sw.reshape(1, -1)
+        return y.astype(out_dtype)
+    if _use_pallas():
+        from ao_tpu.ops.pallas import UnsupportedShape
+
+        try:
+            from ao_tpu.ops.pallas import fp8_matmul as pk
+
+            return pk.fp8_blockwise_matmul_pallas(qx, sx, qw, sw, out_dtype)
+        except (ImportError, UnsupportedShape):
+            pass
+    # emulated blockwise
+    xbs = tuple(qx.shape[i] // sx.shape[i] for i in range(qx.ndim))
+    x_dq = P.dequantize_float8(qx, xbs, sx, output_dtype=jnp.float32)
+    w_dq = P.dequantize_float8(qw, wbs, sw, output_dtype=jnp.float32)
+    return jnp.matmul(x_dq, w_dq).astype(out_dtype)

@@ -1,0 +1,115 @@
+"""`ao_tpu.ops.linear` — the single compute entry point for quantized linears.
+
+(ref analog: the per-subclass ``F.linear`` overrides, e.g.
+torchao .../int4_tensor.py linear impl, float8_tensor.py:338
+``_float8_addmm_impl``, int8_tensor.py:319.)
+
+y = x @ W (+ b), with W either a plain jax array (K, N) or a QuantizedArray.
+Kernel selection: each impl consults :mod:`ao_tpu.ops.kernels`, which picks
+Pallas on TPU / XLA-native integer dots / emulated dequant+dot.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ao_tpu.ops import kernels
+from ao_tpu.ops.act_quant import quantize_activation
+from ao_tpu.ops.dispatch import implements, lookup
+from ao_tpu.quantization.qarrays.base import QuantizedArray
+from ao_tpu.quantization.qarrays.float8 import Float8Array
+from ao_tpu.quantization.qarrays.int4 import Int4Array
+from ao_tpu.quantization.qarrays.int8 import Int8Array
+
+
+def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
+    """y[..., n] = sum_k x[..., k] * W[k, n] + b[n]."""
+    if isinstance(w, QuantizedArray):
+        impl = lookup("linear", type(w))
+        return impl(x, w, b)
+    y = jnp.matmul(x, w.astype(x.dtype))
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def _flatten_batch(x: jax.Array):
+    lead = x.shape[:-1]
+    return x.reshape(-1, x.shape[-1]), lead
+
+
+def _unflatten_batch(y: jax.Array, lead):
+    return y.reshape(*lead, y.shape[-1])
+
+
+def _maybe_bias(y, b):
+    return y if b is None else y + b.astype(y.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Int8
+# ---------------------------------------------------------------------------
+
+
+@implements("linear", Int8Array)
+def _int8_linear(x: jax.Array, w: Int8Array, b):
+    x2, lead = _flatten_batch(x)
+    if w.act_quant is None and w.act_scale is None:
+        y = kernels.int8_wo_matmul(x2, w.qdata, w.scale, w.zero_point, w.block_size)
+    else:
+        if w.act_scale is not None:
+            # static (calibrated) per-tensor activation scale
+            from ao_tpu.quantization import primitives as P
+
+            bs = tuple(x2.shape)  # per-tensor
+            sx = w.act_scale.reshape((1, 1))
+            zx = (
+                w.act_zero_point.reshape((1, 1))
+                if w.act_zero_point is not None
+                else None
+            )
+            qx = P.quantize_affine(x2, bs, sx, zx, -128, 127, jnp.int8)
+        else:
+            qx, sx, zx = quantize_activation(x2, w.act_quant)
+        y = kernels.int8_dynamic_matmul(
+            qx, sx, zx, w.qdata, w.scale, w.zero_point, w.block_size,
+            out_dtype=x.dtype,
+        )
+    return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
+
+
+# ---------------------------------------------------------------------------
+# Int4 (weight-only, groupwise)
+# ---------------------------------------------------------------------------
+
+
+@implements("linear", Int4Array)
+def _int4_linear(x: jax.Array, w: Int4Array, b):
+    x2, lead = _flatten_batch(x)
+    if w.act_pre_scale is not None:
+        x2 = x2 * w.act_pre_scale.astype(x2.dtype)
+    y = kernels.int4_wo_matmul(
+        x2, w.qdata, w.scale, w.zero_point, w.group_size, w.zero_point_domain,
+    )
+    return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
+
+
+# ---------------------------------------------------------------------------
+# Float8
+# ---------------------------------------------------------------------------
+
+
+@implements("linear", Float8Array)
+def _float8_linear(x: jax.Array, w: Float8Array, b):
+    x2, lead = _flatten_batch(x)
+    if w.act_quant is None:
+        y = kernels.fp8_wo_matmul(x2, w.qdata, w.scale, w.block_size)
+    else:
+        qx, sx, _ = quantize_activation(x2, w.act_quant)
+        y = kernels.fp8_dynamic_matmul(
+            qx, sx, w.qdata, w.scale, w.block_size, out_dtype=x.dtype
+        )
+    return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)

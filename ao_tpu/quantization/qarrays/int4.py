@@ -1,0 +1,147 @@
+"""Int4Array — packed int4 weights with groupwise scales (+ zeros).
+
+(ref: torchao .../workflows/int4/int4_tensor.py:57 ``Int4Tensor`` and
+int4_tile_packed_to_4d_tensor.py:31; packing re-designed for TPU.)
+
+TPU-native packing ("split-halves", axis -2): instead of pairing adjacent k
+indices in one byte (which needs a sublane interleave to undo) or WGMMA
+shuffles, byte ``[i, n]`` holds logical rows ``i`` (low nibble) and
+``i + K/2`` (high nibble)::
+
+    packed = (u[:K//2] | (u[K//2:] << 4)).astype(uint8)      # u = q - qmin
+    unpack = concat([packed & 0xF, packed >> 4], axis=-2)
+
+Unpacking is two cheap vector ops plus a *contiguous* concat along the
+sublane dim — no lane/sublane interleave — so the Pallas fused
+dequant-matmul keeps the MXU fed. Nibbles are stored offset-binary
+(u = q + 8 ∈ [0, 15]).
+
+Supports both zero-point domains:
+  * INT:   dq = (u - 8 - zp) * scale              (plain asymmetric/symmetric)
+  * FLOAT: dq = (u - 8) * scale + zp              (tinygemm-style, ref
+            quant_primitives.py:498)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ao_tpu.quantization import primitives as P
+from ao_tpu.quantization.qarrays.base import QuantizedArray, meta, qarray_dataclass
+from ao_tpu.quantization.qarrays.common import ActQuantSpec
+
+
+def pack_int4(u: jax.Array, axis: int = -2) -> jax.Array:
+    """Pack unsigned nibbles (values 0..15, any int dtype) along ``axis``
+    using the split-halves layout."""
+    axis = axis % u.ndim
+    k = u.shape[axis]
+    if k % 2 != 0:
+        raise ValueError(f"pack axis length {k} must be even")
+    lo, hi = jnp.split(u.astype(jnp.uint8), 2, axis=axis)
+    return lo | (hi << 4)
+
+
+def unpack_int4(packed: jax.Array, axis: int = -2) -> jax.Array:
+    """Inverse of :func:`pack_int4`; returns uint8 values 0..15."""
+    lo = packed & jnp.uint8(0xF)
+    hi = packed >> 4
+    return jnp.concatenate([lo, hi], axis=axis)
+
+
+@qarray_dataclass
+class Int4Array(QuantizedArray):
+    qdata: jax.Array  # uint8 (K/2, N) or (E, K/2, N): two nibbles per byte
+    scale: jax.Array  # (K/g, N) — bf16 (tinygemm) or fp32
+    zero_point: Optional[jax.Array]  # same shape as scale; int32 or bf16
+    act_pre_scale: Optional[jax.Array]  # AWQ per-K-channel activation scale
+    block_size: Tuple[int, ...] = meta(default=())
+    zero_point_domain: P.ZeroPointDomain = meta(default=P.ZeroPointDomain.FLOAT)
+    act_quant: Optional[ActQuantSpec] = meta(default=None)
+    _shape: Tuple[int, ...] = meta(default=())
+    _dequant_dtype: str = meta(default="bfloat16")
+
+    @property
+    def group_size(self) -> int:
+        return self.block_size[-2]
+
+    @classmethod
+    def from_hp(
+        cls,
+        hp: jax.Array,
+        group_size: int = 128,
+        zero_point_domain: P.ZeroPointDomain = P.ZeroPointDomain.FLOAT,
+        mapping_type: P.MappingType = P.MappingType.ASYMMETRIC,
+        algorithm: str = "minmax",  # "minmax" | "hqq"
+        act_pre_scale: Optional[jax.Array] = None,
+        act_quant: Optional[ActQuantSpec] = None,
+        dequant_dtype: str = "bfloat16",
+    ) -> "Int4Array":
+        if hp.ndim < 2:
+            raise ValueError("int4 weights must be at least 2-D (K, N)")
+        k = hp.shape[-2]
+        if k % 2 != 0 or k % group_size != 0 or (k // 2) % group_size != 0:
+            raise ValueError(
+                f"K={k} must satisfy K even, g|K and g|(K/2) for split-half "
+                f"packing with group_size={group_size}"
+            )
+        block_size = (1,) * (hp.ndim - 2) + (group_size, 1)
+
+        if algorithm == "hqq":
+            from ao_tpu.algorithms.hqq import choose_qparams_hqq
+
+            scale, zp, q = choose_qparams_hqq(
+                hp, block_size, quant_min=0, quant_max=15,
+                zero_point_domain=zero_point_domain,
+            )
+            u = q.astype(jnp.uint8)
+        elif zero_point_domain is P.ZeroPointDomain.FLOAT:
+            scale, zp = P.choose_qparams_affine_tinygemm(
+                hp, block_size, target_dtype="int4"
+            )
+            q = P.quantize_affine_tinygemm(
+                hp, block_size, scale, zp, quant_min=-8, quant_max=7
+            )
+            u = (q.astype(jnp.int32) + 8).astype(jnp.uint8)
+        elif zero_point_domain is P.ZeroPointDomain.INT:
+            scale, zp = P.choose_qparams_affine(
+                hp, mapping_type, block_size, target_dtype="int4"
+            )
+            q = P.quantize_affine(
+                hp, block_size, scale, zp, quant_min=-8, quant_max=7
+            )
+            u = (q.astype(jnp.int32) + 8).astype(jnp.uint8)
+        else:
+            raise ValueError(zero_point_domain)
+
+        return cls(
+            qdata=pack_int4(u, axis=-2),
+            scale=scale,
+            zero_point=zp,
+            act_pre_scale=act_pre_scale,
+            block_size=block_size,
+            zero_point_domain=zero_point_domain,
+            act_quant=act_quant,
+            _shape=tuple(hp.shape),
+            _dequant_dtype=dequant_dtype,
+        )
+
+    def unpack(self) -> jax.Array:
+        """uint8 nibble values 0..15, logical (.., K, N)."""
+        return unpack_int4(self.qdata, axis=-2)
+
+    def dequantize(self, output_dtype=None) -> jax.Array:
+        out_dtype = output_dtype or self.dtype
+        u = self.unpack().astype(jnp.int32) - 8  # back to [-8, 7]
+        if self.zero_point_domain is P.ZeroPointDomain.FLOAT:
+            return P.dequantize_affine_tinygemm(
+                u, self.block_size, self.scale, self.zero_point,
+                quant_min=-8, quant_max=7, output_dtype=out_dtype,
+            )
+        return P.dequantize_affine(
+            u, self.block_size, self.scale, self.zero_point,
+            output_dtype=out_dtype,
+        )

@@ -1,0 +1,168 @@
+"""QuantizedArray container tests: roundtrip, pytree contract, linear SQNR.
+
+(ref test model: torchao/testing/utils.py:210 TorchAOBasicTestCase —
+flatten/unflatten roundtrip + linear SQNR bounds; jit in/out is the analog
+of the compile tests :288.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ao_tpu.ops import linear
+from ao_tpu.quantization import primitives as P
+from ao_tpu.quantization.qarrays.common import ActQuantSpec
+from ao_tpu.quantization.qarrays.float8 import Float8Array
+from ao_tpu.quantization.qarrays.int4 import Int4Array, pack_int4, unpack_int4
+from ao_tpu.quantization.qarrays.int8 import Int8Array
+
+KEY = jax.random.PRNGKey(42)
+
+
+def weights(k=256, n=128, key=KEY):
+    return jax.random.normal(key, (k, n), jnp.float32) * 0.05
+
+
+def acts(m=8, k=256):
+    return jax.random.normal(jax.random.PRNGKey(7), (m, k), jnp.bfloat16)
+
+
+class TestPacking:
+    def test_pack_unpack_roundtrip(self):
+        u = jax.random.randint(KEY, (64, 32), 0, 16, dtype=jnp.int32).astype(jnp.uint8)
+        p = pack_int4(u, axis=-2)
+        assert p.shape == (32, 32)
+        np.testing.assert_array_equal(np.asarray(unpack_int4(p, -2)), np.asarray(u))
+
+    def test_pack_3d(self):
+        u = jax.random.randint(KEY, (4, 64, 32), 0, 16, dtype=jnp.int32).astype(jnp.uint8)
+        p = pack_int4(u, axis=-2)
+        assert p.shape == (4, 32, 32)
+        np.testing.assert_array_equal(np.asarray(unpack_int4(p, -2)), np.asarray(u))
+
+
+class TestInt8Array:
+    def test_roundtrip(self):
+        w = weights()
+        qw = Int8Array.from_hp(w, (256, 1))
+        assert qw.qdata.dtype == jnp.int8
+        assert qw.shape == (256, 128)
+        err = P.compute_error(w, qw.dequantize(jnp.float32))
+        assert err > 35.0
+
+    def test_pytree(self):
+        w = weights()
+        qw = Int8Array.from_hp(w, (256, 1))
+        leaves, treedef = jax.tree_util.tree_flatten(qw)
+        qw2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert isinstance(qw2, Int8Array)
+        assert qw2.block_size == qw.block_size
+        np.testing.assert_array_equal(np.asarray(qw2.qdata), np.asarray(qw.qdata))
+
+    def test_linear_sqnr(self):
+        w, x = weights(), acts()
+        qw = Int8Array.from_hp(w, (256, 1))
+        y_ref = x.astype(jnp.float32) @ w
+        y = linear(x, qw)
+        assert P.compute_error(y_ref, y) > 25.0
+
+    def test_linear_dynamic_act(self):
+        w, x = weights(), acts()
+        qw = Int8Array.from_hp(w, (256, 1), act_quant=ActQuantSpec())
+        y_ref = x.astype(jnp.float32) @ w
+        y = linear(x, qw)
+        assert P.compute_error(y_ref, y) > 20.0
+
+    def test_linear_jit(self):
+        w, x = weights(), acts()
+        qw = Int8Array.from_hp(w, (256, 1), act_quant=ActQuantSpec())
+        y_eager = linear(x, qw)
+        y_jit = jax.jit(linear)(x, qw)
+        assert P.compute_error(y_eager, y_jit) > 40.0
+
+    def test_bias(self):
+        w, x = weights(), acts()
+        b = jnp.ones((128,), jnp.float32)
+        qw = Int8Array.from_hp(w, (256, 1))
+        y = linear(x, qw, b)
+        y_nob = linear(x, qw)
+        np.testing.assert_allclose(
+            np.asarray(y - y_nob, dtype=np.float32), 1.0, rtol=2e-2
+        )
+
+
+class TestInt4Array:
+    @pytest.mark.parametrize("algo", ["tinygemm", "hqq", "minmax_int"])
+    def test_roundtrip(self, algo):
+        w = weights()
+        if algo == "minmax_int":
+            qw = Int4Array.from_hp(
+                w, 64, zero_point_domain=P.ZeroPointDomain.INT, algorithm="minmax"
+            )
+        else:
+            qw = Int4Array.from_hp(w, 64, algorithm="hqq" if algo == "hqq" else "minmax")
+        assert qw.qdata.shape == (128, 128)  # K/2
+        assert qw.scale.shape == (4, 128)  # K/g
+        err = P.compute_error(w, qw.dequantize(jnp.float32))
+        assert err > 15.0, f"{algo}: {err}"
+
+    def test_hqq_beats_or_matches_minmax(self):
+        # HQQ should not be (much) worse than minmax on outlier-heavy weights
+        w = weights() + (jax.random.uniform(KEY, (256, 128)) > 0.99) * 0.5
+        q_mm = Int4Array.from_hp(w, 64)
+        q_hqq = Int4Array.from_hp(w, 64, algorithm="hqq")
+        e_mm = float(P.compute_error(w, q_mm.dequantize(jnp.float32)))
+        e_hqq = float(P.compute_error(w, q_hqq.dequantize(jnp.float32)))
+        assert e_hqq > e_mm - 0.5, (e_mm, e_hqq)
+
+    def test_linear_sqnr(self):
+        w, x = weights(), acts()
+        qw = Int4Array.from_hp(w, 64)
+        y_ref = x.astype(jnp.float32) @ w
+        y = linear(x, qw)
+        assert P.compute_error(y_ref, y) > 12.0
+
+    def test_linear_jit_matches_eager(self):
+        w, x = weights(), acts()
+        qw = Int4Array.from_hp(w, 128)
+        y1 = linear(x, qw)
+        y2 = jax.jit(linear)(x, qw)
+        assert P.compute_error(y1, y2) > 40.0
+
+    def test_act_pre_scale(self):
+        w, x = weights(), acts()
+        pre = jnp.full((1, 256), 2.0, jnp.float32)
+        qw = Int4Array.from_hp(w, 64, act_pre_scale=pre)
+        y = linear(x, qw)
+        qw_no = qw.replace(act_pre_scale=None)
+        y_no = linear(x, qw_no)
+        assert P.compute_error(2.0 * y_no, y) > 30.0
+
+
+class TestFloat8Array:
+    def test_roundtrip(self):
+        w = weights()
+        qw = Float8Array.from_hp(w, (1, 128))  # per-out-channel... (K,1)? use rowwise
+        err = P.compute_error(w, qw.dequantize(jnp.float32))
+        assert err > 20.0
+
+    def test_linear_dynamic(self):
+        w, x = weights(), acts()
+        qw = Float8Array.from_hp(
+            w, (256, 1), act_quant=ActQuantSpec(dtype="float8_e4m3fn")
+        )
+        y_ref = x.astype(jnp.float32) @ w
+        y = linear(x, qw)
+        assert P.compute_error(y_ref, y) > 20.0
+
+    def test_blockwise(self):
+        w, x = weights(), acts()
+        qw = Float8Array.from_hp(
+            w,
+            (128, 128),
+            act_quant=ActQuantSpec(dtype="float8_e4m3fn", granularity="per_group:128"),
+        )
+        y_ref = x.astype(jnp.float32) @ w
+        y = linear(x, qw)
+        assert P.compute_error(y_ref, y) > 20.0
