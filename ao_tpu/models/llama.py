@@ -1,0 +1,218 @@
+"""Llama-architecture model, pure-functional JAX.
+
+(ref analog: torchao/testing/model_architectures.py + the gpt-fast model
+used for the README benchmarks. This is the framework's flagship model for
+quantized inference/serving/training benchmarks.)
+
+Design: params are a plain nested-dict pytree; every matmul goes through
+``ao_tpu.ops.linear`` so any leaf may be a QuantizedArray. Weights are
+stored (in_features, out_features). The forward supports:
+  * full-sequence forward (prefill / eval / training)
+  * single-step decode with an external KV cache (see ao_tpu.serving)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ao_tpu.ops import linear
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 8
+    ffn_dim: int = 14336
+    norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    tie_embeddings: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+
+# Common shapes for parity with reference benchmarks.
+LLAMA3_8B = LlamaConfig(vocab_size=128256, dim=4096, n_layers=32, n_heads=32,
+                        n_kv_heads=8, ffn_dim=14336)
+LLAMA32_1B = LlamaConfig(vocab_size=128256, dim=2048, n_layers=16, n_heads=32,
+                         n_kv_heads=8, ffn_dim=8192, tie_embeddings=True)
+LLAMA_TINY = LlamaConfig(vocab_size=512, dim=256, n_layers=2, n_heads=4,
+                         n_kv_heads=2, ffn_dim=512, tie_embeddings=True)
+
+
+def init_params(key: jax.Array, cfg: LlamaConfig) -> Dict[str, Any]:
+    keys = jax.random.split(key, cfg.n_layers + 2)
+
+    def dense(k, fan_in, fan_out):
+        w = jax.random.normal(k, (fan_in, fan_out), jnp.float32)
+        return (w * (fan_in ** -0.5)).astype(cfg.dtype)
+
+    d, hd = cfg.dim, cfg.head_dim
+    layers = []
+    for i in range(cfg.n_layers):
+        ks = jax.random.split(keys[i], 7)
+        layers.append({
+            "attn": {
+                "wq": dense(ks[0], d, cfg.n_heads * hd),
+                "wk": dense(ks[1], d, cfg.n_kv_heads * hd),
+                "wv": dense(ks[2], d, cfg.n_kv_heads * hd),
+                "wo": dense(ks[3], cfg.n_heads * hd, d),
+            },
+            "mlp": {
+                "w1": dense(ks[4], d, cfg.ffn_dim),   # gate
+                "w3": dense(ks[5], d, cfg.ffn_dim),   # up
+                "w2": dense(ks[6], cfg.ffn_dim, d),   # down
+            },
+            "ln1": jnp.ones((d,), cfg.dtype),
+            "ln2": jnp.ones((d,), cfg.dtype),
+        })
+    params = {
+        "embed": jax.random.normal(keys[-2], (cfg.vocab_size, d), jnp.float32)
+        .astype(cfg.dtype) * 0.02,
+        "layers": layers,
+        "norm": jnp.ones((d,), cfg.dtype),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = dense(keys[-1], d, cfg.vocab_size)
+    return params
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def rope_freqs(cfg: LlamaConfig) -> jax.Array:
+    hd = cfg.head_dim
+    return 1.0 / (cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, freqs: jax.Array) -> jax.Array:
+    """x: (B, S, H, Dh); positions: (B, S)."""
+    angles = positions[..., None].astype(jnp.float32) * freqs  # (B, S, Dh/2)
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.astype(x.dtype)
+
+
+def attention(
+    layer: Dict[str, Any],
+    x: jax.Array,
+    cfg: LlamaConfig,
+    positions: jax.Array,
+    freqs: jax.Array,
+    mask: Optional[jax.Array],
+    kv_cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+    cache_index: Optional[jax.Array] = None,
+):
+    b, s, d = x.shape
+    h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    q = linear(x, layer["wq"]).reshape(b, s, h, hd)
+    k = linear(x, layer["wk"]).reshape(b, s, kvh, hd)
+    v = linear(x, layer["wv"]).reshape(b, s, kvh, hd)
+
+    q = apply_rope(q, positions, freqs)
+    k = apply_rope(k, positions, freqs)
+
+    new_cache = None
+    if kv_cache is not None:
+        ck, cv = kv_cache  # (B, T, kvh, hd)
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+        k, v = ck.astype(x.dtype), cv.astype(x.dtype)
+        new_cache = (ck, cv)
+
+    # GQA: repeat kv heads
+    if kvh != h:
+        rep = h // kvh
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+    q = q.transpose(0, 2, 1, 3)  # (B, H, S, Dh)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+    scores = scores * (hd ** -0.5)
+    if mask is not None:
+        scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
+    return linear(out, layer["wo"]), new_cache
+
+
+def mlp(layer: Dict[str, Any], x: jax.Array) -> jax.Array:
+    return linear(jax.nn.silu(linear(x, layer["w1"])) * linear(x, layer["w3"]),
+                  layer["w2"])
+
+
+def forward(
+    params: Dict[str, Any],
+    tokens: jax.Array,  # (B, S) int32
+    cfg: LlamaConfig,
+    positions: Optional[jax.Array] = None,
+    kv_caches: Optional[list] = None,
+    cache_index: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[list]]:
+    """Returns (logits (B, S, V), new_kv_caches or None)."""
+    b, s = tokens.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    x = jnp.take(params["embed"], tokens, axis=0).astype(cfg.dtype)
+    freqs = rope_freqs(cfg)
+
+    if kv_caches is None:
+        # causal mask over the local sequence
+        mask = jnp.tril(jnp.ones((s, s), bool))[None, None]
+        new_caches = None
+    else:
+        # decode: attend over cache positions <= current
+        t = kv_caches[0][0].shape[1]
+        key_pos = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
+        mask = key_pos <= positions[:, None, :, None]
+        new_caches = []
+
+    for i, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["ln1"], cfg.norm_eps)
+        attn_out, new_c = attention(
+            layer["attn"], h, cfg, positions, freqs, mask,
+            kv_cache=None if kv_caches is None else kv_caches[i],
+            cache_index=cache_index,
+        )
+        x = x + attn_out
+        h = rms_norm(x, layer["ln2"], cfg.norm_eps)
+        x = x + mlp(layer["mlp"], h)
+        if new_caches is not None:
+            new_caches.append(new_c)
+
+    x = rms_norm(x, params["norm"], cfg.norm_eps)
+    if cfg.tie_embeddings:
+        logits = linear(x, params["embed"].T)
+    else:
+        logits = linear(x, params["lm_head"])
+    return logits.astype(jnp.float32), new_caches
+
+
+def init_kv_caches(cfg: LlamaConfig, batch: int, max_seq: int,
+                   dtype=jnp.bfloat16) -> list:
+    return [
+        (
+            jnp.zeros((batch, max_seq, cfg.n_kv_heads, cfg.head_dim), dtype),
+            jnp.zeros((batch, max_seq, cfg.n_kv_heads, cfg.head_dim), dtype),
+        )
+        for _ in range(cfg.n_layers)
+    ]

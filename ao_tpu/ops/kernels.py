@@ -164,7 +164,7 @@ def _int4_wo_matmul_xla(x, packed, scale, zp, group_size, zp_domain):
     k = packed.shape[-2] * 2
     n = packed.shape[-1]
     bs = (group_size, 1)
-    u = unpack_int4(packed, axis=-2).astype(jnp.int32) - 8
+    u = unpack_int4(packed, group_size, axis=-2).astype(jnp.int32) - 8
     if zp_domain is P.ZeroPointDomain.FLOAT:
         w_dq = P.dequantize_affine_tinygemm(
             u, bs, scale, zp, -8, 7, output_dtype=x.dtype

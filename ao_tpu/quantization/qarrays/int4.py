@@ -3,18 +3,23 @@
 (ref: torchao .../workflows/int4/int4_tensor.py:57 ``Int4Tensor`` and
 int4_tile_packed_to_4d_tensor.py:31; packing re-designed for TPU.)
 
-TPU-native packing ("split-halves", axis -2): instead of pairing adjacent k
-indices in one byte (which needs a sublane interleave to undo) or WGMMA
-shuffles, byte ``[i, n]`` holds logical rows ``i`` (low nibble) and
-``i + K/2`` (high nibble)::
+TPU-native packing ("group-local split-halves", axis -2): instead of pairing
+adjacent k indices in one byte (which needs a sublane interleave to undo) or
+WGMMA shuffles, each quantization group of ``g`` logical rows is stored as
+``g/2`` bytes where byte ``j`` holds logical rows ``j`` (low nibble) and
+``j + g/2`` (high nibble) *of that group*::
 
-    packed = (u[:K//2] | (u[K//2:] << 4)).astype(uint8)      # u = q - qmin
-    unpack = concat([packed & 0xF, packed >> 4], axis=-2)
+    u.reshape(ng, g, n);  packed[gi, j] = u[gi, j] | (u[gi, j + g//2] << 4)
+    unpack: concat([p & 0xF, p >> 4], axis=1)     # within each group
 
-Unpacking is two cheap vector ops plus a *contiguous* concat along the
-sublane dim — no lane/sublane interleave — so the Pallas fused
-dequant-matmul keeps the MXU fed. Nibbles are stored offset-binary
-(u = q + 8 ∈ [0, 15]).
+Properties that matter on TPU:
+  * unpack = two cheap vector ops + a sublane concat inside the per-group
+    reshape the dequant does anyway — no lane/sublane interleave;
+  * packing locality is *group-local*, so sharding the K axis at any
+    group-aligned boundary (tensor-parallel row sharding) keeps packed
+    bytes, scales, and activations aligned on every shard;
+  * the fused kernel issues a single MXU dot per tile.
+Nibbles are stored offset-binary (u = q + 8 ∈ [0, 15]).
 
 Supports both zero-point domains:
   * INT:   dq = (u - 8 - zp) * scale              (plain asymmetric/symmetric)
@@ -34,22 +39,35 @@ from ao_tpu.quantization.qarrays.base import QuantizedArray, meta, qarray_datacl
 from ao_tpu.quantization.qarrays.common import ActQuantSpec
 
 
-def pack_int4(u: jax.Array, axis: int = -2) -> jax.Array:
-    """Pack unsigned nibbles (values 0..15, any int dtype) along ``axis``
-    using the split-halves layout."""
+def pack_int4(u: jax.Array, group_size: int, axis: int = -2) -> jax.Array:
+    """Pack unsigned nibbles (0..15) along ``axis`` with the group-local
+    split-half layout. ``u.shape[axis]`` must be a multiple of ``group_size``
+    and ``group_size`` must be even."""
     axis = axis % u.ndim
     k = u.shape[axis]
-    if k % 2 != 0:
-        raise ValueError(f"pack axis length {k} must be even")
-    lo, hi = jnp.split(u.astype(jnp.uint8), 2, axis=axis)
-    return lo | (hi << 4)
+    g = group_size
+    if g % 2 != 0 or k % g != 0:
+        raise ValueError(f"K={k} must be a multiple of even group_size={g}")
+    shape = u.shape
+    ub = u.astype(jnp.uint8).reshape(
+        shape[:axis] + (k // g, g) + shape[axis + 1 :]
+    )
+    lo, hi = jnp.split(ub, 2, axis=axis + 1)
+    packed = lo | (hi << 4)
+    return packed.reshape(shape[:axis] + (k // 2,) + shape[axis + 1 :])
 
 
-def unpack_int4(packed: jax.Array, axis: int = -2) -> jax.Array:
+def unpack_int4(packed: jax.Array, group_size: int, axis: int = -2) -> jax.Array:
     """Inverse of :func:`pack_int4`; returns uint8 values 0..15."""
-    lo = packed & jnp.uint8(0xF)
-    hi = packed >> 4
-    return jnp.concatenate([lo, hi], axis=axis)
+    axis = axis % packed.ndim
+    kp = packed.shape[axis]
+    gh = group_size // 2
+    shape = packed.shape
+    pb = packed.reshape(shape[:axis] + (kp // gh, gh) + shape[axis + 1 :])
+    lo = pb & jnp.uint8(0xF)
+    hi = pb >> 4
+    u = jnp.concatenate([lo, hi], axis=axis + 1)
+    return u.reshape(shape[:axis] + (2 * kp,) + shape[axis + 1 :])
 
 
 @qarray_dataclass
@@ -83,10 +101,9 @@ class Int4Array(QuantizedArray):
         if hp.ndim < 2:
             raise ValueError("int4 weights must be at least 2-D (K, N)")
         k = hp.shape[-2]
-        if k % 2 != 0 or k % group_size != 0 or (k // 2) % group_size != 0:
+        if group_size % 2 != 0 or k % group_size != 0:
             raise ValueError(
-                f"K={k} must satisfy K even, g|K and g|(K/2) for split-half "
-                f"packing with group_size={group_size}"
+                f"K={k} must be a multiple of even group_size={group_size}"
             )
         block_size = (1,) * (hp.ndim - 2) + (group_size, 1)
 
@@ -118,7 +135,7 @@ class Int4Array(QuantizedArray):
             raise ValueError(zero_point_domain)
 
         return cls(
-            qdata=pack_int4(u, axis=-2),
+            qdata=pack_int4(u, group_size, axis=-2),
             scale=scale,
             zero_point=zp,
             act_pre_scale=act_pre_scale,
@@ -131,7 +148,7 @@ class Int4Array(QuantizedArray):
 
     def unpack(self) -> jax.Array:
         """uint8 nibble values 0..15, logical (.., K, N)."""
-        return unpack_int4(self.qdata, axis=-2)
+        return unpack_int4(self.qdata, self.group_size, axis=-2)
 
     def dequantize(self, output_dtype=None) -> jax.Array:
         out_dtype = output_dtype or self.dtype

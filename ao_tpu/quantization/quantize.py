@@ -23,7 +23,7 @@ from ao_tpu.quantization.configs import FqnToConfig
 from ao_tpu.quantization.qarrays.base import QuantizedArray
 
 _LINEAR_KEY_NAMES = {"kernel", "weight", "w", "wq", "wk", "wv", "wo", "w1", "w2",
-                     "w3", "gate", "up", "down", "qkv", "proj"}
+                     "w3", "gate", "up", "down", "qkv", "proj", "lm_head"}
 
 
 def path_to_fqn(path) -> str:

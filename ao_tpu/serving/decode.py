@@ -1,0 +1,54 @@
+"""Autoregressive decode loop: prefill + lax.scan token generation.
+
+(ref analog: the gpt-fast decode loop used for the reference's headline
+int4 benchmarks, README.md:10. TPU-native: the whole generation is ONE
+jitted program — prefill, then `lax.scan` over decode steps with an
+in-place-donated KV cache; no per-token python dispatch.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ao_tpu.models import llama
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_steps", "max_seq"))
+def generate(
+    params: Any,
+    prompt: jax.Array,  # (B, S) int32
+    cfg: llama.LlamaConfig,
+    num_steps: int,
+    max_seq: int,
+    kv_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Greedy generation; returns (B, num_steps) generated tokens."""
+    b, s = prompt.shape
+    caches = llama.init_kv_caches(cfg, b, max_seq, dtype=kv_dtype)
+
+    # prefill
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    logits, caches = llama.forward(
+        params, prompt, cfg, positions=positions, kv_caches=caches,
+        cache_index=0,
+    )
+    next_tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+
+    def step(carry, _):
+        caches, tok, idx = carry
+        pos = jnp.full((b, 1), idx, jnp.int32)
+        logits, caches = llama.forward(
+            params, tok[:, None], cfg, positions=pos, kv_caches=caches,
+            cache_index=idx,
+        )
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        return (caches, nxt, idx + 1), nxt
+
+    (_, _, _), toks = jax.lax.scan(
+        step, (caches, next_tok, jnp.int32(s)), None, length=num_steps
+    )
+    return toks.T  # (B, num_steps)

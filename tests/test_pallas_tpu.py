@@ -1,0 +1,48 @@
+"""Real-TPU kernel tests (pallas vs emulated numerics gates).
+
+Run with: AO_TPU_TESTS=1 python -m pytest tests/test_pallas_tpu.py -m tpu
+(ref test model: kernel-vs-emulated numerics comparisons, SURVEY §4.4)
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+if not os.environ.get("AO_TPU_TESTS"):
+    pytest.skip("TPU suite disabled (set AO_TPU_TESTS=1)", allow_module_level=True)
+
+from ao_tpu.ops import kernels, linear  # noqa: E402
+from ao_tpu.quantization.primitives import compute_error  # noqa: E402
+from ao_tpu.quantization.qarrays.int4 import Int4Array  # noqa: E402
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.mark.parametrize("m", [1, 8, 64, 200])
+@pytest.mark.parametrize("shape", [(2048, 2048), (4096, 11008)])
+@pytest.mark.parametrize("g", [64, 128])
+def test_int4_kernel_matches_emulated(m, shape, g):
+    k, n = shape
+    w = jax.random.normal(KEY, (k, n), jnp.float32) * 0.02
+    x = jax.random.normal(KEY, (m, k), jnp.bfloat16)
+    qw = Int4Array.from_hp(w, g)
+    with kernels.backend("emulated"):
+        y_ref = linear(x, qw)
+    with kernels.backend("pallas"):
+        y = linear(x, qw)
+    assert compute_error(y_ref, y) > 40.0
+
+
+def test_int4_kernel_hqq_weights():
+    w = jax.random.normal(KEY, (2048, 2048), jnp.float32) * 0.02
+    x = jax.random.normal(KEY, (4, 2048), jnp.bfloat16)
+    qw = Int4Array.from_hp(w, 128, algorithm="hqq")
+    with kernels.backend("emulated"):
+        y_ref = linear(x, qw)
+    with kernels.backend("pallas"):
+        y = linear(x, qw)
+    assert compute_error(y_ref, y) > 40.0

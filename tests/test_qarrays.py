@@ -31,15 +31,25 @@ def acts(m=8, k=256):
 class TestPacking:
     def test_pack_unpack_roundtrip(self):
         u = jax.random.randint(KEY, (64, 32), 0, 16, dtype=jnp.int32).astype(jnp.uint8)
-        p = pack_int4(u, axis=-2)
+        p = pack_int4(u, 32, axis=-2)
         assert p.shape == (32, 32)
-        np.testing.assert_array_equal(np.asarray(unpack_int4(p, -2)), np.asarray(u))
+        np.testing.assert_array_equal(np.asarray(unpack_int4(p, 32, -2)), np.asarray(u))
 
     def test_pack_3d(self):
         u = jax.random.randint(KEY, (4, 64, 32), 0, 16, dtype=jnp.int32).astype(jnp.uint8)
-        p = pack_int4(u, axis=-2)
+        p = pack_int4(u, 16, axis=-2)
         assert p.shape == (4, 32, 32)
-        np.testing.assert_array_equal(np.asarray(unpack_int4(p, -2)), np.asarray(u))
+        np.testing.assert_array_equal(np.asarray(unpack_int4(p, 16, -2)), np.asarray(u))
+
+    def test_group_locality(self):
+        # shard-friendliness: packing then slicing at group boundaries equals
+        # slicing then packing (the property K-sharding relies on)
+        u = jax.random.randint(KEY, (128, 16), 0, 16, dtype=jnp.int32).astype(jnp.uint8)
+        g = 32
+        p = pack_int4(u, g, axis=-2)
+        np.testing.assert_array_equal(
+            np.asarray(p[: 64 // 2]), np.asarray(pack_int4(u[:64], g, axis=-2))
+        )
 
 
 class TestInt8Array:
