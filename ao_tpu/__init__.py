@@ -37,6 +37,9 @@ from ao_tpu.quantization.granularity import (
 )
 from ao_tpu.quantization.primitives import MappingType, ZeroPointDomain, compute_error
 from ao_tpu.quantization.quantize import quantize_, quantize_params
+from ao_tpu.algorithms.gptq import GPTQConfig
+from ao_tpu.algorithms.awq import AWQConfig
+from ao_tpu.algorithms.smoothquant import SmoothQuantConfig
 
 __all__ = [
     "AOBaseConfig",
@@ -64,4 +67,7 @@ __all__ = [
     "Float8StaticActivationFloat8WeightConfig",
     "FqnToConfig",
     "ModuleFqnToConfig",
+    "GPTQConfig",
+    "AWQConfig",
+    "SmoothQuantConfig",
 ]

@@ -1,0 +1,106 @@
+"""Calibration observers: weight wrappers that record activation statistics.
+
+(ref analog: GPTQObserverTensor torchao/prototype/gptq/observer.py:13, the
+AWQ/SmoothQuant observers prototype/awq/core.py, prototype/smoothquant/core.py.
+There, nn.Module state is mutated during forwards; here the params pytree
+holds ``ObservedArray`` leaves whose ``stats`` object is a plain python
+accumulator. Calibration forwards therefore run OUTSIDE jit (eagerly); each
+underlying matmul/reduction is still XLA-compiled op-by-op, which is plenty
+for calibration-scale data. After calibration, ``quantize_`` with
+step="convert" reads the accumulated stats.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ao_tpu.ops.dispatch import implements
+from ao_tpu.quantization.qarrays.base import QuantizedArray, meta, qarray_dataclass
+
+
+class StatsAccumulator:
+    """Mutable per-weight statistics store. Hashable by identity so it can
+    live in pytree aux data (calibration is eager; never crosses jit)."""
+
+    def __init__(self, kind: str):
+        self.kind = kind
+        self.n = 0
+        self.hessian: Optional[jax.Array] = None  # (K, K) for gptq
+        self.abs_sum: Optional[jax.Array] = None  # (K,) for awq
+        self.abs_max: Optional[jax.Array] = None  # (K,) for smoothquant
+        self.amax: Optional[jax.Array] = None  # scalar act amax (static quant)
+        self.sample: Optional[jax.Array] = None  # first activation batch
+
+    def update(self, x2d: jax.Array) -> None:
+        """x2d: (M, K) activation batch (already flattened)."""
+        m = x2d.shape[0]
+        xf = x2d.astype(jnp.float32)
+        if self.kind == "gptq":
+            # running mean of 2 x^T x  (ref: observer.py:67-120 update_2d)
+            h = 2.0 * (xf.T @ xf)
+            if self.hessian is None:
+                self.hessian = h / m
+            else:
+                tot = self.n + m
+                self.hessian = self.hessian * (self.n / tot) + h / tot
+        elif self.kind == "awq":
+            s = jnp.sum(jnp.abs(xf), axis=0)
+            self.abs_sum = s if self.abs_sum is None else self.abs_sum + s
+            if self.sample is None:
+                self.sample = x2d[: min(64, m)]
+        elif self.kind == "smoothquant":
+            mx = jnp.max(jnp.abs(xf), axis=0)
+            self.abs_max = mx if self.abs_max is None else jnp.maximum(self.abs_max, mx)
+        elif self.kind == "static":
+            mx = jnp.max(jnp.abs(xf))
+            self.amax = mx if self.amax is None else jnp.maximum(self.amax, mx)
+        else:
+            raise ValueError(self.kind)
+        self.n += m
+
+    # identity hash/eq so pytrees treat two accumulators as distinct aux
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+@qarray_dataclass
+class ObservedArray(QuantizedArray):
+    """High-precision weight + stats accumulator; forwards run in hp."""
+
+    weight: jax.Array
+    stats: StatsAccumulator = meta(default=None)
+    _shape: tuple = meta(default=())
+    _dequant_dtype: str = meta(default="bfloat16")
+
+    @classmethod
+    def wrap(cls, weight: jax.Array, kind: str) -> "ObservedArray":
+        return cls(
+            weight=weight,
+            stats=StatsAccumulator(kind),
+            _shape=tuple(weight.shape),
+            _dequant_dtype=str(weight.dtype),
+        )
+
+    def dequantize(self, output_dtype=None):
+        return self.weight.astype(output_dtype or self.weight.dtype)
+
+
+@implements("linear", ObservedArray)
+def _observed_linear(x, w: ObservedArray, b):
+    if isinstance(x, jax.core.Tracer):
+        raise RuntimeError(
+            "calibration forwards must run eagerly (outside jit): "
+            "ObservedArray accumulates statistics in python state"
+        )
+    x2 = x.reshape(-1, x.shape[-1])
+    w.stats.update(x2)
+    y = jnp.matmul(x2, w.weight.astype(x.dtype))
+    y = y.reshape(*x.shape[:-1], y.shape[-1])
+    return y if b is None else y + b.astype(y.dtype)

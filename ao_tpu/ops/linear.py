@@ -57,6 +57,8 @@ def _maybe_bias(y, b):
 @implements("linear", Int8Array)
 def _int8_linear(x: jax.Array, w: Int8Array, b):
     x2, lead = _flatten_batch(x)
+    if w.act_pre_scale is not None:
+        x2 = x2 * w.act_pre_scale.astype(x2.dtype)
     if w.act_quant is None and w.act_scale is None:
         y = kernels.int8_wo_matmul(x2, w.qdata, w.scale, w.zero_point, w.block_size)
     else:
@@ -105,6 +107,8 @@ def _int4_linear(x: jax.Array, w: Int4Array, b):
 @implements("linear", Float8Array)
 def _float8_linear(x: jax.Array, w: Float8Array, b):
     x2, lead = _flatten_batch(x)
+    if w.act_pre_scale is not None:
+        x2 = x2 * w.act_pre_scale.astype(x2.dtype)
     if w.act_quant is None:
         y = kernels.fp8_wo_matmul(x2, w.qdata, w.scale, w.block_size)
     else:

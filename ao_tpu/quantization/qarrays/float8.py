@@ -25,6 +25,7 @@ class Float8Array(QuantizedArray):
     qdata: jax.Array  # fp8
     scale: jax.Array  # fp32, rank-preserved
     act_scale: Optional[jax.Array]  # static act scale (calibrated) or None
+    act_pre_scale: Optional[jax.Array]  # AWQ/SmoothQuant per-K pre-scale
     block_size: Tuple[int, ...] = meta(default=())
     act_quant: Optional[ActQuantSpec] = meta(default=None)
     _shape: Tuple[int, ...] = meta(default=())
@@ -42,6 +43,7 @@ class Float8Array(QuantizedArray):
         float8_dtype=jnp.float8_e4m3fn,
         act_quant: Optional[ActQuantSpec] = None,
         act_scale: Optional[jax.Array] = None,
+        act_pre_scale: Optional[jax.Array] = None,
         value_lb: Optional[float] = None,
         value_ub: Optional[float] = None,
         dequant_dtype: str = "bfloat16",
@@ -54,6 +56,7 @@ class Float8Array(QuantizedArray):
             qdata=q,
             scale=scale,
             act_scale=act_scale,
+            act_pre_scale=act_pre_scale,
             block_size=tuple(block_size),
             act_quant=act_quant,
             _shape=tuple(hp.shape),

@@ -28,6 +28,8 @@ class Int8Array(QuantizedArray):
     # static activation quant params from calibration (or None)
     act_scale: Optional[jax.Array]
     act_zero_point: Optional[jax.Array]
+    # AWQ/SmoothQuant per-K-channel activation pre-scale (or None)
+    act_pre_scale: Optional[jax.Array]
     block_size: Tuple[int, ...] = meta(default=())
     act_quant: Optional[ActQuantSpec] = meta(default=None)
     _shape: Tuple[int, ...] = meta(default=())
@@ -42,6 +44,7 @@ class Int8Array(QuantizedArray):
         act_quant: Optional[ActQuantSpec] = None,
         act_scale: Optional[jax.Array] = None,
         act_zero_point: Optional[jax.Array] = None,
+        act_pre_scale: Optional[jax.Array] = None,
         dequant_dtype: str = "bfloat16",
     ) -> "Int8Array":
         scale, zp = P.choose_qparams_affine(
@@ -61,6 +64,7 @@ class Int8Array(QuantizedArray):
             zero_point=zp,
             act_scale=act_scale,
             act_zero_point=act_zero_point,
+            act_pre_scale=act_pre_scale,
             block_size=tuple(block_size),
             act_quant=act_quant,
             _shape=tuple(hp.shape),

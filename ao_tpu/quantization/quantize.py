@@ -46,7 +46,9 @@ def default_filter(fqn: str, leaf: Any) -> bool:
     if not isinstance(leaf, jax.Array) and not hasattr(leaf, "shape"):
         return False
     if isinstance(leaf, QuantizedArray):
-        return False
+        # already quantized → skip, EXCEPT calibration observers whose
+        # convert step must reach the handler
+        return type(leaf).__name__ == "ObservedArray"
     if leaf.ndim not in (2, 3):
         return False
     if not jnp.issubdtype(leaf.dtype, jnp.floating):
