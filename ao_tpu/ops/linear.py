@@ -23,6 +23,8 @@ from ao_tpu.quantization.qarrays.base import QuantizedArray
 from ao_tpu.quantization.qarrays.float8 import Float8Array
 from ao_tpu.quantization.qarrays.int4 import Int4Array
 from ao_tpu.quantization.qarrays.int8 import Int8Array
+from ao_tpu.quantization.qarrays.mx import MXArray, to_mx
+from ao_tpu.quantization.qarrays.nvfp4 import NVFP4Array, nvfp4_quantize
 
 
 def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
@@ -116,4 +118,96 @@ def _float8_linear(x: jax.Array, w: Float8Array, b):
         y = kernels.fp8_dynamic_matmul(
             qx, sx, w.qdata, w.scale, w.block_size, out_dtype=x.dtype
         )
+    return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
+
+
+# ---------------------------------------------------------------------------
+# MX (MXFP8/MXFP6/MXFP4)
+# ---------------------------------------------------------------------------
+
+
+@implements("linear", MXArray)
+def _mx_linear(x: jax.Array, w: MXArray, b):
+    """(ref analog: MXTensor mm impls mx_tensor.py; EMULATED-equivalent path:
+    both sides dequantize blockwise and the dot runs in bf16 — on TPU the MXU
+    is bf16-native, so unlike SM100 there is no native e8m0-scaled mma to
+    target; the fused Pallas path folds dequant into the matmul instead.)"""
+    x2, lead = _flatten_batch(x)
+    if w.act_elem_dtype is not None:
+        # dynamic MX quantization of the activation along K (block 32)
+        from ao_tpu.quantization.qarrays.fp4 import decode_fp4_e2m1, encode_fp4_e2m1
+        from ao_tpu.quantization import primitives as P
+
+        bs = (1, 32)
+        qx, sx = to_mx(x2, bs, w.act_elem_dtype, w.scale_mode)
+        if w.act_elem_dtype == "float4_e2m1fn":
+            vx = decode_fp4_e2m1(qx, jnp.float32)
+        else:
+            vx = qx.astype(jnp.float32)
+        x2 = P.apply_blockwise(
+            vx, bs, lambda v, s: v * s, sx.astype(jnp.float32)
+        ).astype(x.dtype)
+    w_dq = w.dequantize(x2.dtype)
+    y = jnp.matmul(x2, w_dq)
+    return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
+
+
+# ---------------------------------------------------------------------------
+# NVFP4
+# ---------------------------------------------------------------------------
+
+
+@implements("linear", NVFP4Array)
+def _nvfp4_linear(x: jax.Array, w: NVFP4Array, b):
+    x2, lead = _flatten_batch(x)
+    if w.act_quant:
+        from ao_tpu.quantization.qarrays.fp4 import decode_fp4_e2m1
+        from ao_tpu.quantization import primitives as P
+
+        bs = (1, 16)
+        codes, bscale, pts = nvfp4_quantize(
+            x2, bs, per_tensor=True,
+            fixed_per_tensor_scale=w.act_per_tensor_scale,
+        )
+        vx = decode_fp4_e2m1(codes, jnp.float32)
+        total = bscale.astype(jnp.float32) * (pts if pts is not None else 1.0)
+        x2 = P.apply_blockwise(vx, bs, lambda v, s: v * s, total).astype(x.dtype)
+    w_dq = w.dequantize(x2.dtype)
+    y = jnp.matmul(x2, w_dq)
+    return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
+
+
+# ---------------------------------------------------------------------------
+# Intx (1..8 bit) and NF4 — dequant + hp matmul (optionally int8 dyn act)
+# ---------------------------------------------------------------------------
+
+from ao_tpu.quantization.qarrays.intx import IntxArray  # noqa: E402
+from ao_tpu.quantization.qarrays.nf4 import NF4Array  # noqa: E402
+
+
+@implements("linear", IntxArray)
+def _intx_linear(x: jax.Array, w: IntxArray, b):
+    x2, lead = _flatten_batch(x)
+    if w.act_quant is not None:
+        # int8 dyn act x intx weight: integer dot in int32 on the MXU
+        qx, sx, zx = quantize_activation(x2, w.act_quant)
+        qw = w._unpacked_q()
+        if w.scale.shape == (1, qw.shape[-1]):
+            y = kernels.int8_dynamic_matmul(
+                qx, sx, zx, qw, w.scale, w.zero_point, w.block_size,
+                out_dtype=x.dtype,
+            )
+        else:  # per-group weight scales → dequant path
+            x_dq = qx.astype(jnp.float32) * sx
+            y = jnp.matmul(x_dq, w.dequantize(jnp.float32)).astype(x.dtype)
+    else:
+        y = jnp.matmul(x2, w.dequantize(x2.dtype))
+    return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
+
+
+@implements("linear", NF4Array)
+def _nf4_linear(x: jax.Array, w: NF4Array, b):
+    """(ref: LinearNF4 nf4_tensor.py:1063 — dequant + hp matmul)"""
+    x2, lead = _flatten_batch(x)
+    y = jnp.matmul(x2, w.dequantize(x2.dtype))
     return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)

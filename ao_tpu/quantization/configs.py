@@ -41,7 +41,11 @@ def _weight_block_size(shape, granularity: Granularity) -> Tuple[int, ...]:
     channel — that's axis -1 (N) here, so the block covers all of K.
     """
     rank = len(shape)
-    if isinstance(granularity, (PerRow, PerAxis)) or granularity is None:
+    if isinstance(granularity, PerAxis):
+        # explicit axis → faithful mapping (e.g. PerAxis(0) on an embedding
+        # table (V, D) = per-row scales, gather-friendly)
+        return get_block_size(shape, granularity)
+    if isinstance(granularity, PerRow) or granularity is None:
         return (1,) * (rank - 2) + (shape[-2], 1)
     if isinstance(granularity, PerTensor):
         return tuple(shape)
@@ -270,3 +274,67 @@ class FqnToConfig(AOBaseConfig):
 
 
 ModuleFqnToConfig = FqnToConfig  # BC alias (ref: quant_api.py ModuleFqnToConfig)
+
+
+# ---------------------------------------------------------------------------
+# intx (1..8 bit) and NF4
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class IntxWeightOnlyConfig(AOBaseConfig):
+    """int1..8 weight-only, groupwise. (ref: IntxWeightOnlyConfig
+    quant_api.py:1391; packed=True uses the TPU bitplane layout in place of
+    the reference's CPU/NEON packed formats.)"""
+
+    bit_width: int = 4
+    group_size: int = 32
+    packed: bool = False
+    version: int = 1
+
+
+@register_quantize_handler(IntxWeightOnlyConfig)
+def _intx_wo_transform(weight, config: IntxWeightOnlyConfig):
+    from ao_tpu.quantization.qarrays.intx import IntxArray
+
+    return IntxArray.from_hp(
+        weight, config.bit_width, config.group_size, packed=config.packed
+    )
+
+
+@dataclasses.dataclass
+class Int8DynamicActivationIntxWeightConfig(AOBaseConfig):
+    """int8 dynamic act x int1..8 weight. (ref: quant_api.py:351)"""
+
+    bit_width: int = 4
+    group_size: int = 32
+    packed: bool = False
+    version: int = 1
+
+
+@register_quantize_handler(Int8DynamicActivationIntxWeightConfig)
+def _int8_intx_transform(weight, config: Int8DynamicActivationIntxWeightConfig):
+    from ao_tpu.quantization.qarrays.intx import IntxArray
+
+    return IntxArray.from_hp(
+        weight, config.bit_width, config.group_size, packed=config.packed,
+        act_quant=ActQuantSpec(dtype="int8", granularity="per_token"),
+    )
+
+
+@dataclasses.dataclass
+class NF4WeightOnlyConfig(AOBaseConfig):
+    """4-bit NormalFloat (QLoRA). (ref: nf4_tensor.py ``to_nf4``)"""
+
+    block_size: int = 64
+    scaler_block_size: int = 256
+    version: int = 1
+
+
+@register_quantize_handler(NF4WeightOnlyConfig)
+def _nf4_transform(weight, config: NF4WeightOnlyConfig):
+    from ao_tpu.quantization.qarrays.nf4 import NF4Array
+
+    return NF4Array.from_hp(
+        weight, config.block_size, config.scaler_block_size
+    )

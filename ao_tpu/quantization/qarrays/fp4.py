@@ -1,0 +1,68 @@
+"""fp4 (e2m1) encode/decode with nibble packing.
+
+(ref analog: the fp4 pack/unpack triton kernels in torchao
+prototype/mx_formats/kernels.py and the f4_unpacked/packed conversions in
+mx_formats/custom_cast.py. TPU re-design: e2m1 codes are computed
+arithmetically from the bit layout — sign(1) exponent(2) mantissa(1) —
+so both encode and decode are a handful of VPU ops, no LUT gathers.)
+
+e2m1 value set (positive): 0, 0.5, 1, 1.5, 2, 3, 4, 6.
+Packing reuses the group-local split-half scheme from int4 (two codes per
+byte, group-aligned for sharding).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ao_tpu.quantization.qarrays.int4 import pack_int4, unpack_int4
+
+F4_E2M1_MAX = 6.0
+
+
+def encode_fp4_e2m1(x: jax.Array) -> jax.Array:
+    """f32/bf16 → uint8 4-bit e2m1 codes (round-to-nearest-even via the
+    native float4_e2m1fn cast), values clamped to ±6."""
+    x4 = jnp.clip(x.astype(jnp.float32), -F4_E2M1_MAX, F4_E2M1_MAX).astype(
+        jnp.float4_e2m1fn
+    )
+    v = x4.astype(jnp.float32)
+    s = (v < 0) | ((v == 0) & (jnp.signbit(v)))
+    a = jnp.abs(v)
+    # exponent field: a in [0, .5] → subnormal e=0; else e = floor(log2 a)+1
+    e = jnp.clip(jnp.floor(jnp.log2(jnp.maximum(a, 0.25))) + 1.0, 0.0, 3.0)
+    # mantissa bit: normals a/2^(e-1) in {1, 1.5} → bit = 2(a/2^(e-1) - 1);
+    # subnormals (e=0) a in {0, .5} → bit = 2a
+    pow2 = jnp.exp2(jnp.maximum(e - 1.0, 0.0))
+    mbit = jnp.where(e > 0, (a / pow2 - 1.0) * 2.0, a * 2.0)
+    mbit = jnp.clip(jnp.round(mbit), 0.0, 1.0)
+    code = (
+        s.astype(jnp.uint8) << 3
+        | (e.astype(jnp.uint8) << 1)
+        | mbit.astype(jnp.uint8)
+    )
+    return code
+
+
+def decode_fp4_e2m1(code: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """uint8 4-bit e2m1 codes → float. Pure arithmetic (VPU-friendly)."""
+    c = code.astype(jnp.int32)
+    s = (c >> 3) & 1
+    e = (c >> 1) & 3
+    m = (c & 1).astype(jnp.float32)
+    mag = jnp.where(
+        e > 0,
+        jnp.exp2((e - 1).astype(jnp.float32)) * (1.0 + 0.5 * m),
+        0.5 * m,
+    )
+    v = jnp.where(s == 1, -mag, mag)
+    return v.astype(dtype)
+
+
+def pack_fp4(codes: jax.Array, group_size: int, axis: int = -2) -> jax.Array:
+    return pack_int4(codes, group_size, axis=axis)
+
+
+def unpack_fp4(packed: jax.Array, group_size: int, axis: int = -2) -> jax.Array:
+    return unpack_int4(packed, group_size, axis=axis)
