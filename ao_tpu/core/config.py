@@ -29,7 +29,8 @@ ALLOWED_AO_MODULES: Set[str] = {
     "ao_tpu.quantization.configs",
     "ao_tpu.quantization.granularity",
     "ao_tpu.quantization.primitives",
-    "ao_tpu.quantization.qat",
+    "ao_tpu.training.qat",
+    "ao_tpu.training.optim",
     "ao_tpu.sparsity.configs",
     "ao_tpu.algorithms.gptq",
     "ao_tpu.algorithms.awq",

@@ -46,9 +46,11 @@ def default_filter(fqn: str, leaf: Any) -> bool:
     if not isinstance(leaf, jax.Array) and not hasattr(leaf, "shape"):
         return False
     if isinstance(leaf, QuantizedArray):
-        # already quantized → skip, EXCEPT calibration observers whose
+        # already quantized → skip, EXCEPT transitional wrappers whose
         # convert step must reach the handler
-        return type(leaf).__name__ == "ObservedArray"
+        return type(leaf).__name__ in (
+            "ObservedArray", "QATWeight", "Float8TrainingWeight"
+        )
     if leaf.ndim not in (2, 3):
         return False
     if not jnp.issubdtype(leaf.dtype, jnp.floating):

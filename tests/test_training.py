@@ -1,0 +1,169 @@
+"""Training tier tests: float8 training, QAT, low-bit optimizers.
+
+(ref test models: test/float8/test_base.py SQNR gates on fwd/bwd,
+test/quantization/test_qat.py, torchao/optim tests vs fp32 Adam.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import ao_tpu
+from ao_tpu.models import llama
+from ao_tpu.ops import linear
+from ao_tpu.quantization.primitives import compute_error
+from ao_tpu.training.float8 import (
+    Float8TrainingRecipe,
+    Float8TrainingWeight,
+    convert_to_float8_training,
+    fp8_matmul,
+    unwrap_float8_training,
+)
+from ao_tpu.training.optim import adamw_lowbit
+from ao_tpu.training.qat import QATConfig, QATWeight
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestFloat8Training:
+    @pytest.mark.parametrize("recipe", ["tensorwise", "rowwise", "rowwise_with_gw_hp"])
+    def test_fwd_bwd_sqnr(self, recipe):
+        r = Float8TrainingRecipe(recipe)
+        x = jax.random.normal(KEY, (32, 256), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(1), (256, 128), jnp.float32) * 0.05
+
+        y = fp8_matmul(x, w, r)
+        assert float(compute_error(x @ w, y)) > 20.0
+
+        def loss(x, w):
+            return jnp.sum(fp8_matmul(x, w, r) ** 2)
+
+        def loss_ref(x, w):
+            return jnp.sum((x @ w) ** 2)
+
+        gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
+        gx_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+        assert float(compute_error(gx_ref, gx)) > 15.0
+        assert float(compute_error(gw_ref, gw)) > 15.0
+
+    def test_convert_wraps_linears(self):
+        params = llama.init_params(KEY, llama.LLAMA_TINY)
+        fp8p = convert_to_float8_training(params)
+        assert isinstance(fp8p["layers"][0]["attn"]["wq"], Float8TrainingWeight)
+        # norms untouched
+        assert isinstance(fp8p["layers"][0]["ln1"], jax.Array)
+        back = unwrap_float8_training(fp8p)
+        np.testing.assert_array_equal(
+            np.asarray(back["layers"][0]["attn"]["wq"]),
+            np.asarray(params["layers"][0]["attn"]["wq"]),
+        )
+
+    def test_fp8_training_step_decreases_loss(self):
+        cfg = llama.LLAMA_TINY
+        params = llama.init_params(KEY, cfg)
+        fp8p = convert_to_float8_training(params)
+        tokens = jax.random.randint(KEY, (2, 16), 0, cfg.vocab_size)
+        opt = optax.adam(1e-3)
+
+        def loss_fn(p):
+            logits, _ = llama.forward(p, tokens[:, :-1], cfg)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, tokens[:, 1:]
+            ).mean()
+
+        @jax.jit
+        def step(p, s):
+            l, g = jax.value_and_grad(loss_fn)(p)
+            u, s = opt.update(g, s)
+            return optax.apply_updates(p, u), s, l
+
+        s = opt.init(fp8p)
+        losses = []
+        for _ in range(5):
+            fp8p, s, l = step(fp8p, s)
+            losses.append(float(l))
+        assert losses[-1] < losses[0], losses
+
+
+class TestQAT:
+    def test_prepare_convert_roundtrip(self):
+        base = ao_tpu.Int4WeightOnlyConfig(group_size=32)
+        params = llama.init_params(KEY, llama.LLAMA_TINY)
+        prep = ao_tpu.quantize_(params, QATConfig(base, step="prepare"))
+        assert isinstance(prep["layers"][0]["attn"]["wq"], QATWeight)
+
+        tokens = jax.random.randint(KEY, (1, 8), 0, 512)
+        logits_fq, _ = llama.forward(prep, tokens, llama.LLAMA_TINY)
+
+        conv = ao_tpu.quantize_(prep, QATConfig(base, step="convert"))
+        from ao_tpu.quantization.qarrays.int4 import Int4Array
+
+        assert isinstance(conv["layers"][0]["attn"]["wq"], Int4Array)
+        logits_q, _ = llama.forward(conv, tokens, llama.LLAMA_TINY)
+        # fake-quant forward must match the converted PTQ forward closely
+        assert float(compute_error(logits_fq, logits_q)) > 30.0
+
+    def test_qat_gradients_flow(self):
+        base = ao_tpu.Int8DynamicActivationInt8WeightConfig()
+        w = jax.random.normal(KEY, (64, 32), jnp.float32) * 0.05
+        prep = ao_tpu.quantize_({"wq": w}, QATConfig(base, step="prepare"))
+        x = jax.random.normal(KEY, (4, 64), jnp.float32)
+
+        def loss(p):
+            return jnp.sum(linear(x, p["wq"]) ** 2)
+
+        g = jax.grad(loss)(prep)
+        gnorm = float(jnp.linalg.norm(g["wq"].weight))
+        assert np.isfinite(gnorm) and gnorm > 0
+
+    def test_fq_forward_close_to_hp(self):
+        base = ao_tpu.Int4WeightOnlyConfig(group_size=32)
+        w = jax.random.normal(KEY, (64, 32), jnp.float32) * 0.05
+        prep = ao_tpu.quantize_({"wq": w}, QATConfig(base, step="prepare"))
+        x = jax.random.normal(KEY, (4, 64), jnp.bfloat16)
+        y = linear(x, prep["wq"])
+        assert float(compute_error(x.astype(jnp.float32) @ w, y)) > 12.0
+
+
+class TestLowBitAdam:
+    @pytest.mark.parametrize("bits", [8, 4, "fp8"])
+    def test_matches_fp32_adam(self, bits):
+        params = {"w": jax.random.normal(KEY, (128, 64), jnp.float32)}
+        x = jax.random.normal(jax.random.PRNGKey(2), (32, 128), jnp.float32)
+        target = jax.random.normal(jax.random.PRNGKey(3), (32, 64), jnp.float32)
+
+        def loss(p):
+            return jnp.mean((x @ p["w"] - target) ** 2)
+
+        def run(opt, steps=20):
+            p = jax.tree.map(jnp.copy, params)
+            s = opt.init(p)
+
+            @jax.jit
+            def step(p, s):
+                l, g = jax.value_and_grad(loss)(p)
+                u, s = opt.update(g, s, p)
+                return optax.apply_updates(p, u), s, l
+
+            for _ in range(steps):
+                p, s, l = step(p, s)
+            return float(l), p
+
+        l_ref, p_ref = run(optax.adam(1e-2))
+        l_q, p_q = run(adamw_lowbit(1e-2, state_bits=bits))
+        # quantized-state Adam should track fp32 Adam's loss closely
+        assert l_q < l_ref * 1.5 + 1e-3, (bits, l_q, l_ref)
+
+    def test_memory_savings(self):
+        params = {"w": jnp.zeros((1024, 1024), jnp.float32)}
+        opt8 = adamw_lowbit(1e-3, state_bits=8)
+        s = opt8.init(params)
+        mu_bytes = s.mu[0].qdata.nbytes + s.mu[0].scale.nbytes
+        assert mu_bytes < params["w"].nbytes / 3.5  # ~4x smaller than fp32
+
+    def test_small_params_stay_fp32(self):
+        params = {"norm": jnp.zeros((64,), jnp.float32)}
+        s = adamw_lowbit(1e-3).init(params)
+        assert isinstance(s.mu[0], jax.Array)
