@@ -34,6 +34,15 @@ class StatsAccumulator:
         self.abs_max: Optional[jax.Array] = None  # (K,) for smoothquant
         self.amax: Optional[jax.Array] = None  # scalar act amax (static quant)
         self.sample: Optional[jax.Array] = None  # first activation batch
+        self.sq_sum: Optional[jax.Array] = None  # (K,) Σx² for wanda
+
+    @property
+    def act_l2(self):
+        if self.sq_sum is None:
+            raise ValueError("no wanda statistics collected")
+        import jax.numpy as _jnp
+
+        return _jnp.sqrt(self.sq_sum)
 
     def update(self, x2d: jax.Array) -> None:
         """x2d: (M, K) activation batch (already flattened)."""
@@ -55,6 +64,10 @@ class StatsAccumulator:
         elif self.kind == "smoothquant":
             mx = jnp.max(jnp.abs(xf), axis=0)
             self.abs_max = mx if self.abs_max is None else jnp.maximum(self.abs_max, mx)
+        elif self.kind == "wanda":
+            # running sum of squares per input channel (ref: wanda.py norms)
+            sq = jnp.sum(xf * xf, axis=0)
+            self.sq_sum = sq if getattr(self, "sq_sum", None) is None else self.sq_sum + sq
         elif self.kind == "static":
             mx = jnp.max(jnp.abs(xf))
             self.amax = mx if self.amax is None else jnp.maximum(self.amax, mx)

@@ -211,3 +211,25 @@ def _nf4_linear(x: jax.Array, w: NF4Array, b):
     x2, lead = _flatten_batch(x)
     y = jnp.matmul(x2, w.dequantize(x2.dtype))
     return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
+
+
+# ---------------------------------------------------------------------------
+# Sparse
+# ---------------------------------------------------------------------------
+
+from ao_tpu.sparsity.blocksparse import BlockSparseArray  # noqa: E402
+from ao_tpu.sparsity.sparse24 import Sparse24Array  # noqa: E402
+
+
+@implements("linear", Sparse24Array)
+def _sparse24_linear(x, w: Sparse24Array, b):
+    x2, lead = _flatten_batch(x)
+    y = jnp.matmul(x2, w.dequantize(x2.dtype))
+    return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
+
+
+@implements("linear", BlockSparseArray)
+def _blocksparse_linear(x, w: BlockSparseArray, b):
+    x2, lead = _flatten_batch(x)
+    y = jnp.matmul(x2, w.dequantize(x2.dtype))
+    return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)

@@ -1,0 +1,126 @@
+"""Sparsity tests: 2:4 prune/compress/decompress, block-sparse, Wanda,
+runtime-sparsified training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ao_tpu
+from ao_tpu.ops import linear
+from ao_tpu.quantization.primitives import compute_error
+from ao_tpu.sparsity.blocksparse import BlockSparseArray
+from ao_tpu.sparsity.configs import (
+    BlockSparseWeightConfig,
+    SemiSparseWeightConfig,
+    WandaSparseConfig,
+    sparsify_,
+)
+from ao_tpu.sparsity.sparse24 import (
+    Sparse24Array,
+    compress_2to4,
+    decompress_2to4,
+    prune_2to4,
+    semi_sparse_linear,
+)
+
+KEY = jax.random.PRNGKey(7)
+
+
+def weights(k=128, n=64):
+    return jax.random.normal(KEY, (k, n), jnp.float32) * 0.05
+
+
+class TestSparse24:
+    def test_prune_structure(self):
+        w = weights()
+        p = np.asarray(prune_2to4(w))
+        groups = p.reshape(-1, 4, p.shape[-1])
+        nnz = (groups != 0).sum(axis=1)
+        assert nnz.max() <= 2
+
+    def test_prune_keeps_largest(self):
+        w = jnp.array([[1.0], [-5.0], [0.1], [3.0]])
+        p = np.asarray(prune_2to4(w)).ravel()
+        np.testing.assert_allclose(p, [0.0, -5.0, 0.0, 3.0])
+
+    def test_compress_roundtrip(self):
+        w = prune_2to4(weights())
+        vals, mb = compress_2to4(w)
+        assert vals.shape == (64, 64) and mb.shape == (32, 64)
+        back = decompress_2to4(vals, mb)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(w), atol=1e-6)
+
+    def test_array_and_linear(self):
+        w = weights(256, 128)
+        x = jax.random.normal(KEY, (8, 256), jnp.bfloat16)
+        sw = Sparse24Array.from_hp(w)
+        y = linear(x, sw)
+        y_ref = x.astype(jnp.float32) @ prune_2to4(w)
+        assert float(compute_error(y_ref, y)) > 25.0
+
+    def test_memory_reduction(self):
+        w = weights(256, 128)
+        sw = Sparse24Array.from_hp(w)
+        dense_bytes = 256 * 128 * 2  # bf16
+        assert sw.nbytes < dense_bytes * 0.65  # values bf16 K/2 + meta
+
+    def test_training_linear_grads(self):
+        w = weights(64, 32)
+        x = jax.random.normal(KEY, (4, 64), jnp.float32)
+
+        def loss(w):
+            return jnp.sum(semi_sparse_linear(x, w) ** 2)
+
+        g = jax.grad(loss)(w)
+        assert np.isfinite(np.asarray(g)).all()
+        # dense gradient: even pruned positions receive signal (STE)
+        p = np.asarray(prune_2to4(w))
+        pruned_positions = p == 0
+        assert np.abs(np.asarray(g)[pruned_positions]).max() > 0
+
+
+class TestBlockSparse:
+    def test_roundtrip_exact(self):
+        w = weights(128, 128)
+        # zero half the blocks
+        wb = np.asarray(w).reshape(2, 64, 2, 64).copy()
+        wb[0, :, 1, :] = 0
+        w = jnp.asarray(wb.reshape(128, 128))
+        bs = BlockSparseArray.from_hp(w, 64)
+        assert bs.nnz_blocks == 3
+        np.testing.assert_allclose(
+            np.asarray(bs.dequantize(jnp.float32)), np.asarray(w), atol=1e-2
+        )
+
+    def test_keep_fraction(self):
+        w = weights(128, 128)
+        bs = BlockSparseArray.from_hp(w, 64, keep_fraction=0.5)
+        assert bs.nnz_blocks == 2
+        y = linear(jax.random.normal(KEY, (4, 128), jnp.bfloat16), bs)
+        assert y.shape == (4, 128)
+
+    def test_config(self):
+        p = sparsify_({"wq": weights(128, 128)}, BlockSparseWeightConfig(blocksize=64, keep_fraction=0.5))
+        assert isinstance(p["wq"], BlockSparseArray)
+
+
+class TestWanda:
+    def test_observe_convert(self):
+        w = weights(128, 64)
+        x = jax.random.normal(KEY, (32, 128), jnp.float32)
+        # make some channels high-activation
+        x = x.at[:, :8].mul(10.0)
+        obs = sparsify_({"wq": w}, WandaSparseConfig(step="observe"))
+        _ = linear(x, obs["wq"])
+        sp = sparsify_(obs, WandaSparseConfig(step="convert"))
+        assert isinstance(sp["wq"], Sparse24Array)
+        # wanda should beat plain magnitude pruning on output error
+        y_ref = x @ w
+        e_wanda = float(compute_error(y_ref, x @ sp["wq"].dequantize(jnp.float32)))
+        e_mag = float(compute_error(y_ref, x @ prune_2to4(w)))
+        assert e_wanda > e_mag, (e_wanda, e_mag)
+
+    def test_semi_sparse_config(self):
+        p = sparsify_({"wq": weights()}, SemiSparseWeightConfig())
+        assert isinstance(p["wq"], Sparse24Array)
