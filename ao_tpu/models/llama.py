@@ -116,6 +116,7 @@ def attention(
     mask: Optional[jax.Array],
     kv_cache: Optional[Tuple[jax.Array, jax.Array]] = None,
     cache_index: Optional[jax.Array] = None,
+    use_flash: bool = False,
 ):
     b, s, d = x.shape
     h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -129,10 +130,22 @@ def attention(
 
     new_cache = None
     if kv_cache is not None:
-        ck, cv = kv_cache  # (B, T, kvh, hd)
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
-        k, v = ck.astype(x.dtype), cv.astype(x.dtype)
+        ck, cv = kv_cache  # (B, T, kvh, hd) arrays or QuantKVCache
+        from ao_tpu.serving.kvcache import QuantKVCache
+
+        if isinstance(ck, QuantKVCache):
+            ck = ck.update(k, cache_index)
+            cv = cv.update(v, cache_index)
+            k = ck.dequantize(x.dtype)
+            v = cv.dequantize(x.dtype)
+        else:
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.astype(ck.dtype), (0, cache_index, 0, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.astype(cv.dtype), (0, cache_index, 0, 0)
+            )
+            k, v = ck.astype(x.dtype), cv.astype(x.dtype)
         new_cache = (ck, cv)
 
     # GQA: repeat kv heads
@@ -144,6 +157,22 @@ def attention(
     q = q.transpose(0, 2, 1, 3)  # (B, H, S, Dh)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
+
+    if use_flash:
+        # pallas online-softmax kernel; valid when query positions start at 0
+        # (prefill) so the causal mask covers cache padding too
+        from ao_tpu.ops import kernels as _kernels
+        from ao_tpu.ops.pallas import UnsupportedShape
+
+        if _kernels.on_tpu():
+            try:
+                from ao_tpu.ops.pallas.flash_attention import flash_attention
+
+                out = flash_attention(q, k, v, causal=True)
+                out = out.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
+                return linear(out, layer["wo"]), new_cache
+            except UnsupportedShape:
+                pass
 
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
     scores = scores * (hd ** -0.5)
@@ -167,6 +196,7 @@ def forward(
     positions: Optional[jax.Array] = None,
     kv_caches: Optional[list] = None,
     cache_index: Optional[jax.Array] = None,
+    use_flash: bool = False,
 ) -> Tuple[jax.Array, Optional[list]]:
     """Returns (logits (B, S, V), new_kv_caches or None)."""
     b, s = tokens.shape
@@ -181,7 +211,8 @@ def forward(
         new_caches = None
     else:
         # decode: attend over cache positions <= current
-        t = kv_caches[0][0].shape[1]
+        c0 = kv_caches[0][0]
+        t = (c0.qdata if hasattr(c0, "qdata") else c0).shape[1]
         key_pos = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
         mask = key_pos <= positions[:, None, :, None]
         new_caches = []
@@ -192,6 +223,7 @@ def forward(
             layer["attn"], h, cfg, positions, freqs, mask,
             kv_cache=None if kv_caches is None else kv_caches[i],
             cache_index=cache_index,
+            use_flash=use_flash,
         )
         x = x + attn_out
         h = rms_norm(x, layer["ln2"], cfg.norm_eps)

@@ -17,24 +17,32 @@ import jax.numpy as jnp
 from ao_tpu.models import llama
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "num_steps", "max_seq"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_steps", "max_seq", "kv_quant", "use_flash")
+)
 def generate(
     params: Any,
     prompt: jax.Array,  # (B, S) int32
     cfg: llama.LlamaConfig,
     num_steps: int,
     max_seq: int,
-    kv_dtype=jnp.bfloat16,
+    kv_quant: Optional[str] = None,  # None | "int8" | "float8_e4m3fn"
+    use_flash: bool = False,
 ) -> jax.Array:
     """Greedy generation; returns (B, num_steps) generated tokens."""
     b, s = prompt.shape
-    caches = llama.init_kv_caches(cfg, b, max_seq, dtype=kv_dtype)
+    if kv_quant:
+        from ao_tpu.serving.kvcache import init_quant_kv_caches
+
+        caches = init_quant_kv_caches(cfg, b, max_seq, kv_quant)
+    else:
+        caches = llama.init_kv_caches(cfg, b, max_seq)
 
     # prefill
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
     logits, caches = llama.forward(
         params, prompt, cfg, positions=positions, kv_caches=caches,
-        cache_index=0,
+        cache_index=0, use_flash=use_flash,
     )
     next_tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
 

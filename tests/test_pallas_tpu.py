@@ -46,3 +46,35 @@ def test_int4_kernel_hqq_weights():
     with kernels.backend("pallas"):
         y = linear(x, qw)
     assert compute_error(y_ref, y) > 40.0
+
+
+class TestFlashAttentionTPU:
+    @pytest.mark.parametrize("shape", [(1, 4, 256, 128), (2, 8, 512, 128)])
+    def test_matches_xla(self, shape):
+        from ao_tpu.ops.pallas.flash_attention import flash_attention
+
+        b, h, s, d = shape
+        q = jax.random.normal(KEY, shape, jnp.bfloat16)
+        k = jax.random.normal(jax.random.PRNGKey(1), shape, jnp.bfloat16)
+        v = jax.random.normal(jax.random.PRNGKey(2), shape, jnp.bfloat16)
+        out = flash_attention(q, k, v, causal=True)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * (d**-0.5)
+        mask = jnp.tril(jnp.ones((s, s), bool))
+        scores = jnp.where(mask, scores, -1e30)
+        ref = jnp.einsum(
+            "bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1).astype(jnp.bfloat16), v
+        )
+        assert compute_error(ref, out) > 20.0
+
+    def test_cross_attention_no_causal(self):
+        from ao_tpu.ops.pallas.flash_attention import flash_attention
+
+        q = jax.random.normal(KEY, (1, 2, 128, 128), jnp.bfloat16)
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 384, 128), jnp.bfloat16)
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 384, 128), jnp.bfloat16)
+        out = flash_attention(q, k, v, causal=False)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * (128**-0.5)
+        ref = jnp.einsum(
+            "bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1).astype(jnp.bfloat16), v
+        )
+        assert compute_error(ref, out) > 20.0

@@ -1,0 +1,121 @@
+"""Serving tests: quantized KV cache, generate loop, flash attention (CPU
+reference comparison runs the XLA path; the pallas kernel itself is gated
+to the TPU suite)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ao_tpu
+from ao_tpu.models import llama
+from ao_tpu.quantization.primitives import compute_error
+from ao_tpu.serving.decode import generate
+from ao_tpu.serving.kvcache import QuantKVCache, init_quant_kv_caches
+
+CFG = llama.LLAMA_TINY
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return llama.init_params(KEY, CFG)
+
+
+class TestQuantKVCache:
+    @pytest.mark.parametrize("dt", ["int8", "float8_e4m3fn"])
+    def test_roundtrip(self, dt):
+        c = QuantKVCache.create(2, 16, 4, 64, dt)
+        x = jax.random.normal(KEY, (2, 5, 4, 64), jnp.bfloat16)
+        c = c.update(x, 0)
+        back = c.dequantize(jnp.float32)[:, :5]
+        assert float(compute_error(x.astype(jnp.float32), back)) > 25.0
+
+    def test_incremental_update(self):
+        c = QuantKVCache.create(1, 8, 2, 32)
+        x1 = jax.random.normal(KEY, (1, 3, 2, 32), jnp.float32)
+        x2 = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 2, 32), jnp.float32)
+        c = c.update(x1, 0)
+        c = c.update(x2, 3)
+        back = c.dequantize(jnp.float32)
+        assert float(compute_error(x1, back[:, :3])) > 25.0
+        assert float(compute_error(x2, back[:, 3:4])) > 25.0
+
+    def test_memory_halved(self):
+        c8 = QuantKVCache.create(1, 128, 8, 128, "int8")
+        bf16_bytes = 1 * 128 * 8 * 128 * 2
+        assert c8.qdata.nbytes == bf16_bytes // 2
+
+
+class TestQuantizedKVDecoding:
+    def test_decode_with_int8_cache_matches_bf16(self, params):
+        b, s = 1, 8
+        tokens = jax.random.randint(KEY, (b, s), 0, CFG.vocab_size)
+        ref, _ = llama.forward(params, tokens, CFG)
+
+        caches = init_quant_kv_caches(CFG, b, 16, "int8")
+        outs = []
+        for t in range(s):
+            pos = jnp.full((b, 1), t, jnp.int32)
+            logits, caches = llama.forward(
+                params, tokens[:, t : t + 1], CFG, positions=pos,
+                kv_caches=caches, cache_index=t,
+            )
+            outs.append(logits[:, 0])
+        step = jnp.stack(outs, axis=1)
+        assert float(compute_error(ref, step)) > 20.0
+
+    def test_generate_with_quant_cache(self, params):
+        prompt = jax.random.randint(KEY, (2, 4), 0, CFG.vocab_size)
+        toks_bf16 = generate(params, prompt, CFG, 8, 16)
+        toks_int8 = generate(params, prompt, CFG, 8, 16, kv_quant="int8")
+        assert toks_int8.shape == (2, 8)
+        # greedy decodes should mostly agree between bf16 and int8 cache
+        agree = float(jnp.mean((toks_bf16 == toks_int8).astype(jnp.float32)))
+        assert agree >= 0.5, agree
+
+    def test_generate_quantized_weights_and_cache(self, params):
+        qp = ao_tpu.quantize_(params, ao_tpu.Int8WeightOnlyConfig())
+        prompt = jax.random.randint(KEY, (1, 4), 0, CFG.vocab_size)
+        toks = generate(qp, prompt, CFG, 4, 8, kv_quant="int8")
+        assert toks.shape == (1, 4)
+
+
+class TestFlashAttentionRef:
+    def test_reference_impl_matches_xla(self):
+        # numpy reference for the online-softmax math used by the kernel
+        b, h, s, d = 1, 2, 16, 32
+        q = jax.random.normal(KEY, (b, h, s, d), jnp.float32)
+        k = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.float32)
+        v = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d), jnp.float32)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (d**-0.5)
+        mask = jnp.tril(jnp.ones((s, s), bool))
+        scores = jnp.where(mask, scores, -1e30)
+        ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1), v)
+
+        # blocked online softmax (mirror of the kernel, block=8)
+        bq = bk = 8
+        out = np.zeros((b, h, s, d), np.float32)
+        for qi in range(s // bq):
+            m = np.full((bq, 1), -np.inf)
+            l = np.zeros((bq, 1))
+            acc = np.zeros((bq, d))
+            for ki in range(s // bk):
+                s_blk = np.asarray(
+                    q[0, 0, qi * bq : (qi + 1) * bq] @ k[0, 0, ki * bk : (ki + 1) * bk].T
+                ) * (d**-0.5)
+                rows = np.arange(bq)[:, None] + qi * bq
+                cols = np.arange(bk)[None] + ki * bk
+                s_blk = np.where(cols <= rows, s_blk, -0.7 * np.finfo(np.float32).max)
+                m_curr = s_blk.max(1, keepdims=True)
+                m_next = np.maximum(m, m_curr)
+                alpha = np.exp(m - m_next)
+                p = np.exp(s_blk - m_next)
+                l_corr = alpha * l
+                l_next = l_corr + p.sum(1, keepdims=True)
+                l_inv = np.where(l_next == 0, 1.0, 1.0 / l_next)
+                acc = acc * (l_corr * l_inv) + (p @ np.asarray(v[0, 0, ki * bk : (ki + 1) * bk])) * l_inv
+                m, l = m_next, l_next
+            out[0, 0, qi * bq : (qi + 1) * bq] = acc
+        err = compute_error(ref[0, 0], jnp.asarray(out[0, 0]))
+        assert float(err) > 40.0
