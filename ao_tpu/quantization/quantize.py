@@ -23,7 +23,8 @@ from ao_tpu.quantization.configs import FqnToConfig
 from ao_tpu.quantization.qarrays.base import QuantizedArray
 
 _LINEAR_KEY_NAMES = {"kernel", "weight", "w", "wq", "wk", "wv", "wo", "w1", "w2",
-                     "w3", "gate", "up", "down", "qkv", "proj", "lm_head"}
+                     "w3", "gate", "up", "down", "qkv", "proj", "lm_head",
+                     "w_gate", "w_up", "w_down"}
 
 
 def path_to_fqn(path) -> str:
