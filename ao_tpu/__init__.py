@@ -40,6 +40,8 @@ from ao_tpu.quantization.quantize import quantize_, quantize_params
 from ao_tpu.algorithms.gptq import GPTQConfig
 from ao_tpu.algorithms.awq import AWQConfig
 from ao_tpu.algorithms.smoothquant import SmoothQuantConfig
+from ao_tpu.algorithms.sinq import SINQConfig
+from ao_tpu.algorithms.spinquant import apply_spinquant
 
 __all__ = [
     "AOBaseConfig",
@@ -70,4 +72,6 @@ __all__ = [
     "GPTQConfig",
     "AWQConfig",
     "SmoothQuantConfig",
+    "SINQConfig",
+    "apply_spinquant",
 ]

@@ -185,8 +185,14 @@ def attention(
 
 
 def mlp(layer: Dict[str, Any], x: jax.Array) -> jax.Array:
-    return linear(jax.nn.silu(linear(x, layer["w1"])) * linear(x, layer["w3"]),
-                  layer["w2"])
+    h = jax.nn.silu(linear(x, layer["w1"])) * linear(x, layer["w3"])
+    if "r4" in layer:
+        # SpinQuant R4: online Hadamard on the down_proj contraction dim;
+        # the matching Hᵀ is fused into w2 by algorithms.spinquant
+        from ao_tpu.algorithms.spinquant import hadamard_transform
+
+        h = hadamard_transform(h)
+    return linear(h, layer["w2"])
 
 
 def forward(
