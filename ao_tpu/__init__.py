@@ -42,6 +42,8 @@ from ao_tpu.algorithms.awq import AWQConfig
 from ao_tpu.algorithms.smoothquant import SmoothQuantConfig
 from ao_tpu.algorithms.sinq import SINQConfig
 from ao_tpu.algorithms.spinquant import apply_spinquant
+from ao_tpu.algorithms.codebook import CodebookWeightOnlyConfig
+from ao_tpu.integrations.gguf import GGUFWeightOnlyConfig
 
 __all__ = [
     "AOBaseConfig",
@@ -74,4 +76,6 @@ __all__ = [
     "SmoothQuantConfig",
     "SINQConfig",
     "apply_spinquant",
+    "CodebookWeightOnlyConfig",
+    "GGUFWeightOnlyConfig",
 ]

@@ -36,6 +36,7 @@ ALLOWED_AO_MODULES: Set[str] = {
     "ao_tpu.algorithms.awq",
     "ao_tpu.algorithms.smoothquant",
     "ao_tpu.algorithms.sinq",
+    "ao_tpu.integrations.gguf",
     "ao_tpu.algorithms.codebook",
     "ao_tpu.training.float8",
     "ao_tpu.prototype.mx",

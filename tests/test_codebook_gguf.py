@@ -1,0 +1,101 @@
+"""Codebook (k-means LUT) and GGUF Q4_K double-quant tests.
+
+(ref analog: test/prototype/test_codebook_quant.py, test/prototype/test_gguf.py)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ao_tpu
+from ao_tpu.algorithms.codebook import (
+    CodebookArray,
+    dequantize_codebook,
+    fit_kmeans,
+    quantize_codebook,
+)
+from ao_tpu.integrations.gguf import GGUFQuantizedArray, choose_qparams_gguf
+from ao_tpu.ops import linear
+
+sqnr = ao_tpu.compute_error
+
+
+class TestCodebook:
+    def test_kmeans_recovers_clusters(self):
+        key = jax.random.PRNGKey(0)
+        centers_true = jnp.array([-2.0, 0.0, 3.0, 7.0])
+        pts = centers_true[jax.random.randint(key, (4096,), 0, 4)]
+        pts = pts + 0.01 * jax.random.normal(jax.random.PRNGKey(1), (4096,))
+        c = fit_kmeans(pts, 4, iters=20)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(centers_true),
+                                   atol=0.05)
+
+    def test_quantize_nearest(self):
+        cb = jnp.array([-1.0, 0.0, 0.5, 2.0])
+        x = jnp.array([-0.9, 0.2, 0.3, 1.0, 5.0, -5.0])
+        codes = quantize_codebook(x, cb)
+        np.testing.assert_array_equal(
+            np.asarray(codes), [0, 1, 2, 2, 3, 0]
+        )
+        v = dequantize_codebook(codes, cb, jnp.float32)
+        assert v.shape == x.shape
+
+    def test_array_roundtrip_sqnr(self):
+        w = jax.random.normal(jax.random.PRNGKey(2), (128, 96), jnp.float32)
+        qa = CodebookArray.from_hp(w, bits=4, scale_block=32)
+        assert sqnr(w, qa.dequantize(jnp.float32)) > 16
+        # 4-bit codebook should beat... at least be close to uniform int4
+        qa8 = CodebookArray.from_hp(w, bits=8, scale_block=32)
+        assert sqnr(w, qa8.dequantize(jnp.float32)) > 30
+
+    def test_config_api_and_linear(self):
+        w = jax.random.normal(jax.random.PRNGKey(3), (64, 48), jnp.float32)
+        params = {"kernel": w}
+        qp = ao_tpu.quantize_(params, ao_tpu.CodebookWeightOnlyConfig(
+            bits=4, scale_block=16))
+        assert isinstance(qp["kernel"], CodebookArray)
+        x = jax.random.normal(jax.random.PRNGKey(4), (4, 64), jnp.float32)
+        y = jax.jit(linear)(x, qp["kernel"])
+        assert sqnr(x @ w, y) > 14
+
+    def test_serde(self):
+        c = ao_tpu.CodebookWeightOnlyConfig(bits=3)
+        assert ao_tpu.config_from_dict(ao_tpu.config_to_dict(c)) == c
+
+
+class TestGGUF:
+    def test_qparams_ranges(self):
+        w = jax.random.normal(jax.random.PRNGKey(0), (512, 64), jnp.float32)
+        q, sc, mc, d, dmin = choose_qparams_gguf(w)
+        assert q.shape == (512, 64) and q.dtype == jnp.uint8
+        assert sc.shape == (16, 64) and mc.shape == (16, 64)
+        assert d.shape == (2, 64) and dmin.shape == (2, 64)
+        assert int(jnp.max(q)) <= 15 and int(jnp.min(q)) >= 0
+        assert int(jnp.max(sc)) <= 63 and int(jnp.max(mc)) <= 63
+
+    def test_roundtrip_sqnr(self):
+        w = jax.random.normal(jax.random.PRNGKey(1), (512, 96), jnp.float32)
+        qa = GGUFQuantizedArray.from_hp(w)
+        s = sqnr(w, qa.dequantize(jnp.float32))
+        assert s > 18, float(s)
+
+    def test_memory_footprint(self):
+        """Q4_K ≈ 4.5 bits/weight: packed nibbles + 6-bit metadata."""
+        w = jnp.zeros((2048, 512), jnp.float32)
+        qa = GGUFQuantizedArray.from_hp(w)
+        bits_per_weight = qa.nbytes * 8 / w.size
+        assert bits_per_weight < 6.0, bits_per_weight
+
+    def test_config_api_and_linear(self):
+        w = jax.random.normal(jax.random.PRNGKey(2), (256, 64), jnp.float32)
+        qp = ao_tpu.quantize_({"kernel": w}, ao_tpu.GGUFWeightOnlyConfig())
+        assert isinstance(qp["kernel"], GGUFQuantizedArray)
+        x = jax.random.normal(jax.random.PRNGKey(3), (4, 256), jnp.float32)
+        y = jax.jit(linear)(x, qp["kernel"])
+        assert sqnr(x @ w, y) > 16
+
+    def test_skips_indivisible(self):
+        w = jnp.zeros((100, 64), jnp.float32)  # K not /256
+        qp = ao_tpu.quantize_({"kernel": w}, ao_tpu.GGUFWeightOnlyConfig())
+        assert qp["kernel"] is w
