@@ -44,6 +44,12 @@ from ao_tpu.algorithms.sinq import SINQConfig
 from ao_tpu.algorithms.spinquant import apply_spinquant
 from ao_tpu.algorithms.codebook import CodebookWeightOnlyConfig
 from ao_tpu.integrations.gguf import GGUFWeightOnlyConfig
+from ao_tpu.integrations.serialization import (
+    flatten_quantized_state_dict,
+    load_quantized,
+    save_quantized,
+    unflatten_quantized_state_dict,
+)
 
 __all__ = [
     "AOBaseConfig",
@@ -78,4 +84,8 @@ __all__ = [
     "apply_spinquant",
     "CodebookWeightOnlyConfig",
     "GGUFWeightOnlyConfig",
+    "flatten_quantized_state_dict",
+    "unflatten_quantized_state_dict",
+    "save_quantized",
+    "load_quantized",
 ]

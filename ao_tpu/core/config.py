@@ -37,6 +37,7 @@ ALLOWED_AO_MODULES: Set[str] = {
     "ao_tpu.algorithms.smoothquant",
     "ao_tpu.algorithms.sinq",
     "ao_tpu.integrations.gguf",
+    "ao_tpu.quantization.qarrays.common",
     "ao_tpu.algorithms.codebook",
     "ao_tpu.training.float8",
     "ao_tpu.prototype.mx",
@@ -62,12 +63,16 @@ def _encode_value(v: Any) -> Any:
         }
     if isinstance(v, jnp.dtype) or (isinstance(v, type) and issubclass(v, jnp.generic)):
         return {"_kind": "dtype", "_data": jnp.dtype(v).name}
-    try:
-        dt = jnp.dtype(v)
-        if not isinstance(v, (list, tuple, dict)):
-            return {"_kind": "dtype", "_data": dt.name}
-    except TypeError:
-        pass
+    # NB: the jnp.dtype() probe must come after the dataclass branch —
+    # np.dtype(obj) consults obj.dtype, so any dataclass with a `dtype`
+    # field would otherwise round-trip as a bare dtype
+    if not dataclasses.is_dataclass(v):
+        try:
+            dt = jnp.dtype(v)
+            if not isinstance(v, (list, tuple, dict)):
+                return {"_kind": "dtype", "_data": dt.name}
+        except TypeError:
+            pass
     if dataclasses.is_dataclass(v) and not isinstance(v, type):
         data = {
             f.name: _encode_value(getattr(v, f.name)) for f in dataclasses.fields(v)
