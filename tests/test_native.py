@@ -1,0 +1,132 @@
+"""Native host kernel tests: C++ vs pure-python parity, packing roundtrips,
+quantize-on-load numerics vs the device path.
+
+(ref analog: csrc/cpu gtest suites — bitpacking roundtrip and
+NEON-vs-fallback compatibility, test_bitpack_fallback_compatibility.cpp.)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import ao_tpu
+from ao_tpu.utils import native
+
+
+requires_native = pytest.mark.skipif(
+    not native.native_available(), reason="native lib unavailable (no g++?)"
+)
+
+
+class TestPacking:
+    @pytest.mark.parametrize("g", [2, 32, 64])
+    def test_int4_pack_roundtrip(self, g):
+        rng = np.random.default_rng(0)
+        u = rng.integers(0, 16, (128, 48), dtype=np.uint8)
+        packed = native.pack_int4_host(u, g)
+        assert packed.shape == (64, 48)
+        np.testing.assert_array_equal(native.unpack_int4_host(packed, g), u)
+
+    def test_int4_matches_jax_layout(self):
+        from ao_tpu.quantization.qarrays.int4 import pack_int4
+
+        rng = np.random.default_rng(1)
+        u = rng.integers(0, 16, (64, 32), dtype=np.uint8)
+        host = native.pack_int4_host(u, 32)
+        dev = np.asarray(pack_int4(jnp.asarray(u), 32, axis=-2))
+        np.testing.assert_array_equal(host, dev)
+
+    @pytest.mark.parametrize("bits", [1, 2, 3, 4, 5, 6, 7])
+    def test_bitstream_roundtrip(self, bits):
+        rng = np.random.default_rng(bits)
+        vals = rng.integers(0, 2 ** bits, 1000, dtype=np.uint8)
+        packed = native.pack_bits_host(vals, bits)
+        assert packed.size == (1000 * bits + 7) // 8
+        np.testing.assert_array_equal(
+            native.unpack_bits_host(packed, 1000, bits), vals
+        )
+
+    @requires_native
+    def test_native_matches_fallback(self):
+        """C++ and numpy fallbacks must agree bit-for-bit."""
+        rng = np.random.default_rng(2)
+        u = rng.integers(0, 16, (256, 64), dtype=np.uint8)
+        w = rng.standard_normal((256, 64), dtype=np.float32)
+        lib = native._LIB
+        try:
+            a1 = native.pack_int4_host(u, 64)
+            q1, s1 = native.quantize_int8_symmetric_host(w, 64)
+            p1, sc1, z1 = native.quantize_int4_tinygemm_host(w, 64)
+            b1 = native.pack_bits_host(u.reshape(-1) & 7, 3)
+            native._LIB = None
+            a2 = native.pack_int4_host(u, 64)
+            q2, s2 = native.quantize_int8_symmetric_host(w, 64)
+            p2, sc2, z2 = native.quantize_int4_tinygemm_host(w, 64)
+            b2 = native.pack_bits_host(u.reshape(-1) & 7, 3)
+        finally:
+            native._LIB = lib
+        np.testing.assert_array_equal(a1, a2)
+        np.testing.assert_array_equal(q1, q2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-6)
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_allclose(sc1, sc2, rtol=1e-6)
+        np.testing.assert_allclose(z1, z2, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(b1, b2)
+
+    def test_nf4_codes(self):
+        cb = np.sort(np.random.default_rng(3).standard_normal(16)).astype(
+            np.float32
+        )
+        w = np.random.default_rng(4).standard_normal((64, 32)).astype(np.float32)
+        codes = native.quantize_nf4_host(w, cb)
+        ref = np.argmin(np.abs(w[..., None] - cb), axis=-1)
+        np.testing.assert_array_equal(codes, ref.astype(np.uint8))
+
+
+class TestQuantizeOnLoad:
+    def test_int4_matches_device_quantize(self):
+        from ao_tpu.integrations.loader import quantize_on_load
+        from ao_tpu.ops import linear
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (128, 64), jnp.float32)
+        params = {"kernel": w}
+        cfg = ao_tpu.Int4WeightOnlyConfig(group_size=32)
+        host_q = quantize_on_load(params, cfg)
+        dev_q = ao_tpu.quantize_(params, cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 128), jnp.float32)
+        y_host = linear(x, host_q["kernel"])
+        y_dev = linear(x, dev_q["kernel"])
+        # same scheme: outputs agree tightly (not bit-identical: host f32
+        # rounding vs device)
+        assert ao_tpu.compute_error(y_dev, y_host) > 35
+
+    def test_int8_matches_device_quantize(self):
+        from ao_tpu.integrations.loader import quantize_on_load
+        from ao_tpu.ops import linear
+
+        w = jax.random.normal(jax.random.PRNGKey(2), (64, 48), jnp.float32)
+        cfg = ao_tpu.Int8WeightOnlyConfig()
+        host_q = quantize_on_load({"kernel": w}, cfg)
+        dev_q = ao_tpu.quantize_({"kernel": w}, cfg)
+        qa = np.asarray(host_q["kernel"].qdata, np.int32)
+        qb = np.asarray(dev_q["kernel"].qdata, np.int32)
+        # XLA may compute x/s as x * (1/s): round-to-nearest ties can flip
+        # by one ulp of the integer grid — allow a <0.5% off-by-one tail
+        diff = np.abs(qa - qb)
+        assert diff.max() <= 1
+        assert (diff != 0).mean() < 0.005
+        np.testing.assert_allclose(
+            np.asarray(host_q["kernel"].scale).reshape(-1),
+            np.asarray(dev_q["kernel"].scale).reshape(-1),
+            rtol=1e-6,
+        )
+
+    def test_fallback_config_delegates(self):
+        from ao_tpu.integrations.loader import quantize_on_load
+
+        w = jax.random.normal(jax.random.PRNGKey(3), (64, 48), jnp.float32)
+        out = quantize_on_load({"kernel": w}, ao_tpu.Float8WeightOnlyConfig())
+        from ao_tpu.quantization.qarrays.float8 import Float8Array
+
+        assert isinstance(out["kernel"], Float8Array)
