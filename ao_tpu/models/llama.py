@@ -34,6 +34,10 @@ class LlamaConfig:
     rope_theta: float = 500000.0
     tie_embeddings: bool = False
     dtype: Any = jnp.bfloat16
+    # attention compute dtype: "bf16" | "int8" | "float8_e4m3fn"
+    # (ref: apply_low_precision_attention prototype/attention/api.py:68)
+    sdpa: str = "bf16"
+    sdpa_rotate: bool = False  # Hadamard-rotate Q/K before quantizing
 
     @property
     def head_dim(self) -> int:
@@ -173,6 +177,16 @@ def attention(
                 return linear(out, layer["wo"]), new_cache
             except UnsupportedShape:
                 pass
+
+    if cfg.sdpa != "bf16":
+        from ao_tpu.ops.attention import quantized_sdpa
+
+        out = quantized_sdpa(
+            q, k, v, dtype=cfg.sdpa, causal=False, mask=mask,
+            sm_scale=hd ** -0.5, rotate=cfg.sdpa_rotate,
+        ).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
+        return linear(out, layer["wo"]), new_cache
 
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
     scores = scores * (hd ** -0.5)
