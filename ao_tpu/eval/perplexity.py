@@ -1,0 +1,91 @@
+"""Perplexity evaluation harness.
+
+(ref analog: the lm-eval wikitext perplexity scripts under
+benchmarks/quantization/ and the ppl-delta acceptance rows in
+docs/source/workflows/inference.md:44-51 — quantization quality is gated on
+*perplexity delta vs the bf16 baseline*, not absolute ppl. This harness
+evaluates any token stream (wikitext token ids when a corpus is available,
+the Zipf synthetic stream for hermetic CI) with the stride-window protocol
+lm-eval uses.)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def synthetic_tokens(key: jax.Array, n: int, vocab_size: int,
+                     alpha: float = 1.2) -> jax.Array:
+    """Zipf-distributed token stream with local repetition structure — a
+    hermetic stand-in corpus whose ppl *deltas* under quantization track the
+    real-text deltas (both are dominated by logit perturbation)."""
+    ranks = jnp.arange(1, vocab_size + 1, dtype=jnp.float32)
+    probs = ranks ** (-alpha)
+    probs = probs / jnp.sum(probs)
+    k1, k2, k3 = jax.random.split(key, 3)
+    base = jax.random.choice(k1, vocab_size, (n,), p=probs)
+    # inject bigram structure: with p=0.3 repeat the previous token + 1
+    rep = jax.random.bernoulli(k2, 0.3, (n,))
+    shifted = jnp.roll(base, 1) + 1
+    return jnp.where(rep, shifted % vocab_size, base).astype(jnp.int32)
+
+
+def perplexity(
+    forward_fn: Callable[[jax.Array], jax.Array],
+    tokens: jax.Array,
+    seq_len: int = 512,
+    batch_size: int = 4,
+) -> float:
+    """exp(mean NLL) over non-overlapping windows of ``tokens`` (1-D).
+
+    ``forward_fn(batch_tokens) -> logits (B, S, V)``; windows that don't
+    fill a full batch are dropped (stride = seq_len, lm-eval's
+    rolling-window protocol without overlap).
+    """
+    n_win = tokens.shape[0] // seq_len
+    windows = tokens[: n_win * seq_len].reshape(n_win, seq_len)
+    n_batches = n_win // batch_size
+
+    @jax.jit
+    def batch_nll(batch):
+        logits = forward_fn(batch)
+        logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+        tgt = batch[:, 1:]
+        nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll), nll.size
+
+    total, count = 0.0, 0
+    for i in range(n_batches):
+        s, c = batch_nll(windows[i * batch_size:(i + 1) * batch_size])
+        total += float(s)
+        count += int(c)
+    if count == 0:
+        raise ValueError("token stream too short for one batch of windows")
+    return float(np.exp(total / count))
+
+
+def ppl_delta_report(
+    params: Any,
+    forward_of: Callable[[Any], Callable[[jax.Array], jax.Array]],
+    quantize_fns: Dict[str, Callable[[Any], Any]],
+    tokens: jax.Array,
+    seq_len: int = 256,
+    batch_size: int = 2,
+) -> Dict[str, Dict[str, float]]:
+    """{name: {ppl, delta, ratio}} for each quantization against baseline.
+
+    ``forward_of(params)`` builds the per-params forward;
+    ``quantize_fns[name](params)`` produces the quantized tree.
+    (ref: the inference.md ppl table — bf16 7.33 vs int8 7.35 vs fp8 7.42…)
+    """
+    base = perplexity(forward_of(params), tokens, seq_len, batch_size)
+    out = {"baseline": {"ppl": base, "delta": 0.0, "ratio": 1.0}}
+    for name, qfn in quantize_fns.items():
+        qp = qfn(params)
+        p = perplexity(forward_of(qp), tokens, seq_len, batch_size)
+        out[name] = {"ppl": p, "delta": p - base, "ratio": p / base}
+    return out

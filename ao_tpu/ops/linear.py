@@ -95,6 +95,16 @@ def _int4_linear(x: jax.Array, w: Int4Array, b):
     x2, lead = _flatten_batch(x)
     if w.act_pre_scale is not None:
         x2 = x2 * w.act_pre_scale.astype(x2.dtype)
+    if w.act_quant is not None:
+        # fp8/int8 dynamic activation (ref: f8i4 rowwise gemm,
+        # quant_api.py:657): q/dq bounds the activation to the quantized
+        # contract; the dot still runs the fused int4 path (TPU has no
+        # mixed f8×i4 mma to target)
+        qx, sx, zx = quantize_activation(x2, w.act_quant)
+        x2 = qx.astype(jnp.float32) * sx
+        if zx is not None:
+            x2 = x2 - (zx * sx)
+        x2 = x2.astype(x.dtype)
     y = kernels.int4_wo_matmul(
         x2, w.qdata, w.scale, w.zero_point, w.group_size, w.zero_point_domain,
     )

@@ -94,6 +94,27 @@ def _int4_wo_transform(weight: jax.Array, config: Int4WeightOnlyConfig):
     raise ValueError(algo)
 
 
+@dataclasses.dataclass
+class Float8DynamicActivationInt4WeightConfig(AOBaseConfig):
+    """fp8 dynamic per-token activations × int4 groupwise weights.
+    (ref: Float8DynamicActivationInt4WeightConfig quant_api.py:657 —
+    preshuffled f8i4 rowwise gemm; on TPU the activation fp8 cast bounds the
+    act dynamic range to the serving-engine contract and the int4 weight
+    keeps the HBM win; the dot runs through the int4 kernel path.)"""
+
+    group_size: int = 128
+    version: int = 1
+
+
+@register_quantize_handler(Float8DynamicActivationInt4WeightConfig)
+def _fp8_int4_transform(weight, config: Float8DynamicActivationInt4WeightConfig):
+    return Int4Array.from_hp(
+        weight, group_size=config.group_size,
+        zero_point_domain=P.ZeroPointDomain.FLOAT,
+        act_quant=ActQuantSpec(dtype="float8_e4m3fn", granularity="per_token"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # int8
 # ---------------------------------------------------------------------------

@@ -142,6 +142,34 @@ def qarray_dataclass(cls):
     _QARRAY_REGISTRY[cls.__name__] = cls
     cls._data_field_names = data_names
     cls._meta_field_names = meta_names
+
+    # jax.export serialization support: aux data (the static meta fields)
+    # round-trips through the config codec so exported artifacts holding
+    # QuantizedArray inputs serialize (jax/_src/export/serialization.py
+    # requires explicit registration for custom pytrees)
+    try:
+        import json as _json
+
+        from jax import export as _jax_export
+
+        def _ser_aux(aux):
+            from ao_tpu.core.config import _encode_value
+
+            return _json.dumps([_encode_value(v) for v in aux]).encode()
+
+        def _deser_aux(blob):
+            from ao_tpu.core.config import _decode_value
+
+            return tuple(_decode_value(v) for v in _json.loads(bytes(blob)))
+
+        _jax_export.register_pytree_node_serialization(
+            cls,
+            serialized_name=f"ao_tpu.{cls.__name__}",
+            serialize_auxdata=_ser_aux,
+            deserialize_auxdata=_deser_aux,
+        )
+    except Exception:
+        pass  # older jax without export serde registration
     return cls
 
 
