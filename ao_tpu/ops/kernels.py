@@ -201,7 +201,10 @@ def fp8_dynamic_matmul(qx, sx, qw, sw, wbs, out_dtype=jnp.bfloat16):
         )
         y = acc * sx.reshape(-1, 1) * sw.reshape(1, -1)
         return y.astype(out_dtype)
-    if _use_pallas():
+    if _BACKEND == "pallas":
+        # explicit opt-in only: v5e has no native fp8 MXU, so the fused
+        # kernel loses to dequant+bf16-dot there (measured 82 vs 52us at
+        # m=128); on fp8-native gens (v6e+) flip AUTO to prefer it
         from ao_tpu.ops.pallas import UnsupportedShape
 
         try:

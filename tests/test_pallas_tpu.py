@@ -78,3 +78,43 @@ class TestFlashAttentionTPU:
             "bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1).astype(jnp.bfloat16), v
         )
         assert compute_error(ref, out) > 20.0
+
+
+def test_fp8_blockwise_kernel_matches_emulated():
+    """DeepSeek-style 1x128 act x 128x128 weight blockwise fp8 GEMM."""
+    from ao_tpu.quantization.qarrays.common import ActQuantSpec
+    from ao_tpu.quantization.qarrays.float8 import Float8Array
+
+    k, n = 1024, 1024
+    w = jax.random.normal(KEY, (k, n), jnp.float32) * 0.02
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, k), jnp.bfloat16)
+    qw = Float8Array.from_hp(
+        w, block_size=(128, 128),
+        act_quant=ActQuantSpec(dtype="float8_e4m3fn",
+                               granularity="per_group:128"),
+    )
+    with kernels.backend("emulated"):
+        y_ref = linear(x, qw)
+    with kernels.backend("pallas"):
+        y = linear(x, qw)
+    assert compute_error(y_ref, y) > 30.0
+
+
+def test_fp8_blockwise_kernel_direct():
+    from ao_tpu.ops.pallas.fp8_matmul import fp8_blockwise_matmul_pallas
+
+    m, k, n = 8, 512, 512
+    # clip into e4m3's finite range — overflow encodes as NaN in *fn dtypes
+    qx = jnp.clip(jax.random.normal(KEY, (m, k)) * 100, -448, 448).astype(
+        jnp.float8_e4m3fn)
+    sx = jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (m, k // 128))) + 0.5
+    qw = jnp.clip(jax.random.normal(jax.random.PRNGKey(2), (k, n)) * 100,
+                  -448, 448).astype(jnp.float8_e4m3fn)
+    sw = jnp.abs(jax.random.normal(jax.random.PRNGKey(3),
+                                   (k // 128, n // 128))) + 0.5
+    y = fp8_blockwise_matmul_pallas(qx, sx, qw, sw)
+    # emulated reference
+    xd = qx.astype(jnp.float32) * jnp.repeat(sx, 128, axis=1)
+    wd = qw.astype(jnp.float32) * jnp.repeat(
+        jnp.repeat(sw, 128, axis=0), 128, axis=1)
+    assert compute_error(xd @ wd, y.astype(jnp.float32)) > 30.0
