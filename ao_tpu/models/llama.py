@@ -137,11 +137,20 @@ def attention(
         ck, cv = kv_cache  # (B, T, kvh, hd) arrays or QuantKVCache
         from ao_tpu.serving.kvcache import QuantKVCache
 
+        per_slot = (
+            hasattr(cache_index, "ndim") and getattr(cache_index, "ndim", 0) == 1
+        )
         if isinstance(ck, QuantKVCache):
             ck = ck.update(k, cache_index)
             cv = cv.update(v, cache_index)
             k = ck.dequantize(x.dtype)
             v = cv.dequantize(x.dtype)
+        elif per_slot:
+            # continuous batching: each slot writes at its own position
+            rows = jnp.arange(b)
+            ck = ck.at[rows, cache_index].set(k[:, 0].astype(ck.dtype))
+            cv = cv.at[rows, cache_index].set(v[:, 0].astype(cv.dtype))
+            k, v = ck.astype(x.dtype), cv.astype(x.dtype)
         else:
             ck = jax.lax.dynamic_update_slice(
                 ck, k.astype(ck.dtype), (0, cache_index, 0, 0)

@@ -57,6 +57,7 @@ def generate(
         return (caches, nxt, idx + 1), nxt
 
     (_, _, _), toks = jax.lax.scan(
-        step, (caches, next_tok, jnp.int32(s)), None, length=num_steps
+        step, (caches, next_tok, jnp.int32(s)), None, length=num_steps - 1
     )
-    return toks.T  # (B, num_steps)
+    # the prefill-predicted token is the FIRST generated token
+    return jnp.concatenate([next_tok[:, None], toks.T], axis=1)  # (B, steps)

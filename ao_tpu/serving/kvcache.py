@@ -56,10 +56,17 @@ class QuantKVCache:
         return q, scale
 
     def update(self, x: jax.Array, index) -> "QuantKVCache":
-        """Write new positions at ``index`` (B, S, H, D) → new cache."""
+        """Write new positions at ``index`` (B, S, H, D) → new cache.
+        ``index`` may be a scalar (all rows at one offset) or a (B,) vector
+        (continuous batching: per-slot positions)."""
         q, s = self.quantize_values(x)
-        qdata = jax.lax.dynamic_update_slice(self.qdata, q, (0, index, 0, 0))
-        scale = jax.lax.dynamic_update_slice(self.scale, s, (0, index, 0, 0))
+        if hasattr(index, "ndim") and getattr(index, "ndim", 0) == 1:
+            rows = jnp.arange(q.shape[0])
+            qdata = self.qdata.at[rows, index].set(q[:, 0])
+            scale = self.scale.at[rows, index].set(s[:, 0])
+        else:
+            qdata = jax.lax.dynamic_update_slice(self.qdata, q, (0, index, 0, 0))
+            scale = jax.lax.dynamic_update_slice(self.scale, s, (0, index, 0, 0))
         return dataclasses.replace(self, qdata=qdata, scale=scale)
 
     def dequantize(self, out_dtype=jnp.bfloat16) -> jax.Array:
