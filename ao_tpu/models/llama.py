@@ -231,7 +231,9 @@ def forward(
     b, s = tokens.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
-    x = jnp.take(params["embed"], tokens, axis=0).astype(cfg.dtype)
+    from ao_tpu.ops.embedding import embedding as embedding_op
+
+    x = embedding_op(params["embed"], tokens, out_dtype=cfg.dtype)
     freqs = rope_freqs(cfg)
 
     if kv_caches is None:
@@ -262,7 +264,15 @@ def forward(
 
     x = rms_norm(x, params["norm"], cfg.norm_eps)
     if cfg.tie_embeddings:
-        logits = linear(x, params["embed"].T)
+        emb = params["embed"]
+        from ao_tpu.quantization.qarrays.base import QuantizedArray
+
+        if isinstance(emb, QuantizedArray):
+            # tied quantized table: dequant-transpose for the lm_head matmul
+            # (ref: QuantizedTiedEmbedding, prototype .../embedding/api.py:117)
+            logits = linear(x, emb.dequantize(cfg.dtype).T)
+        else:
+            logits = linear(x, emb.T)
     else:
         logits = linear(x, params["lm_head"])
     return logits.astype(jnp.float32), new_caches

@@ -44,10 +44,12 @@ def _int8_embedding(t: Int8Array, ids, out_dtype):
 @implements("embedding", IntxArray)
 def _intx_embedding(t: IntxArray, ids, out_dtype):
     v, d = t.shape
-    if t.packed:
-        raise NotImplementedError("packed intx embedding gather")
-    if t.scale.shape[0] != v:
-        raise ValueError("embedding tables must be quantized per-row")
+    if t.packed or t.scale.shape[0] != v:
+        # bitplane-packed or group-scaled tables: dequantize then gather
+        # (XLA fuses the dequant into the gather producer; sub-8-bit tables
+        # are small enough that the transient is acceptable — the win is
+        # checkpoint/HBM residency, ref: embedding_xbit CPU kernels)
+        return jnp.take(t.dequantize(out_dtype), ids, axis=0)
     rows = jnp.take(t.qdata, ids, axis=0).astype(jnp.float32)
     scales = jnp.take(t.scale, ids, axis=0).astype(jnp.float32)
     if t.zero_point is not None:
