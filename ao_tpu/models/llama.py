@@ -38,6 +38,10 @@ class LlamaConfig:
     # (ref: apply_low_precision_attention prototype/attention/api.py:68)
     sdpa: str = "bf16"
     sdpa_rotate: bool = False  # Hadamard-rotate Q/K before quantizing
+    # Mixture-of-Experts FFN: n_experts > 0 replaces the dense MLP with a
+    # top-k routed expert FFN (ao_tpu.moe) — the Mixtral/Llama4-style family
+    n_experts: int = 0
+    top_k_experts: int = 2
 
     @property
     def head_dim(self) -> int:
@@ -64,6 +68,23 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Dict[str, Any]:
     layers = []
     for i in range(cfg.n_layers):
         ks = jax.random.split(keys[i], 7)
+        if cfg.n_experts > 0:
+            from ao_tpu.moe.layer import MoEConfig, init_moe_params
+
+            mlp_params = init_moe_params(
+                ks[4],
+                MoEConfig(dim=d, ffn_dim=cfg.ffn_dim,
+                          n_experts=cfg.n_experts, top_k=cfg.top_k_experts),
+            )
+            mlp_params = jax.tree.map(
+                lambda x: x.astype(cfg.dtype), mlp_params
+            )
+        else:
+            mlp_params = {
+                "w1": dense(ks[4], d, cfg.ffn_dim),   # gate
+                "w3": dense(ks[5], d, cfg.ffn_dim),   # up
+                "w2": dense(ks[6], cfg.ffn_dim, d),   # down
+            }
         layers.append({
             "attn": {
                 "wq": dense(ks[0], d, cfg.n_heads * hd),
@@ -71,11 +92,7 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Dict[str, Any]:
                 "wv": dense(ks[2], d, cfg.n_kv_heads * hd),
                 "wo": dense(ks[3], cfg.n_heads * hd, d),
             },
-            "mlp": {
-                "w1": dense(ks[4], d, cfg.ffn_dim),   # gate
-                "w3": dense(ks[5], d, cfg.ffn_dim),   # up
-                "w2": dense(ks[6], cfg.ffn_dim, d),   # down
-            },
+            "mlp": mlp_params,
             "ln1": jnp.ones((d,), cfg.dtype),
             "ln2": jnp.ones((d,), cfg.dtype),
         })
@@ -207,7 +224,13 @@ def attention(
     return linear(out, layer["wo"]), new_cache
 
 
-def mlp(layer: Dict[str, Any], x: jax.Array) -> jax.Array:
+def mlp(layer: Dict[str, Any], x: jax.Array, cfg=None) -> jax.Array:
+    if "router" in layer:  # MoE FFN (Mixtral-style)
+        from ao_tpu.moe.layer import MoEConfig, moe_forward
+
+        mcfg = MoEConfig(dim=cfg.dim, ffn_dim=cfg.ffn_dim,
+                         n_experts=cfg.n_experts, top_k=cfg.top_k_experts)
+        return moe_forward(layer, x, mcfg)
     h = jax.nn.silu(linear(x, layer["w1"])) * linear(x, layer["w3"])
     if "r4" in layer:
         # SpinQuant R4: online Hadamard on the down_proj contraction dim;
@@ -258,7 +281,7 @@ def forward(
         )
         x = x + attn_out
         h = rms_norm(x, layer["ln2"], cfg.norm_eps)
-        x = x + mlp(layer["mlp"], h)
+        x = x + mlp(layer["mlp"], h, cfg)
         if new_caches is not None:
             new_caches.append(new_c)
 
