@@ -161,7 +161,12 @@ def _convert_one(obs: ObservedArray, config: GPTQConfig):
     from ao_tpu.quantization.qarrays.int8 import Int8Array
 
     w = obs.weight
-    h = obs.stats.hessian
+    if w.ndim == 3:
+        # MoE expert stack (E, K, N): per-expert Hessians, vmapped solver
+        # (ref: gptq 3-D variant prototype/gptq/api.py:600)
+        h = obs.stats.grouped_hessian
+    else:
+        h = obs.stats.hessian
     if h is None:
         raise ValueError("GPTQ convert before any calibration forward")
     base = config.base_config
@@ -172,7 +177,12 @@ def _convert_one(obs: ObservedArray, config: GPTQConfig):
         bs = max(config.block_size, g)
         if k % bs != 0 or bs % g != 0:
             bs = g
-        q, s, z = gptq_quantize(w, h, g, 15, config.percdamp, bs)
+        if w.ndim == 3:
+            q, s, z = jax.vmap(
+                lambda we, he: gptq_quantize(we, he, g, 15, config.percdamp, bs)
+            )(w, h)
+        else:
+            q, s, z = gptq_quantize(w, h, g, 15, config.percdamp, bs)
         u = q.astype(jnp.uint8)
         return Int4Array(
             qdata=pack_int4(u, g, axis=-2),
@@ -188,7 +198,12 @@ def _convert_one(obs: ObservedArray, config: GPTQConfig):
     if isinstance(base, Int8WeightOnlyConfig):
         # per-channel int8: one group spanning all of K (single block so the
         # group-boundary freeze happens exactly once)
-        q, s, z = gptq_quantize(w, h, k, 255, config.percdamp, k)
+        if w.ndim == 3:
+            q, s, z = jax.vmap(
+                lambda we, he: gptq_quantize(we, he, k, 255, config.percdamp, k)
+            )(w, h)
+        else:
+            q, s, z = gptq_quantize(w, h, k, 255, config.percdamp, k)
         qi = (q - 128.0).astype(jnp.int8)
         # dq = q*s + z = (qi+128)*s + z → affine with zp: (qi - zp)*s,
         # zp = -(z/s) - 128
@@ -200,7 +215,7 @@ def _convert_one(obs: ObservedArray, config: GPTQConfig):
             act_scale=None,
             act_zero_point=None,
             act_pre_scale=None,
-            block_size=(k, 1),
+            block_size=(1,) * (w.ndim - 2) + (k, 1),
             act_quant=None,
             _shape=tuple(w.shape),
             _dequant_dtype="bfloat16",

@@ -75,6 +75,37 @@ class StatsAccumulator:
             raise ValueError(self.kind)
         self.n += m
 
+    def update_grouped(self, x_sorted: jax.Array, group_sizes: jax.Array,
+                       n_experts: int) -> None:
+        """Per-expert Hessian accumulation for MoE weights (ref:
+        observer.py:67-120 ``update_3d_with_offs`` — grouped xᵀx). x_sorted
+        (T, K) is expert-sorted; stores Σ 2 x_eᵀ x_e (E, K, K) + counts."""
+        if self.kind != "gptq":
+            raise ValueError("grouped observation only implemented for gptq")
+        xf = x_sorted.astype(jnp.float32)
+        dims = jax.lax.RaggedDotDimensionNumbers(
+            dot_dimension_numbers=(((0,), (0,)), ((), ())),
+            lhs_ragged_dimensions=[0],
+            rhs_group_dimensions=[],
+        )
+        h = 2.0 * jax.lax.ragged_dot_general(
+            xf, xf, group_sizes, dims, preferred_element_type=jnp.float32
+        )  # (E, K, K)
+        if getattr(self, "hess_sum", None) is None:
+            self.hess_sum = h
+            self.h_count = group_sizes.astype(jnp.float32)
+        else:
+            self.hess_sum = self.hess_sum + h
+            self.h_count = self.h_count + group_sizes.astype(jnp.float32)
+
+    @property
+    def grouped_hessian(self) -> jax.Array:
+        """(E, K, K) mean Hessians."""
+        if getattr(self, "hess_sum", None) is None:
+            raise ValueError("no grouped gptq statistics collected")
+        cnt = jnp.maximum(self.h_count, 1.0)
+        return self.hess_sum / cnt[:, None, None]
+
     # identity hash/eq so pytrees treat two accumulators as distinct aux
     def __hash__(self):
         return id(self)
@@ -103,6 +134,20 @@ class ObservedArray(QuantizedArray):
 
     def dequantize(self, output_dtype=None):
         return self.weight.astype(output_dtype or self.weight.dtype)
+
+
+@implements("grouped_matmul", ObservedArray)
+def _observed_grouped(x, w: ObservedArray, group_sizes, out_dtype):
+    if isinstance(x, jax.core.Tracer):
+        raise RuntimeError(
+            "calibration forwards must run eagerly (outside jit)"
+        )
+    w.stats.update_grouped(x, group_sizes, w.weight.shape[0])
+    y = jax.lax.ragged_dot(
+        x, w.weight.astype(x.dtype), group_sizes,
+        preferred_element_type=jnp.float32,
+    )
+    return y.astype(out_dtype or x.dtype)
 
 
 @implements("linear", ObservedArray)

@@ -253,3 +253,39 @@ class TestExpertParallelA2A:
 
         y2 = disp(disp(xs))
         assert sqnr(x, np.asarray(y2)) > 22
+
+
+class TestGPTQMoE:
+    def test_gptq_3d_expert_quantization(self):
+        """observe MoE expert weights through grouped forwards → convert
+        yields per-expert GPTQ int4 that beats plain RTN on skewed data.
+        (ref: gptq 3-D variant prototype/gptq/api.py:600)"""
+        e, k, n, t = 4, 64, 48, 512
+        key = jax.random.PRNGKey(0)
+        w = jax.random.normal(key, (e, k, n), jnp.float32) * 0.1
+        params = {"w_gate": w}
+
+        cfg4 = ao_tpu.Int4WeightOnlyConfig(group_size=32)
+        obs = ao_tpu.quantize_(
+            params, ao_tpu.GPTQConfig(base_config=cfg4, step="observe")
+        )
+        # calibration: correlated activations (GPTQ's advantage case)
+        base = jax.random.normal(jax.random.PRNGKey(1), (t, k))
+        mix = jax.random.normal(jax.random.PRNGKey(2), (k, k)) * 0.2
+        x = base + base @ mix
+        gs = jnp.full((e,), t // e, jnp.int32)
+        _ = grouped_matmul(x, obs["w_gate"], gs)  # eager, accumulates H
+
+        conv = ao_tpu.quantize_(
+            obs, ao_tpu.GPTQConfig(base_config=cfg4, step="convert")
+        )
+        qw = conv["w_gate"]
+        assert isinstance(qw, Int4Array) and qw.shape == (e, k, n)
+
+        y_ref = _ref_grouped(x, w, gs)
+        y_gptq = grouped_matmul(x, qw, gs)
+        rtn = Int4Array.from_hp(w, group_size=32)
+        y_rtn = grouped_matmul(x, rtn, gs)
+        s_gptq = sqnr(y_ref, y_gptq)
+        s_rtn = sqnr(y_ref, y_rtn)
+        assert s_gptq > s_rtn, (float(s_rtn), float(s_gptq))
