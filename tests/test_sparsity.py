@@ -96,7 +96,12 @@ class TestBlockSparse:
     def test_keep_fraction(self):
         w = weights(128, 128)
         bs = BlockSparseArray.from_hp(w, 64, keep_fraction=0.5)
-        assert bs.nnz_blocks == 2
+        # 2 kept blocks (+ zero padding blocks for empty col-strips, a
+        # kernel invariant) — the dense image must have exactly 2 live blocks
+        dq = np.asarray(bs.dequantize(jnp.float32))
+        blocks = dq.reshape(2, 64, 2, 64).transpose(0, 2, 1, 3)
+        live = (np.abs(blocks).sum(axis=(2, 3)) > 0).sum()
+        assert live == 2 and 2 <= bs.nnz_blocks <= 4
         y = linear(jax.random.normal(KEY, (4, 128), jnp.bfloat16), bs)
         assert y.shape == (4, 128)
 
