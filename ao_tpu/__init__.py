@@ -41,6 +41,7 @@ from ao_tpu.algorithms.gptq import GPTQConfig
 from ao_tpu.algorithms.awq import AWQConfig
 from ao_tpu.algorithms.smoothquant import SmoothQuantConfig
 from ao_tpu.algorithms.sinq import SINQConfig
+from ao_tpu.algorithms.static_quant import StaticQuantConfig
 from ao_tpu.algorithms.spinquant import apply_spinquant
 from ao_tpu.algorithms.codebook import CodebookWeightOnlyConfig
 from ao_tpu.integrations.gguf import GGUFWeightOnlyConfig
@@ -81,6 +82,7 @@ __all__ = [
     "AWQConfig",
     "SmoothQuantConfig",
     "SINQConfig",
+    "StaticQuantConfig",
     "apply_spinquant",
     "CodebookWeightOnlyConfig",
     "GGUFWeightOnlyConfig",

@@ -71,6 +71,8 @@ class StatsAccumulator:
         elif self.kind == "static":
             mx = jnp.max(jnp.abs(xf))
             self.amax = mx if self.amax is None else jnp.maximum(self.amax, mx)
+            if self.sample is None:  # kept for the MSE observer
+                self.sample = x2d[: min(256, m)]
         else:
             raise ValueError(self.kind)
         self.n += m

@@ -36,6 +36,7 @@ ALLOWED_AO_MODULES: Set[str] = {
     "ao_tpu.algorithms.awq",
     "ao_tpu.algorithms.smoothquant",
     "ao_tpu.algorithms.sinq",
+    "ao_tpu.algorithms.static_quant",
     "ao_tpu.integrations.gguf",
     "ao_tpu.quantization.qarrays.common",
     "ao_tpu.algorithms.codebook",

@@ -121,7 +121,16 @@ def _float8_linear(x: jax.Array, w: Float8Array, b):
     x2, lead = _flatten_batch(x)
     if w.act_pre_scale is not None:
         x2 = x2 * w.act_pre_scale.astype(x2.dtype)
-    if w.act_quant is None:
+    if w.act_scale is not None:
+        # static (calibrated) per-tensor activation scale
+        sx = w.act_scale.reshape(1, 1).astype(jnp.float32)
+        qx = jnp.clip(
+            x2.astype(jnp.float32) / sx, -448.0, 448.0
+        ).astype(w.qdata.dtype)
+        y = kernels.fp8_dynamic_matmul(
+            qx, sx, w.qdata, w.scale, w.block_size, out_dtype=x.dtype
+        )
+    elif w.act_quant is None:
         y = kernels.fp8_wo_matmul(x2, w.qdata, w.scale, w.block_size)
     else:
         qx, sx, _ = quantize_activation(x2, w.act_quant)
