@@ -1,0 +1,67 @@
+"""End-to-end decode throughput across quantization configs.
+
+``python benchmarks/decode_suite.py`` on a real TPU. Prints one JSON line
+per config: tokens/s and speedup over bf16 — the multi-config version of
+the headline ``bench.py`` (which stays int4-WO only for the driver).
+
+(ref analog: the README/gpt-fast benchmark table — int4 1.89x, fp8 1.5x…)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+import ao_tpu
+from ao_tpu.models import llama
+from ao_tpu.serving.decode import generate
+from ao_tpu.utils.timing import device_time_us
+
+
+def main():
+    cfg = llama.LlamaConfig(
+        vocab_size=128256, dim=4096, n_layers=8, n_heads=32, n_kv_heads=8,
+        ffn_dim=14336, tie_embeddings=False,
+    )
+    batch, prompt_len, steps, max_seq = 8, 128, 32, 256
+    key = jax.random.PRNGKey(0)
+    params = llama.init_params(key, cfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    prompt = jax.random.randint(key, (batch, prompt_len), 0, cfg.vocab_size)
+
+    def bench(p, kv_quant=None):
+        def mutate(args, i):
+            return (args[0], (args[1] + i + 1) % cfg.vocab_size) + args[2:]
+
+        us = device_time_us(
+            lambda p_, pr: generate(p_, pr, cfg, steps, max_seq,
+                                    kv_quant=kv_quant),
+            p, prompt, iters=3, mutate=mutate,
+        )
+        return batch * steps / (us / 1e6)
+
+    base = bench(params)
+    print(json.dumps({"config": "bf16", "tok_s": round(base, 1),
+                      "speedup": 1.0}))
+
+    suites = [
+        ("int4_wo_g128", ao_tpu.Int4WeightOnlyConfig(group_size=128), None),
+        ("int8_wo", ao_tpu.Int8WeightOnlyConfig(), None),
+        ("fp8_dyn", ao_tpu.Float8DynamicActivationFloat8WeightConfig(), None),
+        ("int4_wo+int8kv", ao_tpu.Int4WeightOnlyConfig(group_size=128),
+         "int8"),
+    ]
+    for name, qcfg, kv in suites:
+        qp = ao_tpu.quantize_(params, qcfg)
+        tok_s = bench(qp, kv_quant=kv)
+        print(json.dumps({"config": name, "tok_s": round(tok_s, 1),
+                          "speedup": round(tok_s / base, 3)}))
+
+
+if __name__ == "__main__":
+    main()
