@@ -157,7 +157,52 @@ def attention(
         per_slot = (
             hasattr(cache_index, "ndim") and getattr(cache_index, "ndim", 0) == 1
         )
-        if isinstance(ck, QuantKVCache):
+
+        if s == 1 and cfg.sdpa == "bf16" and hd % 128 == 0:
+            # single-token decode: Pallas flash-decoding kernel reading the
+            # cache in place — int8/fp8 caches stream as 8-bit bytes, the
+            # per-vector scales fold into scores/probs in-kernel
+            from ao_tpu.ops import kernels as _kernels
+
+            if _kernels.on_tpu():
+                from ao_tpu.ops.pallas import UnsupportedShape
+                from ao_tpu.ops.pallas.decode_attention import decode_attention
+
+                if isinstance(ck, QuantKVCache):
+                    ck = ck.update(k, cache_index)
+                    cv = cv.update(v, cache_index)
+                    kd, ks_, vd, vs_ = ck.qdata, ck.scale, cv.qdata, cv.scale
+                elif per_slot:
+                    rows = jnp.arange(b)
+                    ck = ck.at[rows, cache_index].set(k[:, 0].astype(ck.dtype))
+                    cv = cv.at[rows, cache_index].set(v[:, 0].astype(cv.dtype))
+                    kd, ks_, vd, vs_ = ck, None, cv, None
+                else:
+                    ck = jax.lax.dynamic_update_slice(
+                        ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+                    cv = jax.lax.dynamic_update_slice(
+                        cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+                    kd, ks_, vd, vs_ = ck, None, cv, None
+                try:
+                    lengths = positions[:, 0] + 1
+                    out = decode_attention(
+                        q[:, 0], kd, vd, lengths, k_scale=ks_, v_scale=vs_,
+                        sm_scale=hd ** -0.5,
+                    )
+                    out = out.astype(x.dtype).reshape(b, 1, h * hd)
+                    return linear(out, layer["wo"]), (ck, cv)
+                except UnsupportedShape:
+                    # cache already updated; fall through to the XLA path
+                    if isinstance(ck, QuantKVCache):
+                        k = ck.dequantize(x.dtype)
+                        v = cv.dequantize(x.dtype)
+                    else:
+                        k, v = ck.astype(x.dtype), cv.astype(x.dtype)
+                    new_cache = (ck, cv)
+
+        if new_cache is not None:
+            pass  # decode fallback above already materialized k/v
+        elif isinstance(ck, QuantKVCache):
             ck = ck.update(k, cache_index)
             cv = cv.update(v, cache_index)
             k = ck.dequantize(x.dtype)
