@@ -60,7 +60,9 @@ def main():
         qp = ao_tpu.quantize_(params, qcfg)
         tok_s = bench(qp, kv_quant=kv)
         print(json.dumps({"config": name, "tok_s": round(tok_s, 1),
-                          "speedup": round(tok_s / base, 3)}))
+                          "speedup": round(tok_s / base, 3)}), flush=True)
+        del qp  # free HBM before the next config
+        jax.clear_caches()
 
 
 if __name__ == "__main__":

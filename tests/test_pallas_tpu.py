@@ -145,3 +145,37 @@ def test_bsr_kernel_batch_one():
     with kernels.backend("pallas"):
         y = linear(x, qw)
     assert compute_error(ref, y.astype(jnp.float32)) > 30
+
+
+def test_decode_attention_kernel_parity():
+    """Flash-decoding kernel vs XLA SDPA reference, bf16 and int8 caches."""
+    from ao_tpu.ops.pallas.decode_attention import decode_attention
+
+    b, h, hkv, d, t = 4, 8, 2, 128, 512
+    q = jax.random.normal(KEY, (b, h, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, t, hkv, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, t, hkv, d), jnp.float32)
+    lengths = jnp.array([512, 200, 128, 1], jnp.int32)
+
+    def ref(q, k, v):
+        g = h // hkv
+        kk = jnp.repeat(k, g, axis=2).transpose(0, 2, 1, 3)
+        vv = jnp.repeat(v, g, axis=2).transpose(0, 2, 1, 3)
+        s = jnp.einsum("bhd,bhtd->bht", q, kk) * d ** -0.5
+        mask = jnp.arange(t)[None, None, :] < lengths[:, None, None]
+        p = jax.nn.softmax(jnp.where(mask, s, -1e30), -1)
+        return jnp.einsum("bht,bhtd->bhd", p, vv)
+
+    y = decode_attention(q, k, v, lengths, block_t=128)
+    assert compute_error(ref(q, k, v), y) > 40
+
+    amax = jnp.max(jnp.abs(k), -1, keepdims=True)
+    ks = jnp.maximum(amax, 1e-8) / 127.0
+    kq = jnp.clip(jnp.round(k / ks), -127, 127).astype(jnp.int8)
+    amax = jnp.max(jnp.abs(v), -1, keepdims=True)
+    vs = jnp.maximum(amax, 1e-8) / 127.0
+    vq = jnp.clip(jnp.round(v / vs), -127, 127).astype(jnp.int8)
+    yq = decode_attention(q, kq, vq, lengths, k_scale=ks, v_scale=vs,
+                          block_t=128)
+    rq = ref(q, kq.astype(jnp.float32) * ks, vq.astype(jnp.float32) * vs)
+    assert compute_error(rq, yq) > 40
