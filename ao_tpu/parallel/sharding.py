@@ -39,6 +39,41 @@ def make_mesh(
     return Mesh(arr, tuple(axis_names))
 
 
+def make_hybrid_mesh(
+    ici_shape: Sequence[int],
+    dcn_shape: Sequence[int] = (1,),
+    ici_axes: Sequence[str] = ("tp",),
+    dcn_axes: Sequence[str] = ("dp",),
+) -> Mesh:
+    """Multi-slice mesh: outer axes ride DCN (between hosts/slices), inner
+    axes ride ICI. Lay shardings so high-volume collectives (tp all-gather,
+    ep all-to-all) stay on inner ICI axes and only gradient/dp reductions
+    cross DCN (SURVEY §5 comm-backend note; scaling-book recipe).
+
+    Uses `mesh_utils.create_hybrid_device_mesh` when >1 slice is present,
+    plain `create_device_mesh` otherwise.
+    """
+    from jax.experimental import mesh_utils
+
+    n_dcn = int(np.prod(dcn_shape))
+    if n_dcn > 1:
+        try:
+            arr = mesh_utils.create_hybrid_device_mesh(
+                tuple(ici_shape), tuple(dcn_shape)
+            )
+        except ValueError:
+            # no slice topology metadata (CPU / single-slice emulation):
+            # plain reshape keeps the axis semantics for testing
+            arr = np.asarray(
+                jax.devices()[: n_dcn * int(np.prod(ici_shape))]
+            ).reshape(tuple(dcn_shape) + tuple(ici_shape))
+    else:
+        arr = mesh_utils.create_device_mesh(
+            tuple(dcn_shape) + tuple(ici_shape)
+        )
+    return Mesh(arr, tuple(dcn_axes) + tuple(ici_axes))
+
+
 # Column-parallel (shard output dim N) vs row-parallel (shard input dim K)
 _COL_PARALLEL = {"wq", "wk", "wv", "w1", "w3", "up", "gate", "qkv"}
 _ROW_PARALLEL = {"wo", "w2", "down", "proj"}
