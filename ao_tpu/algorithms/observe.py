@@ -144,7 +144,12 @@ def _observed_grouped(x, w: ObservedArray, group_sizes, out_dtype):
         raise RuntimeError(
             "calibration forwards must run eagerly (outside jit)"
         )
-    w.stats.update_grouped(x, group_sizes, w.weight.shape[0])
+    if w.stats.kind == "gptq":
+        w.stats.update_grouped(x, group_sizes, w.weight.shape[0])
+    else:
+        # awq/smoothquant/wanda/static stats are per-input-channel and
+        # expert-agnostic — the plain update applies
+        w.stats.update(x)
     y = jax.lax.ragged_dot(
         x, w.weight.astype(x.dtype), group_sizes,
         preferred_element_type=jnp.float32,

@@ -30,12 +30,14 @@ class SmoothQuantConfig(AOBaseConfig):
 
 
 def _convert(obs: ObservedArray, config: SmoothQuantConfig):
-    w = obs.weight.astype(jnp.float32)  # (K, N)
+    w = obs.weight.astype(jnp.float32)  # (K, N) or (E, K, N) experts
     act_max = obs.stats.abs_max
     if act_max is None:
         raise ValueError("SmoothQuant convert before any calibration forward")
     act_max = jnp.maximum(act_max.astype(jnp.float32), 1e-6)  # (K,)
-    w_max = jnp.maximum(jnp.max(jnp.abs(w), axis=1), 1e-6)  # (K,)
+    # per-K-channel weight max over output (and expert) axes
+    red = tuple(i for i in range(w.ndim) if i != w.ndim - 2)
+    w_max = jnp.maximum(jnp.max(jnp.abs(w), axis=red), 1e-6)  # (K,)
 
     a = config.alpha
     # s scales the *activations down* and the weights up:
