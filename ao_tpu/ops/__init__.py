@@ -1,5 +1,11 @@
 from ao_tpu.ops.linear import linear
 from ao_tpu.ops.act_quant import quantize_activation
+from ao_tpu.ops.attention import quantized_sdpa, sdpa_reference
+from ao_tpu.ops.conv import conv2d, conv3d
+from ao_tpu.ops.embedding import embedding
 from ao_tpu.ops import kernels
 
-__all__ = ["linear", "quantize_activation", "kernels"]
+__all__ = [
+    "linear", "quantize_activation", "kernels", "embedding",
+    "quantized_sdpa", "sdpa_reference", "conv2d", "conv3d",
+]

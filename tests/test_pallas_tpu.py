@@ -179,3 +179,38 @@ def test_decode_attention_kernel_parity():
                           block_t=128)
     rq = ref(q, kq.astype(jnp.float32) * ks, vq.astype(jnp.float32) * vs)
     assert compute_error(rq, yq) > 40
+
+
+def test_paged_attention_kernel_parity():
+    """DMA-gather paged attention vs the XLA reference, bf16 + int8 pools."""
+    import numpy as np
+
+    from ao_tpu.ops.pallas.paged_attention import paged_decode_attention
+    from ao_tpu.serving.paged import (
+        PageAllocator, PagedKVPool, paged_decode_attention_reference,
+    )
+
+    b, h, hkv, d = 4, 8, 2, 128
+    ps, n_pages, max_pages = 128, 24, 4
+    for dtype_name, bound in (("bf16", 45), ("int8", 45)):
+        kp = PagedKVPool.create(n_pages, ps, hkv, d, dtype_name)
+        vp = PagedKVPool.create(n_pages, ps, hkv, d, dtype_name)
+        alloc = PageAllocator(n_pages)
+        lens = [400, 130, 256, 1]
+        table = np.zeros((b, max_pages), np.int32)
+        ks = jax.random.normal(KEY, (b, max_pages * ps, hkv, d), jnp.float32)
+        vs = jax.random.normal(jax.random.PRNGKey(1),
+                               (b, max_pages * ps, hkv, d), jnp.float32)
+        for bi, ln in enumerate(lens):
+            npg = -(-ln // ps)
+            ids = [alloc.alloc() for _ in range(npg)]
+            table[bi, :npg] = ids
+            kp = kp.write_prompt(ks[bi, :npg * ps], jnp.asarray(ids, jnp.int32))
+            vp = vp.write_prompt(vs[bi, :npg * ps], jnp.asarray(ids, jnp.int32))
+        table = jnp.asarray(table)
+        lengths = jnp.asarray(lens, jnp.int32)
+        q = jax.random.normal(jax.random.PRNGKey(2), (b, h, d), jnp.float32)
+        ref = paged_decode_attention_reference(q, kp, vp, table, lengths)
+        y = paged_decode_attention(q, kp, vp, table, lengths,
+                                   pages_per_chunk=2)
+        assert compute_error(ref, y) > bound, dtype_name
