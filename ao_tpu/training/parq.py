@@ -110,3 +110,22 @@ def parq_optimizer(
         )
 
     return optax.GradientTransformation(init, update)
+
+
+def paretoq_optimizer(
+    inner: optax.GradientTransformation,
+    bits: int,
+    total_steps: int,
+    ramp_fraction: float = 0.8,
+) -> optax.GradientTransformation:
+    """ParetoQ-style extreme-low-bit QAT recipe (ref: prototype/paretoq —
+    1-4-bit training built on the PARQ machinery): linear λ ramp over the
+    first ``ramp_fraction`` of training, ternary grid at "1.58 bits"
+    (bits=2 uses the ternary grid, as the paper's best sub-2-bit recipe),
+    symmetric integer grid at 3-4 bits."""
+    if bits <= 2:
+        fq = make_fake_quant_ternary()
+    else:
+        fq = make_fake_quant_int(bits)
+    sched = optax.linear_schedule(0.0, 1.0, int(total_steps * ramp_fraction))
+    return parq_optimizer(inner, sched, quant_fn=fq)

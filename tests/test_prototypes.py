@@ -198,3 +198,30 @@ class TestPARQ:
         t = make_fake_quant_ternary()(w)
         vals = np.unique(np.round(np.asarray(t), 6))
         assert len(vals) <= 3
+
+
+class TestParetoQ:
+    def test_ternary_recipe_lands_on_ternary_grid(self):
+        from ao_tpu.training.parq import paretoq_optimizer
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (128, 16))
+        w_true = jax.random.normal(jax.random.PRNGKey(1), (16, 4))
+        y = x @ w_true
+        params = {"w": jnp.zeros((16, 4))}
+        opt = paretoq_optimizer(optax.adam(2e-2), bits=2, total_steps=100)
+        st = opt.init(params)
+
+        def loss(p):
+            return jnp.mean((x @ p["w"] - y) ** 2)
+
+        @jax.jit
+        def step(p, st):
+            g = jax.grad(loss)(p)
+            u, st = opt.update(g, st, p)
+            return optax.apply_updates(p, u), st
+
+        for _ in range(120):
+            params, st = step(params, st)
+        w = np.asarray(params["w"])
+        vals = np.unique(np.round(w, 5))
+        assert len(vals) <= 3, vals  # ternary grid
