@@ -153,6 +153,22 @@ def attention(
     if kv_cache is not None:
         ck, cv = kv_cache  # (B, T, kvh, hd) arrays or QuantKVCache
         from ao_tpu.serving.kvcache import QuantKVCache
+        from ao_tpu.serving.paged import PagedKVPool
+
+        if isinstance(ck, PagedKVPool):
+            # paged decode (s == 1): cache_index = (block_table, lengths)
+            from ao_tpu.serving.paged import paged_attention
+
+            assert s == 1, "paged caches support single-token decode steps"
+            block_table, lengths = cache_index
+            ck = ck.append_token(k[:, 0], block_table, lengths)
+            cv = cv.append_token(v[:, 0], block_table, lengths)
+            out = paged_attention(
+                q[:, 0], ck, cv, block_table, lengths + 1,
+                sm_scale=hd ** -0.5,
+            )
+            out = out.astype(x.dtype).reshape(b, 1, h * hd)
+            return linear(out, layer["wo"]), (ck, cv)
 
         per_slot = (
             hasattr(cache_index, "ndim") and getattr(cache_index, "ndim", 0) == 1
@@ -311,9 +327,14 @@ def forward(
     else:
         # decode: attend over cache positions <= current
         c0 = kv_caches[0][0]
-        t = (c0.qdata if hasattr(c0, "qdata") else c0).shape[1]
-        key_pos = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
-        mask = key_pos <= positions[:, None, :, None]
+        from ao_tpu.serving.paged import PagedKVPool
+
+        if isinstance(c0, PagedKVPool):
+            mask = None  # paged attention masks by per-sequence length
+        else:
+            t = (c0.qdata if hasattr(c0, "qdata") else c0).shape[1]
+            key_pos = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
+            mask = key_pos <= positions[:, None, :, None]
         new_caches = []
 
     for i, layer in enumerate(params["layers"]):

@@ -29,6 +29,11 @@ class ServeConfig:
     kv_quant: Optional[str] = None  # None | "int8" | "float8_e4m3fn"
     eos_id: int = -1  # -1: never stop on a token
     prefill_buckets: Tuple[int, ...] = (128, 512, 2048)
+    # KV memory layout: "slots" (per-slot contiguous max_seq caches) or
+    # "paged" (page pool + block tables — HBM grows with tokens cached)
+    kv_layout: str = "slots"
+    page_size: int = 128
+    num_pages: Optional[int] = None  # default: max_batch*max_seq/page_size+1
 
 
 @dataclasses.dataclass
@@ -50,7 +55,32 @@ class Engine:
         self.model_cfg = model_cfg
         self.cfg = cfg
         b, t = cfg.max_batch, cfg.max_seq
-        if cfg.kv_quant:
+        self.paged = cfg.kv_layout == "paged"
+        if self.paged:
+            import numpy as _np
+
+            from ao_tpu.serving.paged import PageAllocator, PagedKVPool
+
+            ps = cfg.page_size
+            if t % ps or any(pb % ps for pb in cfg.prefill_buckets):
+                raise ValueError("max_seq and prefill buckets must be "
+                                 f"multiples of page_size={ps}")
+            n_pages = cfg.num_pages or (b * t // ps + 1)
+            dt = cfg.kv_quant or "bf16"
+            self.caches = [
+                (
+                    PagedKVPool.create(n_pages, ps, model_cfg.n_kv_heads,
+                                       model_cfg.head_dim, dt),
+                    PagedKVPool.create(n_pages, ps, model_cfg.n_kv_heads,
+                                       model_cfg.head_dim, dt),
+                )
+                for _ in range(model_cfg.n_layers)
+            ]
+            self.allocator = PageAllocator(n_pages)
+            self._table_host = _np.zeros((b, t // ps), _np.int32)
+            self.block_table = jnp.asarray(self._table_host)
+            self._slot_pages: List[List[int]] = [[] for _ in range(b)]
+        elif cfg.kv_quant:
             self.caches = init_quant_kv_caches(model_cfg, b, t, cfg.kv_quant)
         else:
             self.caches = llama.init_kv_caches(model_cfg, b, t)
@@ -62,10 +92,18 @@ class Engine:
         self._queue: List[Request] = []
         self._finished: List[Request] = []
 
-        self._prefill = jax.jit(
-            self._prefill_impl, static_argnames=("plen",), donate_argnums=(0,)
-        )
-        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        if self.paged:
+            self._prefill = jax.jit(
+                self._prefill_paged_impl, static_argnames=("plen",),
+                donate_argnums=(0,),
+            )
+            self._step = jax.jit(self._step_paged_impl, donate_argnums=(0,))
+        else:
+            self._prefill = jax.jit(
+                self._prefill_impl, static_argnames=("plen",),
+                donate_argnums=(0,),
+            )
+            self._step = jax.jit(self._step_impl, donate_argnums=(0,))
 
     # -- jitted programs ----------------------------------------------------
 
@@ -94,6 +132,35 @@ class Engine:
         caches = jax.tree_util.tree_map(insert, caches, scratch)
         next_tok = jnp.argmax(logits[0, true_len - 1], axis=-1).astype(jnp.int32)
         return caches, next_tok
+
+    def _prefill_paged_impl(self, caches, prompt, page_ids, true_len, *, plen):
+        """Prefill via a scratch contiguous cache, then bulk-write the rows
+        into this request's pages (quantization happens in write_prompt)."""
+        mcfg = self.model_cfg
+        scratch = llama.init_kv_caches(mcfg, 1, plen)
+        positions = jnp.arange(plen, dtype=jnp.int32)[None]
+        logits, scratch = llama.forward(
+            self.params, prompt, mcfg, positions=positions,
+            kv_caches=scratch, cache_index=0,
+        )
+        new_caches = []
+        for (kp, vp), (sk, sv) in zip(caches, scratch):
+            new_caches.append((
+                kp.write_prompt(sk[0], page_ids),
+                vp.write_prompt(sv[0], page_ids),
+            ))
+        next_tok = jnp.argmax(logits[0, true_len - 1], axis=-1).astype(jnp.int32)
+        return new_caches, next_tok
+
+    def _step_paged_impl(self, caches, cur_tok, positions, active,
+                         block_table):
+        mcfg = self.model_cfg
+        logits, new_caches = llama.forward(
+            self.params, cur_tok[:, None], mcfg, positions=positions[:, None],
+            kv_caches=caches, cache_index=(block_table, positions),
+        )
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        return new_caches, jnp.where(active, nxt, cur_tok)
 
     def _step_impl(self, caches, cur_tok, positions, active):
         """One decode step for all slots; returns (caches, next_tok)."""
@@ -133,10 +200,23 @@ class Engine:
             prompt = jnp.asarray(
                 req.prompt + [0] * (plen - len(req.prompt)), jnp.int32
             )[None]
-            self.caches, tok = self._prefill(
-                self.caches, prompt, jnp.int32(slot),
-                jnp.int32(len(req.prompt)), plen=plen,
-            )
+            if self.paged:
+                ps = self.cfg.page_size
+                n_pg = plen // ps
+                ids = [self.allocator.alloc() for _ in range(n_pg)]
+                self._slot_pages[slot] = ids
+                self._table_host[slot, :] = 0
+                self._table_host[slot, :n_pg] = ids
+                self.block_table = jnp.asarray(self._table_host)
+                self.caches, tok = self._prefill(
+                    self.caches, prompt, jnp.asarray(ids, jnp.int32),
+                    jnp.int32(len(req.prompt)), plen=plen,
+                )
+            else:
+                self.caches, tok = self._prefill(
+                    self.caches, prompt, jnp.int32(slot),
+                    jnp.int32(len(req.prompt)), plen=plen,
+                )
             req.generated.append(int(tok))
             self.cur_tok = self.cur_tok.at[slot].set(tok)
             self.positions = self.positions.at[slot].set(len(req.prompt))
@@ -152,15 +232,39 @@ class Engine:
             self.active = self.active.at[req.slot].set(False)
             self._slots[req.slot] = None
             self._finished.append(req)
+            if self.paged:
+                self.allocator.release(self._slot_pages[req.slot])
+                self._slot_pages[req.slot] = []
 
     def step(self) -> None:
         """Admit queued requests into free slots, then advance one token."""
         self._admit()
         if not bool(jnp.any(self.active)):
             return
-        self.caches, nxt = self._step(
-            self.caches, self.cur_tok, self.positions, self.active
-        )
+        if self.paged:
+            # page growth: the token written this step lands at positions[s];
+            # allocate a fresh page when it opens a new page
+            ps = self.cfg.page_size
+            dirty = False
+            for slot, req in enumerate(self._slots):
+                if req is None:
+                    continue
+                pos = int(self.positions[slot])
+                if pos % ps == 0 and pos // ps >= len(self._slot_pages[slot]):
+                    pid = self.allocator.alloc()
+                    self._slot_pages[slot].append(pid)
+                    self._table_host[slot, pos // ps] = pid
+                    dirty = True
+            if dirty:
+                self.block_table = jnp.asarray(self._table_host)
+            self.caches, nxt = self._step(
+                self.caches, self.cur_tok, self.positions, self.active,
+                self.block_table,
+            )
+        else:
+            self.caches, nxt = self._step(
+                self.caches, self.cur_tok, self.positions, self.active
+            )
         self.cur_tok = nxt
         self.positions = jnp.where(
             self.active, self.positions + 1, self.positions

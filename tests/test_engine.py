@@ -92,3 +92,54 @@ class TestEngine:
         eng.submit(list(range(20)), 4)
         with pytest.raises(ValueError, match="exceeds buckets"):
             eng.step()
+
+
+class TestPagedEngine:
+    def test_paged_matches_slot_engine(self):
+        """Paged and slot layouts must produce identical greedy tokens."""
+        params, cfg = _model()
+        prompts = [[1, 2, 3], [7, 8], [10, 11, 12, 13], [99]]
+        slot_eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,)))
+        paged_eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,),
+            kv_layout="paged", page_size=8))
+        for p in prompts:
+            slot_eng.submit(p, 6)
+            paged_eng.submit(p, 6)
+        a = slot_eng.run()
+        b = paged_eng.run()
+        for ra, rb in zip(a, b):
+            assert ra.generated == rb.generated, (ra.uid, ra.generated,
+                                                  rb.generated)
+
+    def test_paged_quantized_pool(self):
+        params, cfg = _model()
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,),
+            kv_layout="paged", page_size=8, kv_quant="int8"))
+        eng.submit([3, 17, 42, 9], 6)
+        done = eng.run()
+        assert len(done[0].generated) == 6
+
+    def test_pages_released_and_reused(self):
+        params, cfg = _model()
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=32, prefill_buckets=(8,),
+            kv_layout="paged", page_size=8, num_pages=6))
+        # 5 sequential requests through a 5-free-page pool: requires reuse
+        for i in range(5):
+            eng.submit([i + 1, i + 2], 4)
+        done = eng.run()
+        assert len(done) == 5
+        assert all(len(r.generated) == 4 for r in done)
+
+    def test_pool_exhaustion_raises(self):
+        params, cfg = _model()
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=32, prefill_buckets=(16,),
+            kv_layout="paged", page_size=8, num_pages=3))
+        eng.submit([1, 2, 3], 4)  # needs 2 pages of the 2 free
+        eng.submit([4, 5, 6], 4)
+        with pytest.raises(RuntimeError, match="exhausted"):
+            eng.run()
