@@ -38,11 +38,15 @@ def device_time_us(fn: Callable, *args, iters: int = 3, warmup: int = 1,
     files = glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True)
     from xprof.convert import raw_to_tool_data as rtd
 
-    data, _ = rtd.xspace_to_tool_data(files, "framework_op_stats", {})
-    rows = json.loads(data)[0]["rows"]
-    total = 0.0
-    for r in rows:
-        c = [v["v"] for v in r["c"]]
-        if c[1] == "Device" and c[2] != "IDLE":
-            total += float(c[5])  # total self time us
-    return total / iters
+    # op_profile busy time (total minus IDLE). framework_op_stats
+    # double-counts `while` loop self time against its body's ops, which
+    # inflated scan-based decode measurements ~2x.
+    data, _ = rtd.xspace_to_tool_data(files, "op_profile", {})
+    prof = json.loads(data)
+    root = prof.get("byProgram", prof)
+    busy_ps = 0.0
+    for prog in root.get("children", []):
+        if prog.get("name") == "IDLE":
+            continue
+        busy_ps += float(prog.get("metrics", {}).get("rawTime", 0) or 0)
+    return busy_ps / 1e6 / iters  # ps → us
