@@ -1,0 +1,71 @@
+"""Continuous-batching engine throughput (slot vs paged, bf16 vs int8 KV).
+
+``python benchmarks/serving_bench.py`` on a real TPU. Prints one JSON line
+per configuration with end-to-end generated tokens/second, including host
+orchestration (admission, page allocation, detokenization sync) — the
+number a serving deployment actually sees.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+import ao_tpu
+from ao_tpu.models import llama
+from ao_tpu.serving.engine import Engine, ServeConfig
+
+
+def bench(params, mcfg, scfg, n_requests=32, new_tokens=32, prompt_len=100):
+    eng = Engine(params, mcfg, scfg)
+    import random
+
+    rng = random.Random(0)
+    for i in range(n_requests):
+        eng.submit([rng.randrange(mcfg.vocab_size) for _ in range(prompt_len)],
+                   new_tokens)
+    # warm the prefill/step compiles outside the timed region
+    eng.step()
+    t0 = time.perf_counter()
+    done = eng.run()
+    dt = time.perf_counter() - t0
+    total = sum(len(r.generated) for r in done)
+    return total / dt
+
+
+def main():
+    mcfg = llama.LlamaConfig(
+        vocab_size=32000, dim=4096, n_layers=8, n_heads=32, n_kv_heads=8,
+        ffn_dim=14336, tie_embeddings=True,
+    )
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16),
+        llama.init_params(jax.random.PRNGKey(0), mcfg),
+    )
+    qp = ao_tpu.quantize_(params, ao_tpu.Int4WeightOnlyConfig(group_size=128))
+    del params
+
+    suites = [
+        ("slots_bf16kv", ServeConfig(max_batch=16, max_seq=256,
+                                     prefill_buckets=(128,))),
+        ("slots_int8kv", ServeConfig(max_batch=16, max_seq=256,
+                                     prefill_buckets=(128,),
+                                     kv_quant="int8")),
+        ("paged_int8kv", ServeConfig(max_batch=16, max_seq=256,
+                                     prefill_buckets=(128,),
+                                     kv_layout="paged", page_size=128,
+                                     kv_quant="int8")),
+    ]
+    for name, scfg in suites:
+        tok_s = bench(qp, mcfg, scfg)
+        print(json.dumps({"config": name,
+                          "tok_s_e2e": round(tok_s, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
