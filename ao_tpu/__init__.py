@@ -51,6 +51,12 @@ from ao_tpu.integrations.serialization import (
     save_quantized,
     unflatten_quantized_state_dict,
 )
+from ao_tpu.sparsity.configs import (
+    BlockSparseWeightConfig,
+    SemiSparseWeightConfig,
+    WandaSparseConfig,
+    sparsify_,
+)
 
 __all__ = [
     "AOBaseConfig",
@@ -90,4 +96,8 @@ __all__ = [
     "unflatten_quantized_state_dict",
     "save_quantized",
     "load_quantized",
+    "sparsify_",
+    "SemiSparseWeightConfig",
+    "BlockSparseWeightConfig",
+    "WandaSparseConfig",
 ]
