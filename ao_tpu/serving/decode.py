@@ -18,7 +18,9 @@ from ao_tpu.models import llama
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "num_steps", "max_seq", "kv_quant", "use_flash")
+    jax.jit,
+    static_argnames=("cfg", "num_steps", "max_seq", "kv_quant", "use_flash",
+                     "temperature", "top_k", "top_p"),
 )
 def generate(
     params: Any,
@@ -28,8 +30,24 @@ def generate(
     max_seq: int,
     kv_quant: Optional[str] = None,  # None | "int8" | "float8_e4m3fn"
     use_flash: bool = False,
+    temperature: float = 0.0,  # 0 = greedy
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+    rng: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Greedy generation; returns (B, num_steps) generated tokens."""
+    """Generation (greedy by default, or temperature/top-k/top-p sampling);
+    returns (B, num_steps) generated tokens."""
+    from ao_tpu.serving.sampling import sample_logits
+
+    if temperature > 0.0 and rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def pick(logits, i):
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return sample_logits(
+            logits, jax.random.fold_in(rng, i), temperature, top_k, top_p
+        )
     b, s = prompt.shape
     if kv_quant:
         from ao_tpu.serving.kvcache import init_quant_kv_caches
@@ -44,7 +62,7 @@ def generate(
         params, prompt, cfg, positions=positions, kv_caches=caches,
         cache_index=0, use_flash=use_flash,
     )
-    next_tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    next_tok = pick(logits[:, -1], 0)
 
     def step(carry, _):
         caches, tok, idx = carry
@@ -53,7 +71,7 @@ def generate(
             params, tok[:, None], cfg, positions=pos, kv_caches=caches,
             cache_index=idx,
         )
-        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        nxt = pick(logits[:, -1], idx)
         return (caches, nxt, idx + 1), nxt
 
     (_, _, _), toks = jax.lax.scan(

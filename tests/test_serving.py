@@ -119,3 +119,56 @@ class TestFlashAttentionRef:
             out[0, 0, qi * bq : (qi + 1) * bq] = acc
         err = compute_error(ref[0, 0], jnp.asarray(out[0, 0]))
         assert float(err) > 40.0
+
+
+class TestSampling:
+    def test_greedy_default_unchanged(self):
+        import numpy as np
+        from ao_tpu.models import llama as L
+        from ao_tpu.serving.decode import generate
+
+        cfg = L.LlamaConfig(vocab_size=64, dim=32, n_layers=1, n_heads=2,
+                            n_kv_heads=1, ffn_dim=64, tie_embeddings=True,
+                            dtype=jnp.float32)
+        params = L.init_params(jax.random.PRNGKey(0), cfg)
+        p = jnp.asarray([[1, 2, 3]], jnp.int32)
+        a = generate(params, p, cfg, 5, 16)
+        b = generate(params, p, cfg, 5, 16, temperature=0.0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_sampling_deterministic_per_key_and_varies(self):
+        import numpy as np
+        from ao_tpu.models import llama as L
+        from ao_tpu.serving.decode import generate
+
+        cfg = L.LlamaConfig(vocab_size=64, dim=32, n_layers=1, n_heads=2,
+                            n_kv_heads=1, ffn_dim=64, tie_embeddings=True,
+                            dtype=jnp.float32)
+        params = L.init_params(jax.random.PRNGKey(0), cfg)
+        p = jnp.asarray([[1, 2, 3]], jnp.int32)
+        a = generate(params, p, cfg, 8, 16, temperature=1.0, top_k=8,
+                     rng=jax.random.PRNGKey(5))
+        b = generate(params, p, cfg, 8, 16, temperature=1.0, top_k=8,
+                     rng=jax.random.PRNGKey(5))
+        c = generate(params, p, cfg, 8, 16, temperature=1.0, top_k=8,
+                     rng=jax.random.PRNGKey(6))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+    def test_top_p_masks_tail(self):
+        from ao_tpu.serving.sampling import sample_logits
+
+        logits = jnp.log(jnp.asarray([[0.6, 0.3, 0.05, 0.04, 0.01]]))
+        toks = [int(sample_logits(logits, jax.random.PRNGKey(i),
+                                  temperature=1.0, top_p=0.85)[0])
+                for i in range(64)]
+        assert set(toks) <= {0, 1}  # 0.6+0.3 ≥ 0.85 → tail masked
+
+    def test_top_k_masks(self):
+        from ao_tpu.serving.sampling import sample_logits
+
+        logits = jnp.asarray([[5.0, 4.0, 3.0, -1.0, -2.0]])
+        toks = [int(sample_logits(logits, jax.random.PRNGKey(i),
+                                  temperature=1.0, top_k=2)[0])
+                for i in range(64)]
+        assert set(toks) <= {0, 1}
