@@ -22,7 +22,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ao_tpu.ops.pallas import UnsupportedShape
 
 _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
-_HKV = [1]  # scale-spec index maps need hkv; set per-call (static under jit)
 
 
 def _kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
@@ -83,7 +82,6 @@ def _impl(q, kflat, ks, vflat, vs, lengths, *, sm_scale, quantized, block_t):
     b, hkv, g, d = q.shape
     t = kflat.shape[1]
     n_tb = t // block_t
-    _HKV[0] = hkv  # closed over by the scale index maps
 
     grid = (b, hkv, n_tb)
     out = pl.pallas_call(
@@ -102,12 +100,12 @@ def _impl(q, kflat, ks, vflat, vs, lengths, *, sm_scale, quantized, block_t):
             pl.BlockSpec((1, block_t, d), lambda bi, hi, ti: (bi, ti, hi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_t),
-                         lambda bi, hi, ti: (bi * _HKV[0] + hi, 0, ti),
+                         lambda bi, hi, ti, hkv=hkv: (bi * hkv + hi, 0, ti),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_t, d), lambda bi, hi, ti: (bi, ti, hi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_t),
-                         lambda bi, hi, ti: (bi * _HKV[0] + hi, 0, ti),
+                         lambda bi, hi, ti, hkv=hkv: (bi * hkv + hi, 0, ti),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, g, d), lambda bi, hi, ti: (bi, hi, 0, 0),
