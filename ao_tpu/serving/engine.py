@@ -84,9 +84,13 @@ class Engine:
             self.caches = init_quant_kv_caches(model_cfg, b, t, cfg.kv_quant)
         else:
             self.caches = llama.init_kv_caches(model_cfg, b, t)
-        self.positions = jnp.zeros((b,), jnp.int32)  # next write index
-        self.cur_tok = jnp.zeros((b,), jnp.int32)
-        self.active = jnp.zeros((b,), bool)
+        import numpy as _np
+
+        # small per-slot state lives on the HOST (one device read per step;
+        # per-slot device reads through a remote runtime are ruinous)
+        self.positions = _np.zeros((b,), _np.int32)  # next write index
+        self.cur_tok = _np.zeros((b,), _np.int32)
+        self.active = _np.zeros((b,), bool)
         self._slots: List[Optional[Request]] = [None] * b
         self._uid = 0
         self._queue: List[Request] = []
@@ -218,9 +222,9 @@ class Engine:
                     jnp.int32(len(req.prompt)), plen=plen,
                 )
             req.generated.append(int(tok))
-            self.cur_tok = self.cur_tok.at[slot].set(tok)
-            self.positions = self.positions.at[slot].set(len(req.prompt))
-            self.active = self.active.at[slot].set(True)
+            self.cur_tok[slot] = int(tok)
+            self.positions[slot] = len(req.prompt)
+            self.active[slot] = True
             self._slots[slot] = req
             self._maybe_finish(req)
 
@@ -229,7 +233,7 @@ class Engine:
         full = int(self.positions[req.slot]) + 1 >= self.cfg.max_seq
         if len(req.generated) >= req.max_new_tokens or hit_eos or full:
             req.done = True
-            self.active = self.active.at[req.slot].set(False)
+            self.active[req.slot] = False
             self._slots[req.slot] = None
             self._finished.append(req)
             if self.paged:
@@ -238,8 +242,10 @@ class Engine:
 
     def step(self) -> None:
         """Admit queued requests into free slots, then advance one token."""
+        import numpy as _np
+
         self._admit()
-        if not bool(jnp.any(self.active)):
+        if not self.active.any():
             return
         if self.paged:
             # page growth: the token written this step lands at positions[s];
@@ -249,7 +255,7 @@ class Engine:
             for slot, req in enumerate(self._slots):
                 if req is None:
                     continue
-                pos = int(self.positions[slot])
+                pos = int(self.positions[slot])  # host state, no sync
                 if pos % ps == 0 and pos // ps >= len(self._slot_pages[slot]):
                     pid = self.allocator.alloc()
                     self._slot_pages[slot].append(pid)
@@ -258,21 +264,23 @@ class Engine:
             if dirty:
                 self.block_table = jnp.asarray(self._table_host)
             self.caches, nxt = self._step(
-                self.caches, self.cur_tok, self.positions, self.active,
+                self.caches, jnp.asarray(self.cur_tok),
+                jnp.asarray(self.positions), jnp.asarray(self.active),
                 self.block_table,
             )
         else:
             self.caches, nxt = self._step(
-                self.caches, self.cur_tok, self.positions, self.active
+                self.caches, jnp.asarray(self.cur_tok),
+                jnp.asarray(self.positions), jnp.asarray(self.active)
             )
-        self.cur_tok = nxt
-        self.positions = jnp.where(
-            self.active, self.positions + 1, self.positions
-        )
+        nxt_host = _np.asarray(nxt)  # ONE device read per step
+        self.cur_tok = nxt_host.copy()
+        self.positions = _np.where(self.active, self.positions + 1,
+                                   self.positions).astype(_np.int32)
         for slot, req in enumerate(self._slots):
             if req is None:
                 continue
-            req.generated.append(int(nxt[slot]))
+            req.generated.append(int(nxt_host[slot]))
             self._maybe_finish(req)
 
     def run(self, max_steps: int = 10_000) -> List[Request]:
