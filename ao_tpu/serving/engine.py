@@ -34,6 +34,11 @@ class ServeConfig:
     kv_layout: str = "slots"
     page_size: int = 128
     num_pages: Optional[int] = None  # default: max_batch*max_seq/page_size+1
+    # sampling (0.0 = greedy); one PRNG stream per engine, folded per step
+    temperature: float = 0.0
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
+    seed: int = 0
 
 
 @dataclasses.dataclass
@@ -95,6 +100,8 @@ class Engine:
         self._uid = 0
         self._queue: List[Request] = []
         self._finished: List[Request] = []
+        self._rng = jax.random.PRNGKey(cfg.seed)
+        self._step_count = 0
 
         if self.paged:
             self._prefill = jax.jit(
@@ -134,7 +141,7 @@ class Engine:
             )
 
         caches = jax.tree_util.tree_map(insert, caches, scratch)
-        next_tok = jnp.argmax(logits[0, true_len - 1], axis=-1).astype(jnp.int32)
+        next_tok = self._pick(logits[0, true_len - 1][None], true_len)[0]
         return caches, next_tok
 
     def _prefill_paged_impl(self, caches, prompt, page_ids, true_len, *, plen):
@@ -153,7 +160,7 @@ class Engine:
                 kp.write_prompt(sk[0], page_ids),
                 vp.write_prompt(sv[0], page_ids),
             ))
-        next_tok = jnp.argmax(logits[0, true_len - 1], axis=-1).astype(jnp.int32)
+        next_tok = self._pick(logits[0, true_len - 1][None], true_len)[0]
         return new_caches, next_tok
 
     def _step_paged_impl(self, caches, cur_tok, positions, active,
@@ -163,7 +170,7 @@ class Engine:
             self.params, cur_tok[:, None], mcfg, positions=positions[:, None],
             kv_caches=caches, cache_index=(block_table, positions),
         )
-        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        nxt = self._pick(logits[:, -1], positions[0])
         return new_caches, jnp.where(active, nxt, cur_tok)
 
     def _step_impl(self, caches, cur_tok, positions, active):
@@ -175,8 +182,19 @@ class Engine:
             self.params, cur_tok[:, None], mcfg, positions=pos,
             kv_caches=caches, cache_index=positions,
         )
-        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        nxt = self._pick(logits[:, -1], positions[0])
         return new_caches, jnp.where(active, nxt, cur_tok)
+
+    def _pick(self, logits, salt):
+        """Greedy or sampled next-token selection (salt: any traced int
+        that varies per call — position — so folded keys differ)."""
+        if self.cfg.temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        from ao_tpu.serving.sampling import sample_logits
+
+        key = jax.random.fold_in(self._rng, salt)
+        return sample_logits(logits, key, self.cfg.temperature,
+                             self.cfg.top_k, self.cfg.top_p)
 
     # -- host API -------------------------------------------------------------
 

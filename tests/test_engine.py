@@ -143,3 +143,17 @@ class TestPagedEngine:
         eng.submit([4, 5, 6], 4)
         with pytest.raises(RuntimeError, match="exhausted"):
             eng.run()
+
+
+class TestEngineSampling:
+    def test_sampled_engine_runs_and_differs_by_seed(self):
+        params, cfg = _model()
+        outs = []
+        for seed in (0, 1):
+            eng = Engine(params, cfg, ServeConfig(
+                max_batch=2, max_seq=64, prefill_buckets=(8,),
+                temperature=1.0, top_k=16, seed=seed))
+            eng.submit([3, 17, 42, 9], 8)
+            outs.append(eng.run()[0].generated)
+        assert len(outs[0]) == len(outs[1]) == 8
+        assert outs[0] != outs[1]
