@@ -130,7 +130,7 @@ class Engine:
         positions = jnp.arange(plen, dtype=jnp.int32)[None]
         logits, scratch = llama.forward(
             self.params, prompt, mcfg, positions=positions,
-            kv_caches=scratch, cache_index=0,
+            kv_caches=scratch, cache_index=0, use_flash=True,
         )
 
         # insert the scratch rows into the slot of the pool
@@ -152,7 +152,7 @@ class Engine:
         positions = jnp.arange(plen, dtype=jnp.int32)[None]
         logits, scratch = llama.forward(
             self.params, prompt, mcfg, positions=positions,
-            kv_caches=scratch, cache_index=0,
+            kv_caches=scratch, cache_index=0, use_flash=True,
         )
         new_caches = []
         for (kp, vp), (sk, sv) in zip(caches, scratch):
