@@ -105,9 +105,23 @@ def _pick_tiles(m, kp, n, g):
     tm = m if m <= 256 else 256
     tn = 512 if n % 512 == 0 else (256 if n % 256 == 0 else 128)
     gh = g // 2
-    tkp = gh
+    k = 2 * kp
+
+    def valid(cand):
+        # blockspec rules for every operand the tile shape touches:
+        # x (tm, 2c): 2c %128 or == k; scale (2c/g, tn): %8 or == k/g
+        if kp % cand or cand % gh:
+            return False
+        tkl = 2 * cand
+        if tkl % 128 and tkl != k:
+            return False
+        if (tkl // g) % 8 and tkl != k:
+            return False
+        return True
+
+    tkp = kp  # whole-K fallback: full-dim blocks are always legal
     for cand in (2048, 1024, 512, 256, 128, 64):
-        if kp % cand == 0 and cand % gh == 0:
+        if valid(cand):
             tkp = cand
             break
     return tm, tkp, tn
