@@ -61,9 +61,9 @@ class Engine:
         self.cfg = cfg
         b, t = cfg.max_batch, cfg.max_seq
         self.paged = cfg.kv_layout == "paged"
-        if self.paged:
-            import numpy as _np
+        import numpy as _np
 
+        if self.paged:
             from ao_tpu.serving.paged import PageAllocator, PagedKVPool
 
             ps = cfg.page_size
@@ -89,7 +89,6 @@ class Engine:
             self.caches = init_quant_kv_caches(model_cfg, b, t, cfg.kv_quant)
         else:
             self.caches = llama.init_kv_caches(model_cfg, b, t)
-        import numpy as _np
 
         # small per-slot state lives on the HOST (one device read per step;
         # per-slot device reads through a remote runtime are ruinous)
