@@ -102,22 +102,25 @@ class Engine:
         self._rng = jax.random.PRNGKey(cfg.seed)
         self._step_count = 0
 
+        # params are ARGUMENTS of the jitted programs (a method closing
+        # over self.params would bake the whole model into the compiled
+        # program as constants)
         if self.paged:
             self._prefill = jax.jit(
                 self._prefill_paged_impl, static_argnames=("plen",),
-                donate_argnums=(0,),
+                donate_argnums=(1,),
             )
-            self._step = jax.jit(self._step_paged_impl, donate_argnums=(0,))
+            self._step = jax.jit(self._step_paged_impl, donate_argnums=(1,))
         else:
             self._prefill = jax.jit(
                 self._prefill_impl, static_argnames=("plen",),
-                donate_argnums=(0,),
+                donate_argnums=(1,),
             )
-            self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+            self._step = jax.jit(self._step_impl, donate_argnums=(1,))
 
     # -- jitted programs ----------------------------------------------------
 
-    def _prefill_impl(self, caches, prompt, slot, true_len, *, plen):
+    def _prefill_impl(self, params, caches, prompt, slot, true_len, *, plen):
         """prompt (1, plen) padded; writes this slot's KV rows and returns
         (caches, first generated token)."""
         mcfg = self.model_cfg
@@ -128,7 +131,7 @@ class Engine:
             scratch = llama.init_kv_caches(mcfg, 1, plen)
         positions = jnp.arange(plen, dtype=jnp.int32)[None]
         logits, scratch = llama.forward(
-            self.params, prompt, mcfg, positions=positions,
+            params, prompt, mcfg, positions=positions,
             kv_caches=scratch, cache_index=0, use_flash=True,
         )
 
@@ -143,14 +146,14 @@ class Engine:
         next_tok = self._pick(logits[0, true_len - 1][None], true_len)[0]
         return caches, next_tok
 
-    def _prefill_paged_impl(self, caches, prompt, page_ids, true_len, *, plen):
+    def _prefill_paged_impl(self, params, caches, prompt, page_ids, true_len, *, plen):
         """Prefill via a scratch contiguous cache, then bulk-write the rows
         into this request's pages (quantization happens in write_prompt)."""
         mcfg = self.model_cfg
         scratch = llama.init_kv_caches(mcfg, 1, plen)
         positions = jnp.arange(plen, dtype=jnp.int32)[None]
         logits, scratch = llama.forward(
-            self.params, prompt, mcfg, positions=positions,
+            params, prompt, mcfg, positions=positions,
             kv_caches=scratch, cache_index=0, use_flash=True,
         )
         new_caches = []
@@ -162,23 +165,23 @@ class Engine:
         next_tok = self._pick(logits[0, true_len - 1][None], true_len)[0]
         return new_caches, next_tok
 
-    def _step_paged_impl(self, caches, cur_tok, positions, active,
+    def _step_paged_impl(self, params, caches, cur_tok, positions, active,
                          block_table):
         mcfg = self.model_cfg
         logits, new_caches = llama.forward(
-            self.params, cur_tok[:, None], mcfg, positions=positions[:, None],
+            params, cur_tok[:, None], mcfg, positions=positions[:, None],
             kv_caches=caches, cache_index=(block_table, positions),
         )
         nxt = self._pick(logits[:, -1], positions[0])
         return new_caches, jnp.where(active, nxt, cur_tok)
 
-    def _step_impl(self, caches, cur_tok, positions, active):
+    def _step_impl(self, params, caches, cur_tok, positions, active):
         """One decode step for all slots; returns (caches, next_tok)."""
         mcfg = self.model_cfg
         b = self.cfg.max_batch
         pos = positions[:, None]  # (B, 1)
         logits, new_caches = llama.forward(
-            self.params, cur_tok[:, None], mcfg, positions=pos,
+            params, cur_tok[:, None], mcfg, positions=pos,
             kv_caches=caches, cache_index=positions,
         )
         nxt = self._pick(logits[:, -1], positions[0])
@@ -230,12 +233,13 @@ class Engine:
                 self._table_host[slot, :n_pg] = ids
                 self.block_table = jnp.asarray(self._table_host)
                 self.caches, tok = self._prefill(
-                    self.caches, prompt, jnp.asarray(ids, jnp.int32),
+                    self.params, self.caches, prompt,
+                    jnp.asarray(ids, jnp.int32),
                     jnp.int32(len(req.prompt)), plen=plen,
                 )
             else:
                 self.caches, tok = self._prefill(
-                    self.caches, prompt, jnp.int32(slot),
+                    self.params, self.caches, prompt, jnp.int32(slot),
                     jnp.int32(len(req.prompt)), plen=plen,
                 )
             req.generated.append(int(tok))
@@ -281,13 +285,13 @@ class Engine:
             if dirty:
                 self.block_table = jnp.asarray(self._table_host)
             self.caches, nxt = self._step(
-                self.caches, jnp.asarray(self.cur_tok),
+                self.params, self.caches, jnp.asarray(self.cur_tok),
                 jnp.asarray(self.positions), jnp.asarray(self.active),
                 self.block_table,
             )
         else:
             self.caches, nxt = self._step(
-                self.caches, jnp.asarray(self.cur_tok),
+                self.params, self.caches, jnp.asarray(self.cur_tok),
                 jnp.asarray(self.positions), jnp.asarray(self.active)
             )
         nxt_host = _np.asarray(nxt)  # ONE device read per step
