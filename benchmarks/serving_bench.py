@@ -21,7 +21,7 @@ from ao_tpu.models import llama
 from ao_tpu.serving.engine import Engine, ServeConfig
 
 
-def bench(params, mcfg, scfg, n_requests=32, new_tokens=32, prompt_len=100):
+def bench(params, mcfg, scfg, n_requests=16, new_tokens=24, prompt_len=100):
     eng = Engine(params, mcfg, scfg)
     import random
 
@@ -40,7 +40,7 @@ def bench(params, mcfg, scfg, n_requests=32, new_tokens=32, prompt_len=100):
 
 def main():
     mcfg = llama.LlamaConfig(
-        vocab_size=32000, dim=4096, n_layers=8, n_heads=32, n_kv_heads=8,
+        vocab_size=32000, dim=4096, n_layers=4, n_heads=32, n_kv_heads=8,
         ffn_dim=14336, tie_embeddings=True,
     )
     params = jax.tree.map(
