@@ -42,6 +42,8 @@ class LlamaConfig:
     # top-k routed expert FFN (ao_tpu.moe) — the Mixtral/Llama4-style family
     n_experts: int = 0
     top_k_experts: int = 2
+    # Qwen2-style biases on the q/k/v projections
+    qkv_bias: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -85,13 +87,18 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Dict[str, Any]:
                 "w3": dense(ks[5], d, cfg.ffn_dim),   # up
                 "w2": dense(ks[6], cfg.ffn_dim, d),   # down
             }
+        attn = {
+            "wq": dense(ks[0], d, cfg.n_heads * hd),
+            "wk": dense(ks[1], d, cfg.n_kv_heads * hd),
+            "wv": dense(ks[2], d, cfg.n_kv_heads * hd),
+            "wo": dense(ks[3], cfg.n_heads * hd, d),
+        }
+        if cfg.qkv_bias:
+            attn["bq"] = jnp.zeros((cfg.n_heads * hd,), cfg.dtype)
+            attn["bk"] = jnp.zeros((cfg.n_kv_heads * hd,), cfg.dtype)
+            attn["bv"] = jnp.zeros((cfg.n_kv_heads * hd,), cfg.dtype)
         layers.append({
-            "attn": {
-                "wq": dense(ks[0], d, cfg.n_heads * hd),
-                "wk": dense(ks[1], d, cfg.n_kv_heads * hd),
-                "wv": dense(ks[2], d, cfg.n_kv_heads * hd),
-                "wo": dense(ks[3], cfg.n_heads * hd, d),
-            },
+            "attn": attn,
             "mlp": mlp_params,
             "ln1": jnp.ones((d,), cfg.dtype),
             "ln2": jnp.ones((d,), cfg.dtype),
@@ -142,9 +149,9 @@ def attention(
     b, s, d = x.shape
     h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
-    q = linear(x, layer["wq"]).reshape(b, s, h, hd)
-    k = linear(x, layer["wk"]).reshape(b, s, kvh, hd)
-    v = linear(x, layer["wv"]).reshape(b, s, kvh, hd)
+    q = linear(x, layer["wq"], layer.get("bq")).reshape(b, s, h, hd)
+    k = linear(x, layer["wk"], layer.get("bk")).reshape(b, s, kvh, hd)
+    v = linear(x, layer["wv"], layer.get("bv")).reshape(b, s, kvh, hd)
 
     q = apply_rope(q, positions, freqs)
     k = apply_rope(k, positions, freqs)

@@ -89,3 +89,35 @@ def test_quantized_decode(params):
         outs.append(logits[:, 0])
     step = jnp.stack(outs, axis=1)
     assert compute_error(ref, step) > 30.0
+
+
+class TestQwenStyleBias:
+    def test_qkv_bias_forward_and_quantize(self):
+        import numpy as np
+
+        cfg = llama.LlamaConfig(
+            vocab_size=64, dim=64, n_layers=1, n_heads=4, n_kv_heads=2,
+            ffn_dim=96, tie_embeddings=True, dtype=jnp.float32, qkv_bias=True,
+        )
+        params = llama.init_params(jax.random.PRNGKey(0), cfg)
+        attn = params["layers"][0]["attn"]
+        assert "bq" in attn and attn["bq"].shape == (64,)
+        # a nonzero bias must change the output
+        tokens = jnp.arange(8, dtype=jnp.int32)[None]
+        ref, _ = llama.forward(params, tokens, cfg)
+        attn2 = dict(attn)
+        attn2["bq"] = jnp.ones_like(attn["bq"])
+        p2 = dict(params)
+        p2["layers"] = [dict(params["layers"][0], attn=attn2)]
+        out, _ = llama.forward(p2, tokens, cfg)
+        assert not np.allclose(np.asarray(ref), np.asarray(out))
+        # quantize_ must skip 1-D biases but quantize the weights
+        import ao_tpu as ao
+        from ao_tpu.quantization.qarrays.int8 import Int8Array
+
+        qp = ao.quantize_(params, ao.Int8WeightOnlyConfig())
+        qattn = qp["layers"][0]["attn"]
+        assert isinstance(qattn["wq"], Int8Array)
+        assert qattn["bq"] is attn["bq"]
+        out, _ = llama.forward(qp, tokens, cfg)
+        assert ao.compute_error(ref, out) > 20
