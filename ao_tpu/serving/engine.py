@@ -198,6 +198,79 @@ class Engine:
         return sample_logits(logits, key, self.cfg.temperature,
                              self.cfg.top_k, self.cfg.top_p)
 
+    def _prefill_chunk_impl(self, params, scratch, chunk_toks, offset, *,
+                            chunk):
+        """One chunk of a long prefill into a (1, max_seq) scratch cache;
+        decode-style masking makes causality hold across chunks."""
+        mcfg = self.model_cfg
+        positions = offset + jnp.arange(chunk, dtype=jnp.int32)[None]
+        logits, scratch = llama.forward(
+            params, chunk_toks, mcfg, positions=positions,
+            kv_caches=scratch, cache_index=offset,
+        )
+        return scratch, logits[0]
+
+    def _insert_scratch_impl(self, caches, scratch, slot):
+        def insert(pool_leaf, new_leaf):
+            return jax.lax.dynamic_update_slice(
+                pool_leaf, new_leaf.astype(pool_leaf.dtype),
+                (slot,) + (0,) * (pool_leaf.ndim - 1),
+            )
+
+        return jax.tree_util.tree_map(insert, caches, scratch)
+
+    def _write_pages_impl(self, caches, scratch, page_ids, *, n_rows):
+        new_caches = []
+        for (kp, vp), (sk, sv) in zip(caches, scratch):
+            new_caches.append((
+                kp.write_prompt(sk[0, :n_rows], page_ids),
+                vp.write_prompt(sv[0, :n_rows], page_ids),
+            ))
+        return new_caches
+
+    def _prefill_long(self, req, slot, page_ids=None):
+        """Chunked prefill for prompts longer than the largest bucket."""
+        if not hasattr(self, "_prefill_chunk"):
+            self._prefill_chunk = jax.jit(
+                self._prefill_chunk_impl, static_argnames=("chunk",),
+                donate_argnums=(1,),
+            )
+            self._insert_scratch = jax.jit(
+                self._insert_scratch_impl, donate_argnums=(0,)
+            )
+            self._write_pages = jax.jit(
+                self._write_pages_impl, static_argnames=("n_rows",),
+                donate_argnums=(0,),
+            )
+        chunk = max(self.cfg.prefill_buckets)
+        t = self.cfg.max_seq
+        mcfg = self.model_cfg
+        if self.cfg.kv_quant and not self.paged:
+            scratch = init_quant_kv_caches(mcfg, 1, t, self.cfg.kv_quant)
+        else:
+            scratch = llama.init_kv_caches(mcfg, 1, t)
+        n = len(req.prompt)
+        padded = req.prompt + [0] * ((-n) % chunk)
+        logits = None
+        for off in range(0, n, chunk):
+            toks = jnp.asarray(padded[off:off + chunk], jnp.int32)[None]
+            scratch, logits = self._prefill_chunk(
+                self.params, scratch, toks, jnp.int32(off), chunk=chunk
+            )
+        last = (n - 1) % chunk
+        tok = self._pick(logits[last][None], n)[0]
+        if self.paged:
+            ps = self.cfg.page_size
+            self.caches = self._write_pages(
+                self.caches, scratch, jnp.asarray(page_ids, jnp.int32),
+                n_rows=len(page_ids) * ps,
+            )
+        else:
+            self.caches = self._insert_scratch(
+                self.caches, scratch, jnp.int32(slot)
+            )
+        return tok
+
     # -- host API -------------------------------------------------------------
 
     def submit(self, prompt: List[int], max_new_tokens: int = 32) -> int:
@@ -207,12 +280,14 @@ class Engine:
         self._queue.append(req)
         return req.uid
 
-    def _bucket(self, n: int) -> int:
+    def _bucket(self, n: int) -> Optional[int]:
+        if n >= self.cfg.max_seq:
+            raise ValueError(f"prompt length {n} exceeds max_seq "
+                             f"{self.cfg.max_seq}")
         for b in self.cfg.prefill_buckets:
             if n <= b:
                 return b
-        raise ValueError(f"prompt length {n} exceeds buckets "
-                         f"{self.cfg.prefill_buckets}")
+        return None  # longer than every bucket → chunked prefill
 
     def _admit(self) -> None:
         for slot in range(self.cfg.max_batch):
@@ -221,6 +296,26 @@ class Engine:
             req = self._queue.pop(0)
             req.slot = slot
             plen = self._bucket(len(req.prompt))
+            if plen is None:
+                # chunked long-prompt prefill
+                if self.paged:
+                    ps = self.cfg.page_size
+                    n_pg = -(-len(req.prompt) // ps)
+                    ids = [self.allocator.alloc() for _ in range(n_pg)]
+                    self._slot_pages[slot] = ids
+                    self._table_host[slot, :] = 0
+                    self._table_host[slot, :n_pg] = ids
+                    self.block_table = jnp.asarray(self._table_host)
+                    tok = self._prefill_long(req, slot, page_ids=ids)
+                else:
+                    tok = self._prefill_long(req, slot)
+                req.generated.append(int(tok))
+                self.cur_tok[slot] = int(tok)
+                self.positions[slot] = len(req.prompt)
+                self.active[slot] = True
+                self._slots[slot] = req
+                self._maybe_finish(req)
+                continue
             prompt = jnp.asarray(
                 req.prompt + [0] * (plen - len(req.prompt)), jnp.int32
             )[None]

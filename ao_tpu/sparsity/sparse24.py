@@ -134,3 +134,39 @@ def _ssl_bwd(res, g):
 
 
 semi_sparse_linear.defvjp(_ssl_fwd, _ssl_bwd)
+
+
+@jax.custom_vjp
+def semi_sparse_activation_linear(x: jax.Array, w: jax.Array) -> jax.Array:
+    """y = prune_2to4(x) @ w: ACTIVATION sparsified each forward (ref: the
+    activation-sparse variant in sparsity/training — SquaredReLU-style
+    activations are naturally ~90% sparse, 2:4 structure makes it usable).
+    Straight-through gradients to the dense activation."""
+    return prune_2to4_lastdim(x).astype(x.dtype) @ w.astype(x.dtype)
+
+
+def prune_2to4_lastdim(x: jax.Array) -> jax.Array:
+    """Keep the 2 largest-|x| of every 4 along the LAST axis."""
+    shape = x.shape
+    if shape[-1] % 4:
+        raise ValueError(f"last dim {shape[-1]} not a multiple of 4")
+    g = x.reshape(*shape[:-1], shape[-1] // 4, 4)
+    order = jnp.argsort(jnp.abs(g), axis=-1)
+    ranks = jnp.argsort(order, axis=-1)
+    return jnp.where(ranks >= 2, g, 0).reshape(shape)
+
+
+def _ssal_fwd(x, w):
+    xp = prune_2to4_lastdim(x)
+    return xp.astype(x.dtype) @ w.astype(x.dtype), (xp, w)
+
+
+def _ssal_bwd(res, g):
+    xp, w = res
+    gf = g.astype(jnp.float32)
+    dx = gf @ w.T.astype(jnp.float32)  # STE: dense grad to the activation
+    dw = xp.astype(jnp.float32).T @ gf
+    return dx.astype(xp.dtype), dw.astype(w.dtype)
+
+
+semi_sparse_activation_linear.defvjp(_ssal_fwd, _ssal_bwd)

@@ -85,12 +85,12 @@ class TestEngine:
         done = eng.run()
         assert done[0].generated == ref[:3]
 
-    def test_prompt_too_long_raises(self):
+    def test_prompt_beyond_max_seq_raises(self):
         params, cfg = _model()
         eng = Engine(params, cfg, ServeConfig(
             max_batch=2, max_seq=64, prefill_buckets=(8,)))
-        eng.submit(list(range(20)), 4)
-        with pytest.raises(ValueError, match="exceeds buckets"):
+        eng.submit(list(range(100)), 4)
+        with pytest.raises(ValueError, match="max_seq"):
             eng.step()
 
 
@@ -157,3 +157,35 @@ class TestEngineSampling:
             outs.append(eng.run()[0].generated)
         assert len(outs[0]) == len(outs[1]) == 8
         assert outs[0] != outs[1]
+
+
+class TestChunkedPrefill:
+    def test_long_prompt_matches_generate(self):
+        """Prompt longer than every bucket → chunked prefill, same tokens."""
+        params, cfg = _model()
+        prompt = list(range(1, 21))  # 20 tokens, buckets max out at 8
+        ref = _ref_generate(params, cfg, prompt, 5)
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,)))
+        eng.submit(prompt, 5)
+        done = eng.run()
+        assert done[0].generated == ref
+
+    def test_long_prompt_paged(self):
+        params, cfg = _model()
+        prompt = list(range(1, 21))
+        ref = _ref_generate(params, cfg, prompt, 5)
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,),
+            kv_layout="paged", page_size=8))
+        eng.submit(prompt, 5)
+        done = eng.run()
+        assert done[0].generated == ref
+
+    def test_over_max_seq_rejected(self):
+        params, cfg = _model()
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=32, prefill_buckets=(8,)))
+        eng.submit(list(range(40)), 2)
+        with pytest.raises(ValueError, match="max_seq"):
+            eng.step()

@@ -129,3 +129,29 @@ class TestWanda:
     def test_semi_sparse_config(self):
         p = sparsify_({"wq": weights()}, SemiSparseWeightConfig())
         assert isinstance(p["wq"], Sparse24Array)
+
+
+class TestActivationSparse:
+    def test_activation_pruned_2to4(self):
+        from ao_tpu.sparsity.sparse24 import (
+            prune_2to4_lastdim, semi_sparse_activation_linear)
+
+        x = jax.random.normal(KEY, (8, 32))
+        xp = prune_2to4_lastdim(x)
+        nz = np.asarray(xp != 0).reshape(8, 8, 4).sum(-1)
+        np.testing.assert_array_equal(nz, 2)
+
+        w = jax.random.normal(jax.random.PRNGKey(1), (32, 16))
+        y = semi_sparse_activation_linear(x, w)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(xp @ w),
+                                   rtol=1e-5)
+
+    def test_ste_gradients(self):
+        from ao_tpu.sparsity.sparse24 import semi_sparse_activation_linear
+
+        x = jax.random.normal(KEY, (8, 32))
+        w = jax.random.normal(jax.random.PRNGKey(1), (32, 16))
+        g = jax.random.normal(jax.random.PRNGKey(2), (8, 16))
+        dx, dw = jax.vjp(semi_sparse_activation_linear, x, w)[1](g)
+        # dx is dense (straight-through), dw uses the pruned activation
+        assert float((np.asarray(dx) != 0).mean()) > 0.9
