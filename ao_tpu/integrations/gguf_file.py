@@ -1,0 +1,201 @@
+"""GGUF v3 file writer/reader (llama.cpp interchange format).
+
+(ref analog: the GGUF export intent of prototype/quantization/gguf — the
+reference quantizes to gguf-style super-blocks but leaves file emission to
+external tooling; here the container format itself is implemented so
+ao_tpu checkpoints can ship as .gguf. Spec:
+github.com/ggml-org/ggml/blob/master/docs/gguf.md — little-endian, magic
+"GGUF", version 3, aligned tensor data; GGML dims are stored innermost
+first (reversed numpy order).)
+
+Supported tensor codings: F32, F16, Q8_0 (32-elem blocks: fp16 scale +
+32 int8 — bit-exact, simple, universally loadable). Q4_K emission can build
+on GGUFQuantizedArray later; Q8_0 covers the interop path.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import numpy as np
+
+MAGIC = b"GGUF"
+VERSION = 3
+ALIGNMENT = 32
+
+# ggml tensor type ids
+GGML_F32 = 0
+GGML_F16 = 1
+GGML_Q8_0 = 8
+
+# gguf metadata value types
+_T_U32, _T_I32, _T_F32, _T_BOOL, _T_STR, _T_U64 = 4, 5, 6, 7, 8, 10
+
+
+def _pack_str(s: str) -> bytes:
+    b = s.encode()
+    return struct.pack("<Q", len(b)) + b
+
+
+def _pack_kv(key: str, value) -> bytes:
+    out = _pack_str(key)
+    if isinstance(value, bool):
+        out += struct.pack("<IB", _T_BOOL, int(value))
+    elif isinstance(value, int):
+        if -(2 ** 31) <= value < 2 ** 31:
+            out += struct.pack("<Ii", _T_I32, value)
+        else:
+            out += struct.pack("<IQ", _T_U64, value)
+    elif isinstance(value, float):
+        out += struct.pack("<If", _T_F32, value)
+    elif isinstance(value, str):
+        out += struct.pack("<I", _T_STR) + _pack_str(value)
+    else:
+        raise TypeError(f"unsupported metadata value {type(value)}")
+    return out
+
+
+def quantize_q8_0(a: np.ndarray) -> bytes:
+    """Row-major Q8_0 blocks: per 32 values, fp16 scale + 32 int8."""
+    flat = np.ascontiguousarray(a, np.float32).reshape(-1)
+    if flat.size % 32:
+        raise ValueError("Q8_0 needs a multiple of 32 elements")
+    blocks = flat.reshape(-1, 32)
+    amax = np.abs(blocks).max(axis=1)
+    d = (amax / 127.0).astype(np.float16)
+    df = d.astype(np.float32)
+    df[df == 0] = 1.0
+    q = np.clip(np.rint(blocks / df[:, None]), -128, 127).astype(np.int8)
+    out = np.zeros((blocks.shape[0], 34), np.uint8)
+    out[:, :2] = d.view(np.uint8).reshape(-1, 2)
+    out[:, 2:] = q.view(np.uint8)
+    return out.tobytes()
+
+
+def dequantize_q8_0(raw: bytes, n: int) -> np.ndarray:
+    buf = np.frombuffer(raw, np.uint8).reshape(-1, 34)
+    d = buf[:, :2].copy().view(np.float16).astype(np.float32)
+    q = buf[:, 2:].copy().view(np.int8).astype(np.float32)
+    return (q * d).reshape(-1)[:n]
+
+
+def write_gguf(
+    path: str,
+    tensors: Mapping[str, np.ndarray],
+    metadata: Optional[Mapping[str, Any]] = None,
+    quantize_2d: str = "q8_0",  # "q8_0" | "f16" | "f32"
+) -> None:
+    """Write arrays to a GGUF v3 file. 2-D float tensors are coded per
+    ``quantize_2d``; everything else ships as F32/F16."""
+    metadata = dict(metadata or {})
+    metadata.setdefault("general.architecture", "ao_tpu")
+
+    infos = []
+    blobs = []
+    offset = 0
+    for name, a in tensors.items():
+        a = np.asarray(a)
+        if a.dtype == np.float16:
+            a32 = a.astype(np.float32)
+        else:
+            a32 = np.asarray(a, np.float32)
+        if a.ndim == 2 and quantize_2d == "q8_0" and a.size % 32 == 0:
+            ttype = GGML_Q8_0
+            blob = quantize_q8_0(a32)
+        elif quantize_2d == "f16" or a.dtype == np.float16:
+            ttype = GGML_F16
+            blob = a32.astype(np.float16).tobytes()
+        else:
+            ttype = GGML_F32
+            blob = a32.tobytes()
+        pad = (-offset) % ALIGNMENT
+        offset += pad
+        blobs.append((pad, blob))
+        # ggml dims: innermost first (reverse of numpy shape)
+        dims = tuple(reversed(a.shape)) if a.ndim else (1,)
+        infos.append((name, dims, ttype, offset))
+        offset += len(blob)
+
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<IQQ", VERSION, len(infos), len(metadata)))
+        for k, v in metadata.items():
+            f.write(_pack_kv(k, v))
+        for name, dims, ttype, off in infos:
+            f.write(_pack_str(name))
+            f.write(struct.pack("<I", len(dims)))
+            for dim in dims:
+                f.write(struct.pack("<Q", dim))
+            f.write(struct.pack("<IQ", ttype, off))
+        # pad header to alignment, then data section
+        pos = f.tell()
+        f.write(b"\x00" * ((-pos) % ALIGNMENT))
+        for pad, blob in blobs:
+            f.write(b"\x00" * pad)
+            f.write(blob)
+
+
+def read_gguf(path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
+    """Minimal reader for files this module writes (roundtrip validation)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:4] == MAGIC, "not a GGUF file"
+    version, n_tensors, n_kv = struct.unpack_from("<IQQ", data, 4)
+    assert version == VERSION
+    pos = 4 + 4 + 16
+
+    def read_str():
+        nonlocal pos
+        (ln,) = struct.unpack_from("<Q", data, pos)
+        pos += 8
+        s = data[pos:pos + ln].decode()
+        pos += ln
+        return s
+
+    meta: Dict[str, Any] = {}
+    for _ in range(n_kv):
+        key = read_str()
+        (vt,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if vt == _T_BOOL:
+            meta[key] = bool(data[pos]); pos += 1
+        elif vt == _T_I32:
+            (meta[key],) = struct.unpack_from("<i", data, pos); pos += 4
+        elif vt == _T_F32:
+            (meta[key],) = struct.unpack_from("<f", data, pos); pos += 4
+        elif vt == _T_STR:
+            meta[key] = read_str()
+        elif vt == _T_U64:
+            (meta[key],) = struct.unpack_from("<Q", data, pos); pos += 8
+        else:
+            raise ValueError(f"metadata type {vt} not handled")
+
+    infos = []
+    for _ in range(n_tensors):
+        name = read_str()
+        (nd,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        dims = struct.unpack_from(f"<{nd}Q", data, pos)
+        pos += 8 * nd
+        ttype, off = struct.unpack_from("<IQ", data, pos)
+        pos += 12
+        infos.append((name, dims, ttype, off))
+
+    base = pos + ((-pos) % ALIGNMENT)
+    tensors: Dict[str, np.ndarray] = {}
+    for name, dims, ttype, off in infos:
+        shape = tuple(reversed(dims))
+        n = int(np.prod(shape))
+        start = base + off
+        if ttype == GGML_F32:
+            a = np.frombuffer(data, np.float32, n, start).reshape(shape)
+        elif ttype == GGML_F16:
+            a = np.frombuffer(data, np.float16, n, start).reshape(shape)
+        elif ttype == GGML_Q8_0:
+            nbytes = n // 32 * 34
+            a = dequantize_q8_0(data[start:start + nbytes], n).reshape(shape)
+        else:
+            raise ValueError(f"tensor type {ttype} not handled")
+        tensors[name] = a.copy()
+    return tensors, meta
