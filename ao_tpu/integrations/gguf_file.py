@@ -199,3 +199,33 @@ def read_gguf(path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
             raise ValueError(f"tensor type {ttype} not handled")
         tensors[name] = a.copy()
     return tensors, meta
+
+
+def export_params_gguf(
+    path: str,
+    params,
+    metadata: Optional[Mapping[str, Any]] = None,
+    quantize_2d: str = "q8_0",
+) -> None:
+    """Export an ao_tpu params pytree (QuantizedArray leaves included) to a
+    GGUF file: quantized leaves dequantize to hp, then re-code per
+    ``quantize_2d`` — the interchange path to llama.cpp-family runtimes."""
+    import jax
+
+    from ao_tpu.quantization.qarrays.base import QuantizedArray
+    from ao_tpu.quantization.quantize import path_to_fqn
+
+    flat: Dict[str, np.ndarray] = {}
+
+    def visit(p, leaf):
+        fqn = path_to_fqn(p)
+        if isinstance(leaf, QuantizedArray):
+            flat[fqn] = np.asarray(leaf.dequantize(np.float32))
+        else:
+            flat[fqn] = np.asarray(leaf, np.float32)
+        return leaf
+
+    jax.tree_util.tree_map_with_path(
+        visit, params, is_leaf=lambda x: isinstance(x, QuantizedArray)
+    )
+    write_gguf(path, flat, metadata, quantize_2d=quantize_2d)

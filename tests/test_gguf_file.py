@@ -84,3 +84,17 @@ class TestGGUFFile:
         assert set(back) == set(flat)
         assert float(sqnr(jnp.asarray(flat["layers.0.attn.wq"]),
                           jnp.asarray(back["layers.0.attn.wq"]))) > 35
+
+
+def test_export_quantized_params(tmp_path):
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 32), jnp.float32)
+    qp = ao_tpu.quantize_({"kernel": w}, ao_tpu.Int4WeightOnlyConfig(group_size=32))
+    from ao_tpu.integrations.gguf_file import export_params_gguf
+
+    path = str(tmp_path / "q.gguf")
+    export_params_gguf(path, qp, {"general.name": "int4-export"})
+    back, meta = read_gguf(path)
+    assert meta["general.name"] == "int4-export"
+    # gguf tensor ≈ int4-dequantized weight (q8_0 re-code is near-lossless)
+    assert float(sqnr(qp["kernel"].dequantize(jnp.float32),
+                      jnp.asarray(back["kernel"]))) > 30
