@@ -72,8 +72,24 @@ class Int4WeightOnlyConfig(AOBaseConfig):
     version: int = 1
 
 
+def _skip_indivisible(weight, group_size, cfg_name):
+    """ref parity: quant_api.py:564 skips (with a warning) rather than
+    raising when K doesn't divide into groups."""
+    if weight.ndim < 2 or weight.shape[-2] % group_size:
+        import warnings
+
+        warnings.warn(
+            f"{cfg_name}: skipping weight {tuple(weight.shape)} — K not a "
+            f"multiple of group_size={group_size}"
+        )
+        return True
+    return False
+
+
 @register_quantize_handler(Int4WeightOnlyConfig)
 def _int4_wo_transform(weight: jax.Array, config: Int4WeightOnlyConfig):
+    if _skip_indivisible(weight, config.group_size, "Int4WeightOnlyConfig"):
+        return weight
     algo = config.int4_choose_qparams_algorithm
     if algo == "hqq":
         return Int4Array.from_hp(
@@ -108,6 +124,9 @@ class Float8DynamicActivationInt4WeightConfig(AOBaseConfig):
 
 @register_quantize_handler(Float8DynamicActivationInt4WeightConfig)
 def _fp8_int4_transform(weight, config: Float8DynamicActivationInt4WeightConfig):
+    if _skip_indivisible(weight, config.group_size,
+                         "Float8DynamicActivationInt4WeightConfig"):
+        return weight
     return Int4Array.from_hp(
         weight, group_size=config.group_size,
         zero_point_domain=P.ZeroPointDomain.FLOAT,
