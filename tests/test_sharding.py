@@ -1,0 +1,77 @@
+"""Sharding-rule tests: quantized pytrees under NamedSharding meshes.
+
+(ref analog: TorchAOTensorParallelTestCase testing/utils.py:370 — sharded
+quantized linears must match the unsharded model; plus the group-alignment
+guard unique to packed layouts, SURVEY hard-part #3.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+import ao_tpu
+from ao_tpu.models import llama
+from ao_tpu.parallel.sharding import make_mesh, param_pspecs, shard_params
+
+sqnr = ao_tpu.compute_error
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+def _model(group_size=32):
+    cfg = llama.LlamaConfig(
+        vocab_size=128, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=128, tie_embeddings=True, dtype=jnp.float32,
+    )
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    qp = ao_tpu.quantize_(params, ao_tpu.Int4WeightOnlyConfig(
+        group_size=group_size))
+    return cfg, qp
+
+
+class TestShardParams:
+    def test_tp_sharded_forward_matches_unsharded(self):
+        cfg, qp = _model()
+        tokens = jnp.arange(8, dtype=jnp.int32)[None]
+        ref, _ = llama.forward(qp, tokens, cfg)
+
+        mesh = make_mesh((4, 2), ("dp", "tp"))
+        with mesh:
+            sharded = shard_params(qp, mesh)
+            out, _ = jax.jit(lambda p, t: llama.forward(p, t, cfg))(
+                sharded, tokens)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_qdata_and_scale_shard_together(self):
+        cfg, qp = _model()
+        specs = param_pspecs(qp)
+        w1 = specs["layers"][0]["mlp"]["w1"]  # col-parallel → N sharded
+        assert w1.qdata == P(None, "tp")
+        assert w1.scale == P(None, "tp")
+        w2 = specs["layers"][0]["mlp"]["w2"]  # row-parallel → K sharded
+        assert w2.qdata == P("tp", None)
+        assert w2.scale == P("tp", None)
+
+    def test_group_misalignment_raises(self):
+        # K=64 rows packed → 32; with g=64 there is ONE group: tp=2 cannot
+        # split it at a group boundary
+        cfg, qp = _model(group_size=64)
+        mesh = make_mesh((1, 2), ("dp", "tp"))
+        with pytest.raises(ValueError, match="group-aligned"):
+            shard_params(qp, mesh)
+
+    def test_fsdp_axis(self):
+        cfg, qp = _model()
+        mesh = make_mesh((2, 2, 2), ("dp", "fsdp", "tp"))
+        with mesh:
+            sharded = shard_params(qp, mesh, fsdp_axis="fsdp")
+        tokens = jnp.arange(4, dtype=jnp.int32)[None]
+        ref, _ = llama.forward(qp, tokens, cfg)
+        with mesh:
+            out, _ = jax.jit(lambda p, t: llama.forward(p, t, cfg))(
+                sharded, tokens)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=2e-2, atol=2e-2)
