@@ -34,6 +34,9 @@ class ServeConfig:
     kv_layout: str = "slots"
     page_size: int = 128
     num_pages: Optional[int] = None  # default: max_batch*max_seq/page_size+1
+    # automatic prefix caching (paged layout only): requests sharing a
+    # page-aligned prompt prefix reuse the cached KV pages
+    prefix_cache: bool = False
     # sampling (0.0 = greedy); one PRNG stream per engine, folded per step
     temperature: float = 0.0
     top_k: Optional[int] = None
@@ -85,6 +88,9 @@ class Engine:
             self._table_host = _np.zeros((b, t // ps), _np.int32)
             self.block_table = jnp.asarray(self._table_host)
             self._slot_pages: List[List[int]] = [[] for _ in range(b)]
+            # prefix cache: page-aligned token prefix → owned pages + users
+            self._prefix_cache: Dict[tuple, dict] = {}
+            self._slot_key: List[Optional[tuple]] = [None] * b
         elif cfg.kv_quant:
             self.caches = init_quant_kv_caches(model_cfg, b, t, cfg.kv_quant)
         else:
@@ -230,18 +236,7 @@ class Engine:
 
     def _prefill_long(self, req, slot, page_ids=None):
         """Chunked prefill for prompts longer than the largest bucket."""
-        if not hasattr(self, "_prefill_chunk"):
-            self._prefill_chunk = jax.jit(
-                self._prefill_chunk_impl, static_argnames=("chunk",),
-                donate_argnums=(1,),
-            )
-            self._insert_scratch = jax.jit(
-                self._insert_scratch_impl, donate_argnums=(0,)
-            )
-            self._write_pages = jax.jit(
-                self._write_pages_impl, static_argnames=("n_rows",),
-                donate_argnums=(0,),
-            )
+        self._ensure_chunk_fns()
         chunk = max(self.cfg.prefill_buckets)
         t = self.cfg.max_seq
         mcfg = self.model_cfg
@@ -271,6 +266,139 @@ class Engine:
             )
         return tok
 
+    def _seed_scratch_impl(self, scratch, caches, page_ids, *, n_pages):
+        """Copy shared prefix pages from the pools into the hp scratch
+        cache (rows 0..n_pages*ps) before prefilling the uncached tail."""
+        ps = self.cfg.page_size
+        out = []
+        for (kp, vp), (sk, sv) in zip(caches, scratch):
+            def rows(pool):
+                pg = pool.pages[page_ids].astype(jnp.float32)
+                if pool.scale is not None:
+                    pg = pg * pool.scale[page_ids]
+                return pg.reshape(1, n_pages * ps, *pg.shape[2:])
+
+            sk = jax.lax.dynamic_update_slice(
+                sk, rows(kp).astype(sk.dtype), (0, 0, 0, 0))
+            sv = jax.lax.dynamic_update_slice(
+                sv, rows(vp).astype(sv.dtype), (0, 0, 0, 0))
+            out.append((sk, sv))
+        return out
+
+    def _alloc_page(self) -> int:
+        try:
+            return self.allocator.alloc()
+        except RuntimeError:
+            # evict unused prefix-cache entries and retry
+            for key in list(self._prefix_cache):
+                if self._prefix_cache[key]["users"] == 0:
+                    self.allocator.release(self._prefix_cache[key]["pages"])
+                    del self._prefix_cache[key]
+            return self.allocator.alloc()
+
+    def _match_prefix(self, prompt: List[int]):
+        """Longest cached page-aligned proper prefix of ``prompt``."""
+        ps = self.cfg.page_size
+        cap = ((len(prompt) - 1) // ps) * ps  # leave ≥1 token to compute
+        best = None
+        for key in self._prefix_cache:
+            if len(key) <= cap and (best is None or len(key) > len(best)) \
+                    and list(key) == prompt[:len(key)]:
+                best = key
+        return best
+
+    def _prefill_paged_shared(self, req, slot, shared_key):
+        """Chunked prefill reusing the cached prefix pages."""
+        self._ensure_chunk_fns()
+        ps = self.cfg.page_size
+        entry = self._prefix_cache[shared_key]
+        shared_pages = entry["pages"]
+        shared_len = len(shared_key)
+        n = len(req.prompt)
+        n_pg = -(-n // ps)
+        own = [self._alloc_page() for _ in range(n_pg - len(shared_pages))]
+        row = shared_pages + own
+        entry["users"] += 1
+        self._slot_key[slot] = shared_key
+        self._slot_pages[slot] = own  # request owns only its tail pages
+        self._table_host[slot, :] = 0
+        self._table_host[slot, :n_pg] = row
+        self.block_table = jnp.asarray(self._table_host)
+
+        scratch = llama.init_kv_caches(self.model_cfg, 1, self.cfg.max_seq)
+        if not hasattr(self, "_seed_scratch"):
+            self._seed_scratch = jax.jit(
+                self._seed_scratch_impl, static_argnames=("n_pages",),
+                donate_argnums=(0,),
+            )
+        scratch = self._seed_scratch(
+            scratch, self.caches, jnp.asarray(shared_pages, jnp.int32),
+            n_pages=len(shared_pages),
+        )
+        chunk = max(self.cfg.prefill_buckets)
+        padded = req.prompt + [0] * ((-(n - shared_len)) % chunk)
+        logits = None
+        for off in range(shared_len, n, chunk):
+            toks = jnp.asarray(padded[off:off + chunk], jnp.int32)[None]
+            scratch, logits = self._prefill_chunk(
+                self.params, scratch, toks, jnp.int32(off), chunk=chunk)
+        last = (n - 1 - shared_len) % chunk
+        tok = self._pick(logits[last][None], n)[0]
+        # write only the tail pages the request owns
+        if own:
+            self._write_pages_from(scratch, own, start_pg=len(shared_pages))
+        return tok
+
+    def _write_pages_from(self, scratch, page_ids, start_pg):
+        ps = self.cfg.page_size
+        if not hasattr(self, "_write_pages_slice"):
+            def impl(caches, scratch, ids, *, start, n_rows):
+                out = []
+                for (kp, vp), (sk, sv) in zip(caches, scratch):
+                    out.append((
+                        kp.write_prompt(sk[0, start:start + n_rows], ids),
+                        vp.write_prompt(sv[0, start:start + n_rows], ids),
+                    ))
+                return out
+
+            self._write_pages_slice = jax.jit(
+                impl, static_argnames=("start", "n_rows"),
+                donate_argnums=(0,),
+            )
+        self.caches = self._write_pages_slice(
+            self.caches, scratch, jnp.asarray(page_ids, jnp.int32),
+            start=start_pg * ps, n_rows=len(page_ids) * ps,
+        )
+
+    def _register_prefix(self, req, slot):
+        """After a no-hit prefill: move this prompt's full pages into the
+        cache (the request keeps ownership of the partial tail page)."""
+        ps = self.cfg.page_size
+        full_pg = len(req.prompt) // ps
+        if full_pg < 1:
+            return
+        key = tuple(req.prompt[:full_pg * ps])
+        if key in self._prefix_cache:
+            return  # duplicate prompt admitted before: keep own pages
+        pages = self._slot_pages[slot][:full_pg]
+        self._prefix_cache[key] = {"pages": pages, "users": 1}
+        self._slot_key[slot] = key
+        self._slot_pages[slot] = self._slot_pages[slot][full_pg:]
+
+    def _ensure_chunk_fns(self):
+        if not hasattr(self, "_prefill_chunk"):
+            self._prefill_chunk = jax.jit(
+                self._prefill_chunk_impl, static_argnames=("chunk",),
+                donate_argnums=(1,),
+            )
+            self._insert_scratch = jax.jit(
+                self._insert_scratch_impl, donate_argnums=(0,)
+            )
+            self._write_pages = jax.jit(
+                self._write_pages_impl, static_argnames=("n_rows",),
+                donate_argnums=(0,),
+            )
+
     # -- host API -------------------------------------------------------------
 
     def submit(self, prompt: List[int], max_new_tokens: int = 32) -> int:
@@ -295,18 +423,32 @@ class Engine:
                 continue
             req = self._queue.pop(0)
             req.slot = slot
+            if self.paged and self.cfg.prefix_cache:
+                hit = self._match_prefix(req.prompt)
+                if hit is not None:
+                    tok = self._prefill_paged_shared(req, slot, hit)
+                    req.generated.append(int(tok))
+                    self.cur_tok[slot] = int(tok)
+                    self.positions[slot] = len(req.prompt)
+                    self.active[slot] = True
+                    self._slots[slot] = req
+                    self._maybe_finish(req)
+                    continue
             plen = self._bucket(len(req.prompt))
             if plen is None:
                 # chunked long-prompt prefill
                 if self.paged:
                     ps = self.cfg.page_size
                     n_pg = -(-len(req.prompt) // ps)
-                    ids = [self.allocator.alloc() for _ in range(n_pg)]
+                    ids = [self._alloc_page() for _ in range(n_pg)]
                     self._slot_pages[slot] = ids
+                    self._slot_key[slot] = None
                     self._table_host[slot, :] = 0
                     self._table_host[slot, :n_pg] = ids
                     self.block_table = jnp.asarray(self._table_host)
                     tok = self._prefill_long(req, slot, page_ids=ids)
+                    if self.cfg.prefix_cache:
+                        self._register_prefix(req, slot)
                 else:
                     tok = self._prefill_long(req, slot)
                 req.generated.append(int(tok))
@@ -322,8 +464,9 @@ class Engine:
             if self.paged:
                 ps = self.cfg.page_size
                 n_pg = plen // ps
-                ids = [self.allocator.alloc() for _ in range(n_pg)]
+                ids = [self._alloc_page() for _ in range(n_pg)]
                 self._slot_pages[slot] = ids
+                self._slot_key[slot] = None
                 self._table_host[slot, :] = 0
                 self._table_host[slot, :n_pg] = ids
                 self.block_table = jnp.asarray(self._table_host)
@@ -332,6 +475,8 @@ class Engine:
                     jnp.asarray(ids, jnp.int32),
                     jnp.int32(len(req.prompt)), plen=plen,
                 )
+                if self.cfg.prefix_cache:
+                    self._register_prefix(req, slot)
             else:
                 self.caches, tok = self._prefill(
                     self.params, self.caches, prompt, jnp.int32(slot),
@@ -355,6 +500,10 @@ class Engine:
             if self.paged:
                 self.allocator.release(self._slot_pages[req.slot])
                 self._slot_pages[req.slot] = []
+                key = self._slot_key[req.slot]
+                if key is not None and key in self._prefix_cache:
+                    self._prefix_cache[key]["users"] -= 1
+                self._slot_key[req.slot] = None
 
     def step(self) -> None:
         """Admit queued requests into free slots, then advance one token."""
@@ -372,8 +521,13 @@ class Engine:
                 if req is None:
                     continue
                 pos = int(self.positions[slot])  # host state, no sync
-                if pos % ps == 0 and pos // ps >= len(self._slot_pages[slot]):
-                    pid = self.allocator.alloc()
+                key = self._slot_key[slot]
+                n_shared = (len(self._prefix_cache[key]["pages"])
+                            if key is not None and key in self._prefix_cache
+                            else 0)
+                held = n_shared + len(self._slot_pages[slot])
+                if pos % ps == 0 and pos // ps >= held:
+                    pid = self._alloc_page()
                     self._slot_pages[slot].append(pid)
                     self._table_host[slot, pos // ps] = pid
                     dirty = True
@@ -400,9 +554,13 @@ class Engine:
             self._maybe_finish(req)
 
     def run(self, max_steps: int = 10_000) -> List[Request]:
-        """Drive until queue and slots drain; returns finished requests."""
+        """Drive until queue and slots drain; returns the requests that
+        finished during THIS call (drained — a later run() call returns
+        only its own completions)."""
         for _ in range(max_steps):
             if not self._queue and all(s is None for s in self._slots):
                 break
             self.step()
-        return sorted(self._finished, key=lambda r: r.uid)
+        out = sorted(self._finished, key=lambda r: r.uid)
+        self._finished = []
+        return out

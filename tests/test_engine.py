@@ -189,3 +189,65 @@ class TestChunkedPrefill:
         eng.submit(list(range(40)), 2)
         with pytest.raises(ValueError, match="max_seq"):
             eng.step()
+
+
+class TestPrefixCache:
+    def _engines(self, **kw):
+        params, cfg = _model()
+        base = dict(max_batch=2, max_seq=64, prefill_buckets=(8,),
+                    kv_layout="paged", page_size=8)
+        base.update(kw)
+        return params, cfg, Engine(params, cfg, ServeConfig(**base))
+
+    def test_cached_prefix_same_tokens(self):
+        """Second request with a shared prefix reuses pages and produces
+        exactly the tokens the uncached engine produces."""
+        params, cfg, eng = self._engines(prefix_cache=True)
+        sys_prompt = list(range(1, 17))  # 16 tokens = 2 full pages
+        p1 = sys_prompt + [50, 51]
+        p2 = sys_prompt + [70, 71, 72]
+        refs = [_ref_generate(params, cfg, p, 5) for p in (p1, p2)]
+
+        eng.submit(p1, 5)
+        done1 = eng.run()
+        assert done1[0].generated == refs[0]
+        free_before = len(eng.allocator.free)
+        eng.submit(p2, 5)
+        done2 = eng.run()
+        assert done2[0].generated == refs[1]
+        # the 2 prefix pages were reused: only tail pages newly allocated
+        assert len(eng._prefix_cache) >= 1
+        hit_key = tuple(sys_prompt)
+        assert hit_key in eng._prefix_cache
+
+    def test_page_savings(self):
+        """With caching, a repeated long prefix allocates fewer new pages."""
+        params, cfg, eng = self._engines(prefix_cache=True, num_pages=32)
+        prompt = list(range(1, 25))  # 24 tokens = 3 pages
+        eng.submit(prompt + [90], 3)
+        eng.run()
+        free_after_first = len(eng.allocator.free)
+        eng.submit(prompt + [91], 3)
+        eng.run()
+        free_after_second = len(eng.allocator.free)
+        # second run borrowed the 3 cached pages; net new allocations are
+        # only the tail page(s), all released at finish
+        assert free_after_second >= free_after_first - 1
+
+    def test_eviction_under_pressure(self):
+        params, cfg, eng = self._engines(prefix_cache=True, num_pages=7)
+        # fill the cache with one 2-page prefix (+1 tail), then demand more
+        eng.submit(list(range(1, 18)), 2)   # 17 toks → 3 pages, 2 cached
+        eng.run()
+        assert len(eng._prefix_cache) == 1
+        # a different prompt needing 3 pages: pool has 6 usable minus 2
+        # cached → must evict the unused cache entry to satisfy
+        eng.submit(list(range(40, 57)), 2)
+        done = eng.run()
+        assert len(done) == 1 and len(done[0].generated) == 2
+
+    def test_off_by_default(self):
+        params, cfg, eng = self._engines()
+        eng.submit(list(range(1, 17)) + [5], 2)
+        eng.run()
+        assert not hasattr(eng, "_x") and eng._prefix_cache == {}
