@@ -5,6 +5,8 @@ quantize-on-load numerics vs the device path.
 NEON-vs-fallback compatibility, test_bitpack_fallback_compatibility.cpp.)
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -130,3 +132,27 @@ class TestQuantizeOnLoad:
         from ao_tpu.quantization.qarrays.float8 import Float8Array
 
         assert isinstance(out["kernel"], Float8Array)
+
+
+class TestCppUnitTests:
+    def test_cpp_unit_tests(self, tmp_path):
+        """Build and run the native C++ test binary (csrc/test_ao_tpu_host.cpp)
+        — the gtest-analog suite: bitpack roundtrips, quantize kernels vs
+        device-parity semantics."""
+        import shutil
+        import subprocess
+
+        if shutil.which("g++") is None:
+            pytest.skip("no C++ toolchain")
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        exe = str(tmp_path / "test_ao_tpu_host")
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17",
+             os.path.join(root, "csrc", "test_ao_tpu_host.cpp"),
+             os.path.join(root, "csrc", "ao_tpu_host.cpp"),
+             "-o", exe],
+            check=True, capture_output=True, text=True,
+        )
+        out = subprocess.run([exe], capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr
+        assert "all native tests passed" in out.stdout
