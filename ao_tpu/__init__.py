@@ -18,14 +18,18 @@ from ao_tpu.core.config import (
 )
 from ao_tpu.quantization.configs import (
     Float8DynamicActivationFloat8WeightConfig,
+    Float8DynamicActivationInt4WeightConfig,
     Float8StaticActivationFloat8WeightConfig,
     Float8WeightOnlyConfig,
     FqnToConfig,
     Int4WeightOnlyConfig,
     Int8DynamicActivationInt8WeightConfig,
+    Int8DynamicActivationIntxWeightConfig,
     Int8StaticActivationInt8WeightConfig,
     Int8WeightOnlyConfig,
+    IntxWeightOnlyConfig,
     ModuleFqnToConfig,
+    NF4WeightOnlyConfig,
 )
 from ao_tpu.quantization.granularity import (
     PerAxis,
@@ -82,6 +86,10 @@ __all__ = [
     "Float8WeightOnlyConfig",
     "Float8DynamicActivationFloat8WeightConfig",
     "Float8StaticActivationFloat8WeightConfig",
+    "Float8DynamicActivationInt4WeightConfig",
+    "IntxWeightOnlyConfig",
+    "Int8DynamicActivationIntxWeightConfig",
+    "NF4WeightOnlyConfig",
     "FqnToConfig",
     "ModuleFqnToConfig",
     "GPTQConfig",
