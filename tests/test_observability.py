@@ -116,3 +116,37 @@ class TestRoofline:
 
     def test_detect_never_raises(self):
         assert detect_tpu_spec().name in TPU_SPECS
+
+
+class TestBenchmarkUtils:
+    def test_memory_footprint_ratio(self):
+        import ao_tpu
+        from ao_tpu.utils.benchmark import memory_footprint
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (256, 256), jnp.float32)
+        dense = memory_footprint({"kernel": w})
+        q = ao_tpu.quantize_({"kernel": w},
+                             ao_tpu.Int4WeightOnlyConfig(group_size=64))
+        quant = memory_footprint(q)
+        assert dense["hp_bytes"] == 256 * 256 * 4
+        assert quant["quantized_bytes"] == 256 * 256 // 2  # packed nibbles
+        assert quant["total_bytes"] < dense["total_bytes"] / 4
+
+    def test_profiler_runner_writes_trace(self, tmp_path):
+        from ao_tpu.utils.benchmark import profiler_runner
+
+        f = jax.jit(lambda x: (x @ x).sum())
+        x = jax.random.normal(jax.random.PRNGKey(0), (64, 64))
+        out = profiler_runner(str(tmp_path / "trace"), f, x)
+        assert bool(jnp.isfinite(out))
+        found = list((tmp_path / "trace").rglob("*.xplane.pb"))
+        assert found, "no xplane trace written"
+
+    def test_benchmark_model_returns_times(self):
+        from ao_tpu.utils.benchmark import benchmark_model
+
+        f = jax.jit(lambda x: x @ x)
+        x = jax.random.normal(jax.random.PRNGKey(0), (128, 128))
+        r = benchmark_model(f, (x,), iters=2, warmup=1)
+        assert r["wall_us"] > 0
+        assert r["device_us"] >= 0  # CPU xplane may report 0 device time
