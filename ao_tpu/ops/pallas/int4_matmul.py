@@ -100,40 +100,63 @@ def _kernel_twoplane(xlo_ref, xhi_ref, w_ref, s_ref, b_ref, out_ref, acc_ref,
         out_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-def _pick_tiles(m, kp, n, g):
-    # tuned on v5e (tile sweep 2026-08): tkl=4096 (tkp=2048), tn=512
-    tm = m if m <= 256 else 256
-    tn = 512 if n % 512 == 0 else (256 if n % 256 == 0 else 128)
+def _valid_tkp(cand, kp, g):
+    """BlockSpec legality of a K/2-tile: every operand the tile touches —
+    x (tm, 2c): 2c %128 or == k; scale (2c/g, tn): %8 rows or == k/g."""
     gh = g // 2
     k = 2 * kp
+    if kp % cand or cand % gh:
+        return False
+    tkl = 2 * cand
+    if tkl % 128 and tkl != k:
+        return False
+    if (tkl // g) % 8 and tkl != k:
+        return False
+    return True
 
-    def valid(cand):
-        # blockspec rules for every operand the tile shape touches:
-        # x (tm, 2c): 2c %128 or == k; scale (2c/g, tn): %8 or == k/g
-        if kp % cand or cand % gh:
-            return False
-        tkl = 2 * cand
-        if tkl % 128 and tkl != k:
-            return False
-        if (tkl // g) % 8 and tkl != k:
-            return False
-        return True
 
+def candidate_tiles(m, kp, n, g):
+    """All legal (tm, tkp, tn) tile combos for the autotuner. tm is legal
+    when it's a multiple of 8 (multi-block rows) or covers the whole padded
+    m (single block); candidates keep to one tm per regime plus 256."""
+    tms = {m if m <= 256 else 256}
+    if 8 < m <= 256 and m % 8:
+        tms.add(min(256, (m + 7) // 8 * 8))
+    tns = [t for t in (128, 256, 512, 1024) if n % t == 0]
+    tkps = sorted({c for c in (64, 128, 256, 512, 1024, 2048, kp)
+                   if c <= kp and _valid_tkp(c, kp, g)})
+    return [(tm, tkp, tn) for tm in sorted(tms) for tkp in tkps
+            for tn in tns]
+
+
+def _pick_tiles(m, kp, n, g):
+    # consult the measured-autotune cache first (ops/pallas/autotune.py)
+    from ao_tpu.ops.pallas.autotune import lookup_tuned
+
+    tuned = lookup_tuned("int4_wo_matmul", m, 2 * kp, n, g)
+    if tuned is not None and _valid_tkp(tuned[1], kp, g):
+        return tuple(tuned)
+
+    # heuristic (tile sweep on v5e 2026-08): tkl=4096 (tkp=2048), tn=512
+    tm = m if m <= 256 else 256
+    tn = 512 if n % 512 == 0 else (256 if n % 256 == 0 else 128)
     tkp = kp  # whole-K fallback: full-dim blocks are always legal
     for cand in (2048, 1024, 512, 256, 128, 64):
-        if valid(cand):
+        if _valid_tkp(cand, kp, g):
             tkp = cand
             break
     return tm, tkp, tn
 
 
-@functools.partial(jax.jit, static_argnames=("group_size", "out_dtype"))
-def _int4_wo_matmul_impl(x, packed, s, b, *, group_size, out_dtype):
+@functools.partial(jax.jit,
+                   static_argnames=("group_size", "out_dtype", "tiles"))
+def _int4_wo_matmul_impl(x, packed, s, b, *, group_size, out_dtype,
+                         tiles=None):
     m, k = x.shape
     kp, n = packed.shape
     g = group_size
 
-    tm, tkp, tn = _pick_tiles(m, kp, n, g)
+    tm, tkp, tn = tiles if tiles is not None else _pick_tiles(m, kp, n, g)
     tkl = 2 * tkp
 
     pad_m = (-m) % tm

@@ -214,3 +214,4 @@ def test_paged_attention_kernel_parity():
         y = paged_decode_attention(q, kp, vp, table, lengths,
                                    pages_per_chunk=2)
         assert compute_error(ref, y) > bound, dtype_name
+
