@@ -89,6 +89,7 @@ def forward(
     positions: Optional[jax.Array] = None,
     kv_caches: Optional[list] = None,
     cache_index: Optional[jax.Array] = None,
+    use_flash: bool = False,
 ) -> Tuple[jax.Array, Optional[list]]:
     b, s = tokens.shape
     if positions is None:
@@ -107,9 +108,14 @@ def forward(
         new_caches = None
     else:
         c0 = kv_caches[0][0]
-        t = (c0.qdata if hasattr(c0, "qdata") else c0).shape[1]
-        key_pos = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
-        mask = key_pos <= positions[:, None, :, None]
+        from ao_tpu.serving.paged import PagedKVPool
+
+        if isinstance(c0, PagedKVPool):
+            mask = None  # paged attention masks by per-sequence length
+        else:
+            t = (c0.qdata if hasattr(c0, "qdata") else c0).shape[1]
+            key_pos = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
+            mask = key_pos <= positions[:, None, :, None]
         new_caches = []
 
     # reuse the llama attention machinery (RoPE, caches, GQA, kernels) with
@@ -126,7 +132,7 @@ def forward(
         attn_out, new_c = _llama.attention(
             layer["attn"], h, attn_cfg, positions, freqs, mask,
             kv_cache=None if kv_caches is None else kv_caches[i],
-            cache_index=cache_index,
+            cache_index=cache_index, use_flash=use_flash,
         )
         x = x + attn_out
         h = rms_norm(x, layer["ln2"], cfg.norm_eps)

@@ -14,7 +14,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ao_tpu.models import llama
+from ao_tpu.models import llama, resolve_model
 
 
 @functools.partial(
@@ -42,6 +42,8 @@ def generate(
     if temperature > 0.0 and rng is None:
         rng = jax.random.PRNGKey(0)
 
+    model = resolve_model(cfg)
+
     def pick(logits, i):
         if temperature == 0.0:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -54,11 +56,11 @@ def generate(
 
         caches = init_quant_kv_caches(cfg, b, max_seq, kv_quant)
     else:
-        caches = llama.init_kv_caches(cfg, b, max_seq)
+        caches = model.init_kv_caches(cfg, b, max_seq)
 
     # prefill
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
-    logits, caches = llama.forward(
+    logits, caches = model.forward(
         params, prompt, cfg, positions=positions, kv_caches=caches,
         cache_index=0, use_flash=use_flash,
     )
@@ -67,7 +69,7 @@ def generate(
     def step(carry, _):
         caches, tok, idx = carry
         pos = jnp.full((b, 1), idx, jnp.int32)
-        logits, caches = llama.forward(
+        logits, caches = model.forward(
             params, tok[:, None], cfg, positions=pos, kv_caches=caches,
             cache_index=idx,
         )

@@ -18,7 +18,6 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ao_tpu.models import llama
 from ao_tpu.serving.kvcache import QuantKVCache, init_quant_kv_caches
 
 
@@ -57,10 +56,13 @@ class Request:
 class Engine:
     """Host-side request orchestrator around jitted prefill/step programs."""
 
-    def __init__(self, params: Any, model_cfg: llama.LlamaConfig,
+    def __init__(self, params: Any, model_cfg: Any,
                  cfg: ServeConfig = ServeConfig()):
+        from ao_tpu.models import resolve_model
+
         self.params = params
         self.model_cfg = model_cfg
+        self.model = resolve_model(model_cfg)  # llama, gemma, or registered
         self.cfg = cfg
         b, t = cfg.max_batch, cfg.max_seq
         self.paged = cfg.kv_layout == "paged"
@@ -94,7 +96,7 @@ class Engine:
         elif cfg.kv_quant:
             self.caches = init_quant_kv_caches(model_cfg, b, t, cfg.kv_quant)
         else:
-            self.caches = llama.init_kv_caches(model_cfg, b, t)
+            self.caches = self.model.init_kv_caches(model_cfg, b, t)
 
         # small per-slot state lives on the HOST (one device read per step;
         # per-slot device reads through a remote runtime are ruinous)
@@ -134,9 +136,9 @@ class Engine:
         if self.cfg.kv_quant:
             scratch = init_quant_kv_caches(mcfg, 1, plen, self.cfg.kv_quant)
         else:
-            scratch = llama.init_kv_caches(mcfg, 1, plen)
+            scratch = self.model.init_kv_caches(mcfg, 1, plen)
         positions = jnp.arange(plen, dtype=jnp.int32)[None]
-        logits, scratch = llama.forward(
+        logits, scratch = self.model.forward(
             params, prompt, mcfg, positions=positions,
             kv_caches=scratch, cache_index=0, use_flash=True,
         )
@@ -156,9 +158,9 @@ class Engine:
         """Prefill via a scratch contiguous cache, then bulk-write the rows
         into this request's pages (quantization happens in write_prompt)."""
         mcfg = self.model_cfg
-        scratch = llama.init_kv_caches(mcfg, 1, plen)
+        scratch = self.model.init_kv_caches(mcfg, 1, plen)
         positions = jnp.arange(plen, dtype=jnp.int32)[None]
-        logits, scratch = llama.forward(
+        logits, scratch = self.model.forward(
             params, prompt, mcfg, positions=positions,
             kv_caches=scratch, cache_index=0, use_flash=True,
         )
@@ -174,7 +176,7 @@ class Engine:
     def _step_paged_impl(self, params, caches, cur_tok, positions, active,
                          block_table):
         mcfg = self.model_cfg
-        logits, new_caches = llama.forward(
+        logits, new_caches = self.model.forward(
             params, cur_tok[:, None], mcfg, positions=positions[:, None],
             kv_caches=caches, cache_index=(block_table, positions),
         )
@@ -186,7 +188,7 @@ class Engine:
         mcfg = self.model_cfg
         b = self.cfg.max_batch
         pos = positions[:, None]  # (B, 1)
-        logits, new_caches = llama.forward(
+        logits, new_caches = self.model.forward(
             params, cur_tok[:, None], mcfg, positions=pos,
             kv_caches=caches, cache_index=positions,
         )
@@ -210,7 +212,7 @@ class Engine:
         decode-style masking makes causality hold across chunks."""
         mcfg = self.model_cfg
         positions = offset + jnp.arange(chunk, dtype=jnp.int32)[None]
-        logits, scratch = llama.forward(
+        logits, scratch = self.model.forward(
             params, chunk_toks, mcfg, positions=positions,
             kv_caches=scratch, cache_index=offset,
         )
@@ -243,7 +245,7 @@ class Engine:
         if self.cfg.kv_quant and not self.paged:
             scratch = init_quant_kv_caches(mcfg, 1, t, self.cfg.kv_quant)
         else:
-            scratch = llama.init_kv_caches(mcfg, 1, t)
+            scratch = self.model.init_kv_caches(mcfg, 1, t)
         n = len(req.prompt)
         padded = req.prompt + [0] * ((-n) % chunk)
         logits = None
@@ -325,7 +327,7 @@ class Engine:
         self._table_host[slot, :n_pg] = row
         self.block_table = jnp.asarray(self._table_host)
 
-        scratch = llama.init_kv_caches(self.model_cfg, 1, self.cfg.max_seq)
+        scratch = self.model.init_kv_caches(self.model_cfg, 1, self.cfg.max_seq)
         if not hasattr(self, "_seed_scratch"):
             self._seed_scratch = jax.jit(
                 self._seed_scratch_impl, static_argnames=("n_pages",),

@@ -78,3 +78,42 @@ class TestGemma:
         l1, _ = gemma.forward(params, tokens, cfg)
         l2, _ = gemma.forward(p2, tokens, cfg)
         assert not np.allclose(np.asarray(l1), np.asarray(l2))
+
+
+class TestGemmaServing:
+    """The engine and one-shot decode are model-agnostic via the registry."""
+
+    def test_generate_and_engine_match(self):
+        from ao_tpu.serving.decode import generate
+        from ao_tpu.serving.engine import Engine, ServeConfig
+
+        cfg = gemma.GEMMA_TINY
+        params = gemma.init_params(jax.random.PRNGKey(0), cfg)
+        prompt = [3, 17, 42, 9]
+        toks = generate(params, jnp.asarray(prompt, jnp.int32)[None], cfg,
+                        6, max_seq=64)
+        ref = [int(t) for t in np.asarray(toks)[0]]
+
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,)))
+        eng.submit(prompt, 6)
+        done = eng.run()
+        assert done[0].generated == ref
+
+    def test_paged_gemma(self):
+        from ao_tpu.serving.engine import Engine, ServeConfig
+
+        cfg = gemma.GEMMA_TINY
+        params = gemma.init_params(jax.random.PRNGKey(0), cfg)
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,),
+            kv_layout="paged", page_size=8))
+        eng.submit([5, 6, 7, 8], 5)
+        done = eng.run()
+        assert len(done[0].generated) == 5
+
+    def test_unregistered_config_raises(self):
+        from ao_tpu.models import resolve_model
+
+        with pytest.raises(TypeError, match="no model registered"):
+            resolve_model(object())
