@@ -58,6 +58,7 @@ from ao_tpu.integrations.serialization import (
 from ao_tpu.sparsity.configs import (
     BlockSparseWeightConfig,
     SemiSparseWeightConfig,
+    Sparse24Int4WeightConfig,
     WandaSparseConfig,
     sparsify_,
 )
@@ -106,6 +107,7 @@ __all__ = [
     "load_quantized",
     "sparsify_",
     "SemiSparseWeightConfig",
+    "Sparse24Int4WeightConfig",
     "BlockSparseWeightConfig",
     "WandaSparseConfig",
 ]

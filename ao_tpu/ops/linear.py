@@ -237,7 +237,16 @@ def _nf4_linear(x: jax.Array, w: NF4Array, b):
 # ---------------------------------------------------------------------------
 
 from ao_tpu.sparsity.blocksparse import BlockSparseArray  # noqa: E402
-from ao_tpu.sparsity.sparse24 import Sparse24Array  # noqa: E402
+from ao_tpu.sparsity.sparse24 import Sparse24Array, Sparse24Int4Array  # noqa: E402
+
+
+@implements("linear", Sparse24Int4Array)
+def _sparse24_int4_linear(x, w, b):
+    """Dequant(+decompress) then MXU matmul; the fused metadata-gather
+    Pallas kernel is deliberately absent on v5e (2:4 expansion is VPU-bound
+    there — PARITY known gaps)."""
+    y = x @ w.dequantize(x.dtype)
+    return y if b is None else y + b
 
 
 @implements("linear", Sparse24Array)

@@ -33,6 +33,23 @@ def _semi_sparse_transform(weight, config: SemiSparseWeightConfig):
 
 
 @dataclasses.dataclass
+class Sparse24Int4WeightConfig(AOBaseConfig):
+    """2:4 prune + int4-quantize the kept values, both compressed — the
+    marlin-sparse analog at 3/8 B/elem (ref: Int4WeightOnlyConfig over
+    MarlinSparseLayout, sparsity/README.md:28)."""
+
+    group_size: int = 128
+    version: int = 1
+
+
+@register_quantize_handler(Sparse24Int4WeightConfig)
+def _sparse24_int4_transform(weight, config: Sparse24Int4WeightConfig):
+    from ao_tpu.sparsity.sparse24 import Sparse24Int4Array
+
+    return Sparse24Int4Array.from_hp(weight, config.group_size)
+
+
+@dataclasses.dataclass
 class BlockSparseWeightConfig(AOBaseConfig):
     """(ref: sparse_api.py:50)"""
 

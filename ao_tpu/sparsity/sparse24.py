@@ -170,3 +170,76 @@ def _ssal_bwd(res, g):
 
 
 semi_sparse_activation_linear.defvjp(_ssal_fwd, _ssal_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Structured-compressed int4 + 2:4 (the marlin-sparse analog, SURVEY build
+# plan #5; ref: torchao sparsity/README.md:28 — Int4WeightOnly over a
+# MarlinSparseLayout, 2.37x + -67.7% mem on A100. TPU re-design: no sparse
+# tensor cores, so the win is BYTES — 2 kept int4 codes per group of 4
+# (K*N/4 B) + 2x2-bit positions (K*N/8 B) = 3/8 B/elem vs 1/2 for dense
+# int4. Dequant is a vectorized one-hot scatter; the fused-gather Pallas
+# kernel stays opt-in for VPU-richer generations (on v5e 2:4 expansion adds
+# VPU work per byte saved — see PARITY known gaps).
+# ---------------------------------------------------------------------------
+
+
+@qarray_dataclass
+class Sparse24Int4Array(QuantizedArray):
+    """2:4-pruned weight with int4-quantized kept values, both compressed."""
+
+    qdata: jax.Array  # (K/4, N) uint8 — two kept 4-bit codes per group of 4
+    metadata: jax.Array  # (K/8, N) uint8 — two groups' 2x2-bit positions
+    scale: jax.Array  # (K/g, N) f32
+    zero_point: jax.Array  # (K/g, N) f32 (tinygemm float domain)
+    group_size: int = meta(default=128)
+    _shape: Tuple[int, ...] = meta(default=())
+    _dequant_dtype: str = meta(default="bfloat16")
+
+    @classmethod
+    def from_hp(cls, hp: jax.Array, group_size: int = 128,
+                dequant_dtype: str = "bfloat16") -> "Sparse24Int4Array":
+        from ao_tpu.quantization import primitives as P
+
+        k, n = hp.shape
+        g = group_size
+        if k % max(g, 8) or g % 8:
+            raise ValueError(f"K={k} needs K%{max(g, 8)}==0 and g%8==0")
+        pruned = prune_2to4(hp.astype(jnp.float32))
+        values, mb = compress_2to4(pruned)  # (K/2, N), (K/4, N) 4-bit
+
+        # per-(g,1) qparams of the ORIGINAL groups == per-(g/2,1) groups of
+        # the compressed rows (each original group contributes exactly g/2
+        # kept rows, in order); absmax over kept rows == absmax over group
+        block = (g // 2, 1)
+        scale, zp = P.choose_qparams_affine_tinygemm(
+            values, block, quant_min=0, quant_max=15)
+        codes = P.quantize_affine_tinygemm(
+            values, block, scale, zp, 0, 15).astype(jnp.uint8)
+
+        # pack code pairs along K: (K/2, N) -> (K/4, N)
+        qdata = (codes[0::2] | (codes[1::2] << 4)).astype(jnp.uint8)
+        # pack metadata pairs: (K/4, N) 4-bit -> (K/8, N)
+        meta_packed = (mb[0::2] | (mb[1::2] << 4)).astype(jnp.uint8)
+        return cls(
+            qdata=qdata, metadata=meta_packed, scale=scale, zero_point=zp,
+            group_size=g, _shape=(k, n), _dequant_dtype=dequant_dtype,
+        )
+
+    def dequantize(self, output_dtype=None):
+        from ao_tpu.quantization import primitives as P
+
+        k, n = self._shape
+        # unpack codes -> (K/2, N), dequant kept values
+        lo = (self.qdata & 0xF).astype(jnp.uint8)
+        hi = (self.qdata >> 4).astype(jnp.uint8)
+        codes = jnp.stack([lo, hi], axis=1).reshape(k // 2, n)
+        vals = P.dequantize_affine_tinygemm(
+            codes, (self.group_size // 2, 1), self.scale, self.zero_point,
+            0, 15, output_dtype=jnp.float32,
+        )
+        # unpack metadata -> (K/4, N) 4-bit (lo_idx | hi_idx<<2)
+        ml = (self.metadata & 0xF).astype(jnp.uint8)
+        mh = (self.metadata >> 4).astype(jnp.uint8)
+        mb = jnp.stack([ml, mh], axis=1).reshape(k // 4, n)
+        return decompress_2to4(vals, mb).astype(output_dtype or self.dtype)

@@ -155,3 +155,53 @@ class TestActivationSparse:
         dx, dw = jax.vjp(semi_sparse_activation_linear, x, w)[1](g)
         # dx is dense (straight-through), dw uses the pruned activation
         assert float((np.asarray(dx) != 0).mean()) > 0.9
+
+
+class TestSparse24Int4:
+    """Marlin-sparse analog: 2:4 + int4, both compressed (3/8 B/elem)."""
+
+    def test_bytes_and_dequant(self):
+        from ao_tpu.sparsity.sparse24 import Sparse24Int4Array, prune_2to4
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (256, 128), jnp.float32)
+        a = Sparse24Int4Array.from_hp(w, group_size=64)
+        k, n = w.shape
+        assert a.qdata.shape == (k // 4, n)
+        assert a.metadata.shape == (k // 8, n)
+        payload = a.qdata.nbytes + a.metadata.nbytes
+        assert payload == k * n // 4 + k * n // 8  # 3/8 byte per element
+        dq = a.dequantize(jnp.float32)
+        ref = prune_2to4(w)
+        # pruned positions are EXACT zeros; kept values within int4 error
+        mask = np.asarray(ref) == 0
+        assert np.all(np.asarray(dq)[mask] == 0)
+        err = ao_tpu.compute_error(ref, dq)
+        assert float(err) > 20.0
+
+    def test_config_and_linear(self):
+        from ao_tpu.ops import linear
+        from ao_tpu.sparsity.configs import Sparse24Int4WeightConfig, sparsify_
+        from ao_tpu.sparsity.sparse24 import Sparse24Int4Array, prune_2to4
+
+        w = jax.random.normal(jax.random.PRNGKey(1), (128, 64), jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(2), (4, 128), jnp.float32)
+        sp = sparsify_({"kernel": w}, Sparse24Int4WeightConfig(group_size=32))
+        assert isinstance(sp["kernel"], Sparse24Int4Array)
+        y = linear(x, sp["kernel"])
+        ref = x @ prune_2to4(w)
+        assert float(ao_tpu.compute_error(ref, y)) > 18.0
+        y2 = jax.jit(linear)(x, sp["kernel"])
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=1e-5)
+
+    def test_checkpoint_roundtrip(self):
+        from ao_tpu.ops import linear
+        from ao_tpu.sparsity.configs import Sparse24Int4WeightConfig, sparsify_
+
+        w = jax.random.normal(jax.random.PRNGKey(3), (128, 64), jnp.float32)
+        sp = sparsify_({"kernel": w}, Sparse24Int4WeightConfig(group_size=32))
+        tensors, meta = ao_tpu.flatten_quantized_state_dict(sp)
+        back = ao_tpu.unflatten_quantized_state_dict(tensors, meta)
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, 128), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(linear(x, sp["kernel"])),
+            np.asarray(linear(x, back["kernel"])))
