@@ -75,3 +75,25 @@ class TestShardParams:
                 sharded, tokens)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                    rtol=2e-2, atol=2e-2)
+
+
+class TestShardedServing:
+    def test_engine_with_tp_sharded_params(self):
+        """The serving engine's jitted programs run with TP-sharded
+        quantized params and reproduce the unsharded tokens (SURVEY §7
+        item 6: continuous batching under the mesh)."""
+        from ao_tpu.serving.engine import Engine, ServeConfig
+
+        cfg, qp = _model()
+        scfg = ServeConfig(max_batch=2, max_seq=64, prefill_buckets=(8,))
+        eng = Engine(qp, cfg, scfg)
+        eng.submit([3, 17, 42, 9], 6)
+        ref = eng.run()[0].generated
+
+        mesh = make_mesh((1, 2), ("dp", "tp"))
+        with mesh:
+            sharded = shard_params(qp, mesh)
+            eng2 = Engine(sharded, cfg, scfg)
+            eng2.submit([3, 17, 42, 9], 6)
+            out = eng2.run()[0].generated
+        assert out == ref
