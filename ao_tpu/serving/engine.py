@@ -36,6 +36,11 @@ class ServeConfig:
     # automatic prefix caching (paged layout only): requests sharing a
     # page-aligned prompt prefix reuse the cached KV pages
     prefix_cache: bool = False
+    # decode steps fused into one device program per step() call (the
+    # vLLM multi-step-scheduling analog): k tokens per host round-trip,
+    # at the cost of up to k-1 wasted device steps when a request hits
+    # eos mid-window and of admission only at window boundaries
+    decode_steps_per_call: int = 1
     # sampling (0.0 = greedy); one PRNG stream per engine, folded per step
     temperature: float = 0.0
     top_k: Optional[int] = None
@@ -194,6 +199,30 @@ class Engine:
         )
         nxt = self._pick(logits[:, -1], positions[0])
         return new_caches, jnp.where(active, nxt, cur_tok)
+
+    def _step_multi_impl(self, params, caches, cur_tok, positions, active,
+                         block_table=None, *, k):
+        """k fused decode steps (lax.scan): one device program, k tokens per
+        host round-trip. Inactive slots idle; positions clamp at max_seq-1
+        so mid-window finishes can't write out of bounds."""
+        mcfg = self.model_cfg
+        cap = self.cfg.max_seq - 1
+
+        def body(carry, _):
+            caches, tok, pos = carry
+            idx = (pos if block_table is None else (block_table, pos))
+            logits, caches = self.model.forward(
+                params, tok[:, None], mcfg, positions=pos[:, None],
+                kv_caches=caches, cache_index=idx,
+            )
+            nxt = self._pick(logits[:, -1], pos[0])
+            nxt = jnp.where(active, nxt, tok)
+            pos = jnp.where(active, jnp.minimum(pos + 1, cap), pos)
+            return (caches, nxt, pos), nxt
+
+        (caches, _, _), toks = jax.lax.scan(
+            body, (caches, cur_tok, positions), None, length=k)
+        return caches, toks  # (k, B)
 
     def _pick(self, logits, salt):
         """Greedy or sampled next-token selection (salt: any traced int
@@ -507,53 +536,70 @@ class Engine:
                     self._prefix_cache[key]["users"] -= 1
                 self._slot_key[req.slot] = None
 
+    def _grow_pages(self, horizon: int) -> None:
+        """Allocate pages so every active slot can write ``horizon`` more
+        tokens starting at its current position."""
+        ps = self.cfg.page_size
+        dirty = False
+        for slot, req in enumerate(self._slots):
+            if req is None:
+                continue
+            pos = int(self.positions[slot])  # host state, no sync
+            last = min(pos + horizon - 1, self.cfg.max_seq - 1)
+            key = self._slot_key[slot]
+            n_shared = (len(self._prefix_cache[key]["pages"])
+                        if key is not None and key in self._prefix_cache
+                        else 0)
+            while n_shared + len(self._slot_pages[slot]) <= last // ps:
+                pid = self._alloc_page()
+                pg = n_shared + len(self._slot_pages[slot])
+                self._slot_pages[slot].append(pid)
+                self._table_host[slot, pg] = pid
+                dirty = True
+        if dirty:
+            self.block_table = jnp.asarray(self._table_host)
+
     def step(self) -> None:
-        """Admit queued requests into free slots, then advance one token."""
+        """Admit queued requests into free slots, then advance every active
+        slot by ``decode_steps_per_call`` tokens (one device program)."""
         import numpy as _np
 
         self._admit()
         if not self.active.any():
             return
+        k = max(1, self.cfg.decode_steps_per_call)
         if self.paged:
-            # page growth: the token written this step lands at positions[s];
-            # allocate a fresh page when it opens a new page
-            ps = self.cfg.page_size
-            dirty = False
-            for slot, req in enumerate(self._slots):
-                if req is None:
-                    continue
-                pos = int(self.positions[slot])  # host state, no sync
-                key = self._slot_key[slot]
-                n_shared = (len(self._prefix_cache[key]["pages"])
-                            if key is not None and key in self._prefix_cache
-                            else 0)
-                held = n_shared + len(self._slot_pages[slot])
-                if pos % ps == 0 and pos // ps >= held:
-                    pid = self._alloc_page()
-                    self._slot_pages[slot].append(pid)
-                    self._table_host[slot, pos // ps] = pid
-                    dirty = True
-            if dirty:
-                self.block_table = jnp.asarray(self._table_host)
-            self.caches, nxt = self._step(
+            self._grow_pages(k)
+        if k == 1:
+            args = (self.params, self.caches, jnp.asarray(self.cur_tok),
+                    jnp.asarray(self.positions), jnp.asarray(self.active))
+            if self.paged:
+                args += (self.block_table,)
+            self.caches, nxt = self._step(*args)
+            toks_host = _np.asarray(nxt)[None]  # (1, B); ONE device read
+        else:
+            if not hasattr(self, "_step_multi"):
+                self._step_multi = jax.jit(
+                    self._step_multi_impl, static_argnames=("k",),
+                    donate_argnums=(1,),
+                )
+            self.caches, toks = self._step_multi(
                 self.params, self.caches, jnp.asarray(self.cur_tok),
                 jnp.asarray(self.positions), jnp.asarray(self.active),
-                self.block_table,
+                self.block_table if self.paged else None, k=k,
             )
-        else:
-            self.caches, nxt = self._step(
-                self.params, self.caches, jnp.asarray(self.cur_tok),
-                jnp.asarray(self.positions), jnp.asarray(self.active)
-            )
-        nxt_host = _np.asarray(nxt)  # ONE device read per step
-        self.cur_tok = nxt_host.copy()
-        self.positions = _np.where(self.active, self.positions + 1,
-                                   self.positions).astype(_np.int32)
-        for slot, req in enumerate(self._slots):
+            toks_host = _np.asarray(toks)  # (k, B); ONE device read
+        for slot, req in enumerate(list(self._slots)):
             if req is None:
                 continue
-            req.generated.append(int(nxt_host[slot]))
-            self._maybe_finish(req)
+            for i in range(toks_host.shape[0]):
+                tok = int(toks_host[i, slot])
+                self.cur_tok[slot] = tok
+                self.positions[slot] += 1
+                req.generated.append(tok)
+                self._maybe_finish(req)
+                if req.done:
+                    break
 
     def run(self, max_steps: int = 10_000) -> List[Request]:
         """Drive until queue and slots drain; returns the requests that

@@ -251,3 +251,39 @@ class TestPrefixCache:
         eng.submit(list(range(1, 17)) + [5], 2)
         eng.run()
         assert not hasattr(eng, "_x") and eng._prefix_cache == {}
+
+
+class TestMultiStepDecode:
+    def test_multistep_matches_single(self):
+        """k fused decode steps per call must reproduce single-step tokens,
+        including eos truncation mid-window."""
+        params, cfg = _model()
+        prompts = [[1, 2, 3], [7, 8], [10, 11, 12, 13], [99]]
+        base = dict(max_batch=2, max_seq=64, prefill_buckets=(8,))
+        ref_eng = Engine(params, cfg, ServeConfig(**base))
+        for p in prompts:
+            ref_eng.submit(p, 7)
+        refs = {r.uid: r.generated for r in ref_eng.run()}
+
+        for k in (2, 4):
+            eng = Engine(params, cfg, ServeConfig(
+                **base, decode_steps_per_call=k))
+            for p in prompts:
+                eng.submit(p, 7)
+            for r in eng.run():
+                assert r.generated == refs[r.uid], (k, r.uid)
+
+    def test_multistep_paged_with_eos(self):
+        params, cfg = _model()
+        prompt = [3, 17, 42, 9]
+        ref = _ref_generate(params, cfg, prompt, 8)
+        eos = ref[4]  # finishes mid-window for k=3
+        base = dict(max_batch=2, max_seq=64, prefill_buckets=(8,),
+                    kv_layout="paged", page_size=8, eos_id=eos)
+        eng = Engine(params, cfg, ServeConfig(
+            **base, decode_steps_per_call=3))
+        eng.submit(prompt, 8)
+        done = eng.run()
+        assert done[0].generated == ref[:5]
+        # pages released after the mid-window finish
+        assert eng._slot_pages[0] == []
