@@ -60,6 +60,15 @@ def main():
                                      prefill_buckets=(128,),
                                      kv_layout="paged", page_size=128,
                                      kv_quant="int8")),
+        ("slots_int8kv_k8", ServeConfig(max_batch=16, max_seq=256,
+                                        prefill_buckets=(128,),
+                                        kv_quant="int8",
+                                        decode_steps_per_call=8)),
+        ("paged_int8kv_k8", ServeConfig(max_batch=16, max_seq=256,
+                                        prefill_buckets=(128,),
+                                        kv_layout="paged", page_size=128,
+                                        kv_quant="int8",
+                                        decode_steps_per_call=8)),
     ]
     for name, scfg in suites:
         tok_s = bench(qp, mcfg, scfg)

@@ -215,3 +215,34 @@ def test_paged_attention_kernel_parity():
                                    pages_per_chunk=2)
         assert compute_error(ref, y) > bound, dtype_name
 
+
+
+class TestInt8Kernel:
+    def test_int8_wo_pallas_vs_emulated(self):
+        """Pallas int8-WO kernel vs the XLA epilogue-folded path."""
+        import ao_tpu
+        from ao_tpu.ops import kernels, linear
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (512, 256), jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, 512), jnp.bfloat16)
+        q = ao_tpu.quantize_({"kernel": w},
+                             ao_tpu.Int8WeightOnlyConfig())["kernel"]
+        with kernels.backend("pallas"):
+            y_pallas = linear(x, q)
+        with kernels.backend("xla"):
+            y_xla = linear(x, q)
+        assert float(ao_tpu.compute_error(
+            y_xla.astype(jnp.float32), y_pallas.astype(jnp.float32))) > 35.0
+
+    def test_int8_wo_odd_shapes_fall_back(self):
+        import ao_tpu
+        from ao_tpu.ops import kernels, linear
+
+        # K not 128-aligned → must fall back, not crash
+        w = jax.random.normal(jax.random.PRNGKey(0), (96, 256), jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 96), jnp.bfloat16)
+        q = ao_tpu.quantize_({"kernel": w},
+                             ao_tpu.Int8WeightOnlyConfig())["kernel"]
+        with kernels.backend("pallas"):
+            y = linear(x, q)
+        assert y.shape == (4, 256)
