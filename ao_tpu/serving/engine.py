@@ -114,6 +114,10 @@ class Engine:
         self._finished: List[Request] = []
         self._rng = jax.random.PRNGKey(cfg.seed)
         self._step_count = 0
+        self._finished_total = 0
+        self._tokens_total = 0
+        self._prefix_hits = 0
+        self._prefills = 0
 
         # params are ARGUMENTS of the jitted programs (a method closing
         # over self.params would bake the whole model into the compiled
@@ -457,6 +461,8 @@ class Engine:
             if self.paged and self.cfg.prefix_cache:
                 hit = self._match_prefix(req.prompt)
                 if hit is not None:
+                    self._prefix_hits += 1
+                    self._prefills += 1
                     tok = self._prefill_paged_shared(req, slot, hit)
                     req.generated.append(int(tok))
                     self.cur_tok[slot] = int(tok)
@@ -465,6 +471,7 @@ class Engine:
                     self._slots[slot] = req
                     self._maybe_finish(req)
                     continue
+            self._prefills += 1
             plen = self._bucket(len(req.prompt))
             if plen is None:
                 # chunked long-prompt prefill
@@ -525,6 +532,8 @@ class Engine:
         full = int(self.positions[req.slot]) + 1 >= self.cfg.max_seq
         if len(req.generated) >= req.max_new_tokens or hit_eos or full:
             req.done = True
+            self._finished_total += 1
+            self._tokens_total += len(req.generated)
             self.active[req.slot] = False
             self._slots[req.slot] = None
             self._finished.append(req)
@@ -565,6 +574,7 @@ class Engine:
         import numpy as _np
 
         self._admit()
+        self._step_count += 1
         if not self.active.any():
             return
         k = max(1, self.cfg.decode_steps_per_call)
@@ -600,6 +610,31 @@ class Engine:
                 self._maybe_finish(req)
                 if req.done:
                     break
+
+    def stats(self) -> Dict[str, Any]:
+        """Serving counters (host-side, no device sync): request/token
+        totals, slot occupancy, and — for paged layouts — page-pool and
+        prefix-cache utilization. (ref analog: the vLLM metrics the
+        reference's serving docs report against.)"""
+        d: Dict[str, Any] = {
+            "steps": self._step_count,
+            "prefills": self._prefills,
+            "finished_requests": self._finished_total,
+            "generated_tokens": self._tokens_total,
+            "active_slots": int(self.active.sum()),
+            "queued_requests": len(self._queue),
+        }
+        if self.paged:
+            n_pages = self.caches[0][0].pages.shape[0]
+            cached = sum(len(e["pages"]) for e in self._prefix_cache.values())
+            d.update({
+                "pages_total": n_pages - 1,  # page 0 reserved
+                "pages_free": len(self.allocator.free),
+                "pages_cached_prefix": cached,
+                "prefix_cache_entries": len(self._prefix_cache),
+                "prefix_cache_hits": self._prefix_hits,
+            })
+        return d
 
     def run(self, max_steps: int = 10_000) -> List[Request]:
         """Drive until queue and slots drain; returns the requests that

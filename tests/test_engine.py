@@ -287,3 +287,78 @@ class TestMultiStepDecode:
         assert done[0].generated == ref[:5]
         # pages released after the mid-window finish
         assert eng._slot_pages[0] == []
+
+
+class TestEngineStats:
+    def test_stats_counters(self):
+        params, cfg = _model()
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,),
+            kv_layout="paged", page_size=8, prefix_cache=True))
+        sysp = list(range(1, 17))
+        eng.submit(sysp + [50], 3)
+        eng.run()
+        eng.submit(sysp + [60], 3)
+        eng.run()
+        s = eng.stats()
+        assert s["finished_requests"] == 2
+        assert s["generated_tokens"] == 6
+        assert s["prefills"] == 2
+        assert s["prefix_cache_hits"] == 1
+        assert s["prefix_cache_entries"] == 1
+        assert s["pages_free"] + s["pages_cached_prefix"] == s["pages_total"]
+        assert s["active_slots"] == 0 and s["queued_requests"] == 0
+
+
+class TestMoEServing:
+    def test_moe_llama_engine_matches_generate(self):
+        """Mixtral-style routed-FFN llama through the serving engine."""
+        cfg = llama.LlamaConfig(
+            vocab_size=128, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+            ffn_dim=96, tie_embeddings=True, dtype=jnp.float32,
+            n_experts=4, top_k_experts=2)
+        params = llama.init_params(jax.random.PRNGKey(0), cfg)
+        ref = _ref_generate(params, cfg, [3, 17, 42, 9], 6)
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,),
+            decode_steps_per_call=3))
+        eng.submit([3, 17, 42, 9], 6)
+        assert eng.run()[0].generated == ref
+
+
+class TestEngineFuzz:
+    @pytest.mark.parametrize("seed", range(4))
+    def test_random_traffic_matches_reference(self, seed):
+        """Random request patterns through random engine configs must
+        reproduce per-request one-shot greedy decoding exactly."""
+        import random
+
+        rng = random.Random(seed)
+        params, cfg = _model()
+        kw = dict(max_batch=rng.choice([1, 2, 3]), max_seq=64,
+                  prefill_buckets=(8,),
+                  decode_steps_per_call=rng.choice([1, 2, 4]))
+        if rng.random() < 0.5:
+            kw.update(kv_layout="paged", page_size=8,
+                      prefix_cache=rng.random() < 0.5)
+        eng = Engine(params, cfg, ServeConfig(**kw))
+
+        prompts, refs = [], []
+        for i in range(rng.randrange(3, 7)):
+            p = [rng.randrange(1, cfg.vocab_size) for _ in
+                 range(rng.randrange(1, 12))]
+            n = rng.randrange(1, 6)
+            prompts.append((p, n))
+            refs.append(_ref_generate(params, cfg, p, n))
+
+        # submit in bursts with interleaved steps
+        it = iter(prompts)
+        outs = {}
+        for p, n in prompts:
+            eng.submit(p, n)
+            if rng.random() < 0.4:
+                eng.step()
+        for r in eng.run():
+            outs[r.uid] = r.generated
+        for uid, (p, n) in enumerate(prompts):
+            assert outs[uid] == refs[uid], (kw, uid)
