@@ -28,6 +28,7 @@ ALIGNMENT = 32
 GGML_F32 = 0
 GGML_F16 = 1
 GGML_Q8_0 = 8
+GGML_Q4_K = 12
 
 # gguf metadata value types
 _T_U32, _T_I32, _T_F32, _T_BOOL, _T_STR, _T_U64 = 4, 5, 6, 7, 8, 10
@@ -80,6 +81,78 @@ def dequantize_q8_0(raw: bytes, n: int) -> np.ndarray:
     return (q * d).reshape(-1)[:n]
 
 
+def quantize_q4_k(a: np.ndarray) -> bytes:
+    """Row-major Q4_K super-blocks: 256 values → 144 bytes.
+
+    Layout (ggml block_q4_K): fp16 d (scale-of-scales) + fp16 dmin
+    (scale-of-mins) + 12 bytes of 6-bit sub-block scales/mins + 128 bytes
+    of 4-bit quants. Dequant: x̂ = (d·sc[j])·q − (dmin·m[j]) per 32-value
+    sub-block j. Simple asymmetric qparams (min/max per sub-block) rather
+    than llama.cpp's search — bit-compatible layout, slightly higher MSE."""
+    flat = np.ascontiguousarray(a, np.float32).reshape(-1)
+    if flat.size % 256:
+        raise ValueError("Q4_K needs a multiple of 256 elements")
+    nb = flat.size // 256
+    x = flat.reshape(nb, 8, 32)
+
+    mins_f = -np.minimum(x.min(axis=2), 0.0)  # encodable mins are >= 0
+    scales_f = np.maximum((x.max(axis=2) + mins_f) / 15.0, 0.0)  # (nb, 8)
+
+    d = (scales_f.max(axis=1) / 63.0).astype(np.float16)  # (nb,)
+    dmin = (mins_f.max(axis=1) / 63.0).astype(np.float16)
+    df = d.astype(np.float32)
+    dmf = dmin.astype(np.float32)
+    df[df == 0] = 1.0
+    dmf[dmf == 0] = 1.0
+    sc = np.clip(np.rint(scales_f / df[:, None]), 0, 63).astype(np.uint8)
+    m = np.clip(np.rint(mins_f / dmf[:, None]), 0, 63).astype(np.uint8)
+
+    eff_scale = df[:, None] * sc  # (nb, 8)
+    eff_min = dmf[:, None] * m
+    es = eff_scale.copy()
+    es[es == 0] = 1.0
+    q = np.clip(np.rint((x + eff_min[:, :, None]) / es[:, :, None]),
+                0, 15).astype(np.uint8)  # (nb, 8, 32)
+
+    # 6-bit scale/min packing (ggml get_scale_min_k4 inverse)
+    scales_b = np.zeros((nb, 12), np.uint8)
+    scales_b[:, 0:4] = sc[:, 0:4] & 63
+    scales_b[:, 4:8] = m[:, 0:4] & 63
+    scales_b[:, 8:12] = (sc[:, 4:8] & 0xF) | ((m[:, 4:8] & 0xF) << 4)
+    scales_b[:, 0:4] |= (sc[:, 4:8] >> 4) << 6
+    scales_b[:, 4:8] |= (m[:, 4:8] >> 4) << 6
+
+    # 4-bit quant packing: per 64-value chunk, byte l = q[l] | q[l+32]<<4
+    qq = q.reshape(nb, 4, 64)
+    qs = (qq[:, :, :32] | (qq[:, :, 32:] << 4)).reshape(nb, 128)
+
+    out = np.zeros((nb, 144), np.uint8)
+    out[:, 0:2] = d.view(np.uint8).reshape(-1, 2)
+    out[:, 2:4] = dmin.view(np.uint8).reshape(-1, 2)
+    out[:, 4:16] = scales_b
+    out[:, 16:] = qs
+    return out.tobytes()
+
+
+def dequantize_q4_k(raw: bytes, n: int) -> np.ndarray:
+    buf = np.frombuffer(raw, np.uint8).reshape(-1, 144)
+    nb = buf.shape[0]
+    d = buf[:, 0:2].copy().view(np.float16).astype(np.float32).reshape(nb)
+    dmin = buf[:, 2:4].copy().view(np.float16).astype(np.float32).reshape(nb)
+    sb = buf[:, 4:16]
+    sc = np.empty((nb, 8), np.float32)
+    m = np.empty((nb, 8), np.float32)
+    sc[:, 0:4] = sb[:, 0:4] & 63
+    m[:, 0:4] = sb[:, 4:8] & 63
+    sc[:, 4:8] = (sb[:, 8:12] & 0xF) | ((sb[:, 0:4] >> 6) << 4)
+    m[:, 4:8] = (sb[:, 8:12] >> 4) | ((sb[:, 4:8] >> 6) << 4)
+    qs = buf[:, 16:].reshape(nb, 4, 32)
+    q = np.concatenate([qs & 0xF, qs >> 4], axis=2).astype(np.float32)
+    x = (d[:, None] * sc)[:, :, None] * q.reshape(nb, 8, 32) \
+        - (dmin[:, None] * m)[:, :, None]
+    return x.reshape(-1)[:n]
+
+
 def write_gguf(
     path: str,
     tensors: Mapping[str, np.ndarray],
@@ -100,7 +173,12 @@ def write_gguf(
             a32 = a.astype(np.float32)
         else:
             a32 = np.asarray(a, np.float32)
-        if a.ndim == 2 and quantize_2d == "q8_0" and a.size % 32 == 0:
+        if a.ndim == 2 and quantize_2d == "q4_k" and a.shape[-1] % 256 == 0:
+            ttype = GGML_Q4_K
+            blob = quantize_q4_k(a32)
+        elif a.ndim == 2 and quantize_2d in ("q8_0", "q4_k") \
+                and a.size % 32 == 0:
+            # q4_k requested but row length not 256-aligned → Q8_0 fallback
             ttype = GGML_Q8_0
             blob = quantize_q8_0(a32)
         elif quantize_2d == "f16" or a.dtype == np.float16:
@@ -195,6 +273,9 @@ def read_gguf(path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
         elif ttype == GGML_Q8_0:
             nbytes = n // 32 * 34
             a = dequantize_q8_0(data[start:start + nbytes], n).reshape(shape)
+        elif ttype == GGML_Q4_K:
+            nbytes = n // 256 * 144
+            a = dequantize_q4_k(data[start:start + nbytes], n).reshape(shape)
         else:
             raise ValueError(f"tensor type {ttype} not handled")
         tensors[name] = a.copy()

@@ -98,3 +98,38 @@ def test_export_quantized_params(tmp_path):
     # gguf tensor ≈ int4-dequantized weight (q8_0 re-code is near-lossless)
     assert float(sqnr(qp["kernel"].dequantize(jnp.float32),
                       jnp.asarray(back["kernel"]))) > 30
+
+
+class TestQ4K:
+    def test_q4k_roundtrip_sqnr(self):
+        from ao_tpu.integrations.gguf_file import (
+            dequantize_q4_k, quantize_q4_k)
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(8, 512)).astype(np.float32)
+        blob = quantize_q4_k(a)
+        assert len(blob) == a.size // 256 * 144  # 4.5 bits/value
+        back = dequantize_q4_k(blob, a.size).reshape(a.shape)
+        err = 10 * np.log10((a ** 2).mean() / ((a - back) ** 2).mean())
+        assert err > 13.0, err
+
+    def test_q4k_file_roundtrip(self, tmp_path):
+        from ao_tpu.integrations.gguf_file import (
+            GGML_Q4_K, read_gguf, write_gguf)
+
+        rng = np.random.default_rng(1)
+        tensors = {
+            "w": rng.normal(size=(16, 256)).astype(np.float32),
+            "odd": rng.normal(size=(4, 48)).astype(np.float32),  # → Q8_0
+            "vec": rng.normal(size=(100,)).astype(np.float32),   # → F32
+        }
+        path = str(tmp_path / "m.gguf")
+        write_gguf(path, tensors, {"general.name": "q4k"},
+                   quantize_2d="q4_k")
+        back, meta = read_gguf(path)
+        assert meta["general.name"] == "q4k"
+        for name, a in tensors.items():
+            assert back[name].shape == a.shape
+            err = 10 * np.log10(
+                (a ** 2).mean() / ((a - back[name]) ** 2).mean() + 1e-30)
+            assert err > 13.0, (name, err)
