@@ -12,7 +12,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
 from ao_tpu.core.config import AOBaseConfig

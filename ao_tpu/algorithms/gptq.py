@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ao_tpu.core.config import AOBaseConfig
-from ao_tpu.core.registry import get_quantize_handler, register_quantize_handler
+from ao_tpu.core.registry import register_quantize_handler
 from ao_tpu.algorithms.observe import ObservedArray
 from ao_tpu.quantization import primitives as P
 

@@ -12,7 +12,7 @@ program quantizes the entire tensor, vmapped free of charge over groups.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,7 @@ step="convert" reads the accumulated stats.)
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ao_tpu.ops.dispatch import implements, lookup
+from ao_tpu.ops.dispatch import implements
 from ao_tpu.quantization.qarrays.base import QuantizedArray, meta, qarray_dataclass
 from ao_tpu.quantization.quantize import default_filter, path_to_fqn
 

@@ -12,7 +12,7 @@ import glob
 import json
 import os
 import tempfile
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 
