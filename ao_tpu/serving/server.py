@@ -1,0 +1,163 @@
+"""Minimal OpenAI-style HTTP front-end over the serving engine.
+
+(ref analog: the reference serves through vLLM's OpenAI server
+(docs/source/eager_tutorials/serving.rst); here the loop is in-framework.
+Token-id interface — tokenization is the application's concern, like the
+reference's benchmark harnesses.)
+
+Endpoints (JSON over POST, stdlib http.server — no extra dependencies):
+  POST /v1/completions   {"prompt": [ids], "max_tokens": N,
+                          "temperature": t?, "top_k"?, "top_p"?}
+                       → {"id", "choices": [{"token_ids", "finish_reason"}],
+                          "usage": {...}}
+  GET  /v1/stats        → Engine.stats()
+
+The HTTP threads only enqueue requests and wait on events; a single
+driver thread owns the engine and the device (JAX programs are not
+thread-safe to interleave), batching whatever is queued each step —
+continuous batching falls out of the engine's slot scheduler.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+from ao_tpu.serving.engine import Engine, ServeConfig
+
+
+class ServingFrontend:
+    """Owns the engine + driver thread; serves HTTP on ``port``."""
+
+    def __init__(self, params: Any, model_cfg: Any, serve_cfg: ServeConfig,
+                 port: int = 8000):
+        self.engine = Engine(params, model_cfg, serve_cfg)
+        self.port = port
+        self._lock = threading.Lock()
+        self._events: Dict[int, threading.Event] = {}
+        self._results: Dict[int, Dict[str, Any]] = {}
+        self._stop = threading.Event()
+        self._driver = threading.Thread(target=self._drive, daemon=True)
+        self._httpd: Optional[ThreadingHTTPServer] = None
+
+    # -- request path --------------------------------------------------------
+
+    def submit(self, prompt, max_tokens: int) -> int:
+        ev = threading.Event()
+        with self._lock:
+            uid = self.engine.submit(list(prompt), max_tokens)
+            self._events[uid] = ev
+        return uid
+
+    def wait(self, uid: int, timeout: float = 300.0) -> Dict[str, Any]:
+        ev = self._events[uid]
+        if not ev.wait(timeout):
+            raise TimeoutError(f"request {uid} timed out")
+        with self._lock:
+            self._events.pop(uid, None)
+            return self._results.pop(uid)
+
+    def _drive(self):
+        import time
+
+        while not self._stop.is_set():
+            with self._lock:
+                busy = bool(self.engine._queue) or any(
+                    s is not None for s in self.engine._slots)
+                if busy:
+                    self.engine.step()
+                    done = self.engine._finished
+                    self.engine._finished = []
+                else:
+                    done = []
+                for req in done:
+                    finish = ("stop" if req.generated and
+                              req.generated[-1] == self.engine.cfg.eos_id
+                              else "length")
+                    self._results[req.uid] = {
+                        "token_ids": req.generated,
+                        "finish_reason": finish,
+                        "prompt_tokens": len(req.prompt),
+                    }
+                    ev = self._events.get(req.uid)
+                    if ev is not None:
+                        ev.set()
+            if not busy:
+                time.sleep(0.005)
+
+    # -- http ----------------------------------------------------------------
+
+    def serve_forever(self):
+        frontend = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/v1/stats":
+                    with frontend._lock:
+                        self._json(200, frontend.engine.stats())
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/v1/completions":
+                    self._json(404, {"error": "not found"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n))
+                    prompt = req["prompt"]
+                    if not (isinstance(prompt, list) and
+                            all(isinstance(t, int) for t in prompt)):
+                        raise ValueError("prompt must be a list of token ids")
+                    uid = frontend.submit(prompt,
+                                          int(req.get("max_tokens", 32)))
+                    out = frontend.wait(uid)
+                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                except TimeoutError as e:
+                    self._json(504, {"error": str(e)})
+                    return
+                self._json(200, {
+                    "id": f"cmpl-{uid}",
+                    "object": "completion",
+                    "choices": [{
+                        "index": 0,
+                        "token_ids": out["token_ids"],
+                        "finish_reason": out["finish_reason"],
+                    }],
+                    "usage": {
+                        "prompt_tokens": out["prompt_tokens"],
+                        "completion_tokens": len(out["token_ids"]),
+                    },
+                })
+
+        self._driver.start()
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", self.port), Handler)
+        try:
+            self._httpd.serve_forever()
+        finally:
+            self.shutdown()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self):
+        self._stop.set()
+        if self._httpd is not None:
+            self._httpd.shutdown()
