@@ -531,19 +531,39 @@ class Engine:
         hit_eos = req.generated and req.generated[-1] == self.cfg.eos_id
         full = int(self.positions[req.slot]) + 1 >= self.cfg.max_seq
         if len(req.generated) >= req.max_new_tokens or hit_eos or full:
-            req.done = True
-            self._finished_total += 1
-            self._tokens_total += len(req.generated)
-            self.active[req.slot] = False
-            self._slots[req.slot] = None
-            self._finished.append(req)
-            if self.paged:
-                self.allocator.release(self._slot_pages[req.slot])
-                self._slot_pages[req.slot] = []
-                key = self._slot_key[req.slot]
-                if key is not None and key in self._prefix_cache:
-                    self._prefix_cache[key]["users"] -= 1
-                self._slot_key[req.slot] = None
+            self._finish(req)
+
+    def _finish(self, req: Request) -> None:
+        req.done = True
+        self._finished_total += 1
+        self._tokens_total += len(req.generated)
+        self.active[req.slot] = False
+        self._slots[req.slot] = None
+        self._finished.append(req)
+        if self.paged:
+            self.allocator.release(self._slot_pages[req.slot])
+            self._slot_pages[req.slot] = []
+            key = self._slot_key[req.slot]
+            if key is not None and key in self._prefix_cache:
+                self._prefix_cache[key]["users"] -= 1
+            self._slot_key[req.slot] = None
+
+    def cancel(self, uid: int) -> bool:
+        """Abort a request: drop it from the queue, or free its slot and
+        pages if in flight (it lands in the next run()'s results with
+        whatever tokens it had). Returns False if the uid is unknown or
+        already finished."""
+        for i, req in enumerate(self._queue):
+            if req.uid == uid:
+                self._queue.pop(i)
+                req.done = True
+                self._finished.append(req)
+                return True
+        for req in self._slots:
+            if req is not None and req.uid == uid:
+                self._finish(req)
+                return True
+        return False
 
     def _grow_pages(self, horizon: int) -> None:
         """Allocate pages so every active slot can write ``horizon`` more

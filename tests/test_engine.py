@@ -362,3 +362,26 @@ class TestEngineFuzz:
             outs[r.uid] = r.generated
         for uid, (p, n) in enumerate(prompts):
             assert outs[uid] == refs[uid], (kw, uid)
+
+
+class TestCancel:
+    def test_cancel_queued_and_inflight(self):
+        params, cfg = _model()
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,),
+            kv_layout="paged", page_size=8))
+        u1 = eng.submit([1, 2, 3], 10)
+        u2 = eng.submit([4, 5, 6], 10)   # queued behind u1 (1 slot)
+        eng.step()  # u1 in flight with 1+1 tokens
+        assert eng.cancel(u2) is True    # queued → dropped
+        assert eng.cancel(u1) is True    # in flight → slot + pages freed
+        assert eng.cancel(99) is False
+        done = eng.run()
+        uids = {r.uid: r for r in done}
+        assert set(uids) == {u1, u2}
+        assert uids[u2].generated == []
+        assert 1 <= len(uids[u1].generated) < 10
+        assert eng._slot_pages[0] == []
+        # engine still serves after cancellation
+        u3 = eng.submit([7, 8], 3)
+        assert len(eng.run()[0].generated) == 3
