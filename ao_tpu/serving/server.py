@@ -38,7 +38,12 @@ class ServingFrontend:
         self._lock = threading.Lock()
         self._events: Dict[int, threading.Event] = {}
         self._results: Dict[int, Dict[str, Any]] = {}
+        self._requests: Dict[int, Any] = {}  # uid → live Request (streaming)
         self._stop = threading.Event()
+        # step-progress signal for streaming handlers: they must BLOCK
+        # between chunks (high-frequency polling while a device transfer
+        # is in flight wedges the remote-TPU runtime — observed on axon)
+        self._progress = threading.Condition()
         self._driver = threading.Thread(target=self._drive, daemon=True)
         self._httpd: Optional[ThreadingHTTPServer] = None
 
@@ -49,6 +54,7 @@ class ServingFrontend:
         with self._lock:
             uid = self.engine.submit(list(prompt), max_tokens)
             self._events[uid] = ev
+            self._requests[uid] = self.engine._queue[-1]
         return uid
 
     def wait(self, uid: int, timeout: float = 300.0) -> Dict[str, Any]:
@@ -57,6 +63,7 @@ class ServingFrontend:
             raise TimeoutError(f"request {uid} timed out")
         with self._lock:
             self._events.pop(uid, None)
+            self._requests.pop(uid, None)
             return self._results.pop(uid)
 
     def _drive(self):
@@ -84,6 +91,8 @@ class ServingFrontend:
                     ev = self._events.get(req.uid)
                     if ev is not None:
                         ev.set()
+            with self._progress:
+                self._progress.notify_all()
             if not busy:
                 time.sleep(0.005)
 
@@ -103,6 +112,40 @@ class ServingFrontend:
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _stream(self, uid):
+                """Server-sent events: emit new token ids as the driver
+                thread appends them, then a [DONE] sentinel."""
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                live = frontend._requests.get(uid)
+                sent = 0
+                while True:
+                    # snapshot without locks (list()/dict reads are
+                    # GIL-atomic); block on the driver's progress signal
+                    # between chunks — NOT a fast poll, which wedges the
+                    # remote-TPU transfer path
+                    toks = list(live.generated) if live else []
+                    done = uid in frontend._results
+                    if len(toks) > sent:
+                        chunk = {"id": f"cmpl-{uid}",
+                                 "choices": [{"index": 0,
+                                              "token_ids": toks[sent:]}]}
+                        self.wfile.write(
+                            f"data: {json.dumps(chunk)}\n\n".encode())
+                        self.wfile.flush()
+                        sent = len(toks)
+                    if done and sent == len(toks):
+                        break
+                    with frontend._progress:
+                        frontend._progress.wait(10.0)
+                frontend._events.pop(uid, None)
+                frontend._requests.pop(uid, None)
+                frontend._results.pop(uid, None)
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
 
             def do_GET(self):
                 if self.path == "/v1/stats":
@@ -124,6 +167,9 @@ class ServingFrontend:
                         raise ValueError("prompt must be a list of token ids")
                     uid = frontend.submit(prompt,
                                           int(req.get("max_tokens", 32)))
+                    if req.get("stream"):
+                        self._stream(uid)
+                        return
                     out = frontend.wait(uid)
                 except (KeyError, ValueError, json.JSONDecodeError) as e:
                     self._json(400, {"error": str(e)})

@@ -111,3 +111,32 @@ class TestServer:
         with pytest.raises(urllib.error.HTTPError) as ei:
             _post(port, "/v1/completions", {"prompt": "not ids"})
         assert ei.value.code == 400
+
+
+class TestStreaming:
+    def test_sse_stream_matches_non_streaming(self, frontend):
+        params, cfg, port = frontend
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,)))
+        eng.submit([5, 6, 7], 6)
+        ref = eng.run()[0].generated
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions",
+            data=json.dumps({"prompt": [5, 6, 7], "max_tokens": 6,
+                             "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        toks, chunks = [], 0
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["Content-Type"] == "text/event-stream"
+            for raw in r:
+                line = raw.decode().strip()
+                if not line.startswith("data: "):
+                    continue
+                payload = line[6:]
+                if payload == "[DONE]":
+                    break
+                toks.extend(json.loads(payload)["choices"][0]["token_ids"])
+                chunks += 1
+        assert toks == ref
+        assert chunks >= 1
