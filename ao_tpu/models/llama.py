@@ -231,10 +231,14 @@ def attention(
             k = ck.dequantize(x.dtype)
             v = cv.dequantize(x.dtype)
         elif per_slot:
-            # continuous batching: each slot writes at its own position
-            rows = jnp.arange(b)
-            ck = ck.at[rows, cache_index].set(k[:, 0].astype(ck.dtype))
-            cv = cv.at[rows, cache_index].set(v[:, 0].astype(cv.dtype))
+            # continuous batching: each slot writes its s-token window at
+            # its own position (s == 1 for plain decode; s == draft+1 for
+            # speculative verify), clamped at the last row
+            rows = jnp.arange(b)[:, None]
+            cols = jnp.minimum(cache_index[:, None] + jnp.arange(s)[None],
+                               ck.shape[1] - 1)
+            ck = ck.at[rows, cols].set(k.astype(ck.dtype))
+            cv = cv.at[rows, cols].set(v.astype(cv.dtype))
             k, v = ck.astype(x.dtype), cv.astype(x.dtype)
         else:
             ck = jax.lax.dynamic_update_slice(

@@ -41,6 +41,15 @@ class ServeConfig:
     # at the cost of up to k-1 wasted device steps when a request hits
     # eos mid-window and of admission only at window boundaries
     decode_steps_per_call: int = 1
+    # n-gram (prompt-lookup) speculative decoding: draft this many tokens
+    # per step from the request's own context and verify them in ONE
+    # multi-token forward — greedy-equivalent, up to draft+1 tokens per
+    # device call on repetitive text. 0 = off. Requires temperature == 0
+    # and is mutually exclusive with decode_steps_per_call > 1. Exactness
+    # caveat: in bf16 the multi-token verify program and the single-token
+    # step round differently, so near-tie argmaxes can flip (bit-exact in
+    # f32; same caveat as every batched-verification server).
+    spec_draft: int = 0
     # sampling (0.0 = greedy); one PRNG stream per engine, folded per step
     temperature: float = 0.0
     top_k: Optional[int] = None
@@ -118,6 +127,17 @@ class Engine:
         self._tokens_total = 0
         self._prefix_hits = 0
         self._prefills = 0
+        self._spec_drafted = 0
+        self._spec_accepted = 0
+        if cfg.spec_draft > 0:
+            if cfg.temperature != 0.0:
+                raise ValueError("speculative decoding is greedy-only")
+            if cfg.decode_steps_per_call > 1:
+                raise ValueError("spec_draft and decode_steps_per_call are "
+                                 "mutually exclusive")
+            if self.paged or cfg.kv_quant:
+                raise ValueError("spec_draft currently requires the slot "
+                                 "layout with unquantized KV")
 
         # params are ARGUMENTS of the jitted programs (a method closing
         # over self.params would bake the whole model into the compiled
@@ -597,6 +617,9 @@ class Engine:
         self._step_count += 1
         if not self.active.any():
             return
+        if self.cfg.spec_draft > 0:
+            self._step_spec()
+            return
         k = max(1, self.cfg.decode_steps_per_call)
         if self.paged:
             self._grow_pages(k)
@@ -631,6 +654,82 @@ class Engine:
                 if req.done:
                     break
 
+    def _step_spec_impl(self, params, caches, toks, positions, active,
+                        block_table=None, *, k):
+        """Speculative verify: ONE forward over the k+1-token window
+        [cur_tok, draft...] per slot; returns greedy predictions at every
+        window position. KV rows for the whole window are written — rows
+        past the accepted prefix are garbage at positions the causal mask
+        hides until they are overwritten."""
+        mcfg = self.model_cfg
+        cap = self.cfg.max_seq - 1
+        b = toks.shape[0]
+        offs = jnp.arange(k + 1, dtype=jnp.int32)[None]
+        pos = jnp.minimum(positions[:, None] + offs, cap)  # (B, k+1)
+        idx = (positions if block_table is None
+               else (block_table, positions))
+        logits, caches = self.model.forward(
+            params, toks, mcfg, positions=pos, kv_caches=caches,
+            cache_index=idx,
+        )
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, k+1)
+        return caches, preds
+
+    def _draft_ngram(self, req, k: int) -> List[int]:
+        """Prompt-lookup drafting: continue from the most recent earlier
+        occurrence of the context's final bigram; fall back to repeating
+        the last token. (Pure host work — no model involved.)"""
+        ctx = req.prompt + req.generated
+        if len(ctx) >= 3:
+            tail = ctx[-2:]
+            for i in range(len(ctx) - 3, -1, -1):
+                if ctx[i:i + 2] == tail:
+                    cont = ctx[i + 2:i + 2 + k]
+                    if cont:
+                        return (cont + [ctx[-1]] * k)[:k]
+        return [ctx[-1]] * k
+
+    def _step_spec(self) -> None:
+        """One speculative step: host-draft k tokens per active slot,
+        verify in one device program, accept the longest matching prefix
+        (+1 free token from the verify logits)."""
+        import numpy as _np
+
+        k = self.cfg.spec_draft
+        drafts = _np.zeros((self.cfg.max_batch, k), _np.int32)
+        for slot, req in enumerate(self._slots):
+            if req is not None:
+                drafts[slot] = self._draft_ngram(req, k)
+        toks = _np.concatenate([self.cur_tok[:, None], drafts], axis=1)
+        if not hasattr(self, "_step_spec_jit"):
+            self._step_spec_jit = jax.jit(
+                self._step_spec_impl, static_argnames=("k",),
+                donate_argnums=(1,),
+            )
+        self.caches, preds = self._step_spec_jit(
+            self.params, self.caches, jnp.asarray(toks),
+            jnp.asarray(self.positions), jnp.asarray(self.active),
+            self.block_table if self.paged else None, k=k,
+        )
+        preds_host = _np.asarray(preds)  # (B, k+1); ONE device read
+        for slot, req in enumerate(list(self._slots)):
+            if req is None:
+                continue
+            # accept draft[j] while it matches the model's prediction
+            acc = 0
+            while acc < k and drafts[slot, acc] == preds_host[slot, acc]:
+                acc += 1
+            self._spec_drafted += k
+            self._spec_accepted += acc
+            for i in range(acc + 1):
+                tok = int(preds_host[slot, i])
+                self.cur_tok[slot] = tok
+                self.positions[slot] += 1
+                req.generated.append(tok)
+                self._maybe_finish(req)
+                if req.done:
+                    break
+
     def stats(self) -> Dict[str, Any]:
         """Serving counters (host-side, no device sync): request/token
         totals, slot occupancy, and — for paged layouts — page-pool and
@@ -644,6 +743,11 @@ class Engine:
             "active_slots": int(self.active.sum()),
             "queued_requests": len(self._queue),
         }
+        if self.cfg.spec_draft > 0:
+            d["spec_drafted"] = self._spec_drafted
+            d["spec_accepted"] = self._spec_accepted
+            d["spec_accept_rate"] = round(
+                self._spec_accepted / max(1, self._spec_drafted), 3)
         if self.paged:
             n_pages = self.caches[0][0].pages.shape[0]
             cached = sum(len(e["pages"]) for e in self._prefix_cache.values())

@@ -385,3 +385,53 @@ class TestCancel:
         # engine still serves after cancellation
         u3 = eng.submit([7, 8], 3)
         assert len(eng.run()[0].generated) == 3
+
+
+class TestSpeculativeDecoding:
+    def test_spec_matches_plain_greedy(self):
+        """Prompt-lookup speculation must be token-exact vs plain greedy,
+        on both repetitive (high accept) and random (low accept) prompts."""
+        params, cfg = _model()
+        prompts = [
+            [5, 9, 5, 9, 5, 9, 5],        # periodic: drafts should accept
+            [3, 17, 42, 9],               # arbitrary
+            [7, 7, 7, 7, 7],              # constant
+        ]
+        refs = [_ref_generate(params, cfg, p, 10) for p in prompts]
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,), spec_draft=4))
+        for p in prompts:
+            eng.submit(p, 10)
+        outs = {r.uid: r.generated for r in eng.run()}
+        for uid, ref in enumerate(refs):
+            assert outs[uid] == ref, (uid, outs[uid], ref)
+        s = eng.stats()
+        assert s["spec_drafted"] > 0
+        assert 0.0 <= s["spec_accept_rate"] <= 1.0
+
+    def test_spec_accepts_on_repetitive_text(self):
+        """A model generating a loop must accept most drafts (fewer device
+        steps than tokens)."""
+        params, cfg = _model()
+        prompt = [5, 9, 5, 9, 5, 9, 5]
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,), spec_draft=4))
+        eng.submit(prompt, 12)
+        out = eng.run()[0]
+        assert len(out.generated) == 12
+        s = eng.stats()
+        # generated 12 tokens; if nothing accepted it would take 12 steps
+        assert s["steps"] < 12 or s["spec_accepted"] > 0
+
+    def test_spec_config_validation(self):
+        params, cfg = _model()
+        with pytest.raises(ValueError, match="greedy-only"):
+            Engine(params, cfg, ServeConfig(spec_draft=2, temperature=1.0))
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            Engine(params, cfg, ServeConfig(spec_draft=2,
+                                            decode_steps_per_call=4))
+        with pytest.raises(ValueError, match="slot layout"):
+            Engine(params, cfg, ServeConfig(spec_draft=2, kv_layout="paged",
+                                            page_size=8,
+                                            prefill_buckets=(8,),
+                                            max_seq=64))
