@@ -65,16 +65,24 @@ class Request:
     generated: List[int] = dataclasses.field(default_factory=list)
     slot: int = -1
     done: bool = False
+    lora_idx: int = 0  # 0 = base model; i+1 = Engine lora adapter i
 
 
 class Engine:
     """Host-side request orchestrator around jitted prefill/step programs."""
 
     def __init__(self, params: Any, model_cfg: Any,
-                 cfg: ServeConfig = ServeConfig()):
+                 cfg: ServeConfig = ServeConfig(),
+                 lora_adapters: Optional[Dict[str, Any]] = None):
         from ao_tpu.models import resolve_model
 
         self.params = params
+        self._lora_names: List[str] = []
+        if lora_adapters:
+            from ao_tpu.serving.lora import stack_adapters
+
+            self.params, self._lora_names = stack_adapters(
+                params, lora_adapters, cfg.max_batch)
         self.model_cfg = model_cfg
         self.model = resolve_model(model_cfg)  # llama, gemma, or registered
         self.cfg = cfg
@@ -129,6 +137,7 @@ class Engine:
         self._prefills = 0
         self._spec_drafted = 0
         self._spec_accepted = 0
+        self._slot_adapter = _np.zeros((b,), _np.int32)
         if cfg.spec_draft > 0:
             if cfg.temperature != 0.0:
                 raise ValueError("speculative decoding is greedy-only")
@@ -305,7 +314,8 @@ class Engine:
         for off in range(0, n, chunk):
             toks = jnp.asarray(padded[off:off + chunk], jnp.int32)[None]
             scratch, logits = self._prefill_chunk(
-                self.params, scratch, toks, jnp.int32(off), chunk=chunk
+                self._params_for_prefill(req), scratch, toks,
+                jnp.int32(off), chunk=chunk
             )
         last = (n - 1) % chunk
         tok = self._pick(logits[last][None], n)[0]
@@ -396,7 +406,8 @@ class Engine:
         for off in range(shared_len, n, chunk):
             toks = jnp.asarray(padded[off:off + chunk], jnp.int32)[None]
             scratch, logits = self._prefill_chunk(
-                self.params, scratch, toks, jnp.int32(off), chunk=chunk)
+                self._params_for_prefill(req), scratch, toks,
+                jnp.int32(off), chunk=chunk)
         last = (n - 1 - shared_len) % chunk
         tok = self._pick(logits[last][None], n)[0]
         # write only the tail pages the request owns
@@ -456,12 +467,34 @@ class Engine:
 
     # -- host API -------------------------------------------------------------
 
-    def submit(self, prompt: List[int], max_new_tokens: int = 32) -> int:
+    def submit(self, prompt: List[int], max_new_tokens: int = 32,
+               lora: Optional[str] = None) -> int:
+        idx = 0
+        if lora is not None:
+            if lora not in self._lora_names:
+                raise ValueError(f"unknown adapter {lora!r}; have "
+                                 f"{self._lora_names}")
+            idx = self._lora_names.index(lora) + 1
         req = Request(uid=self._uid, prompt=list(prompt),
-                      max_new_tokens=max_new_tokens)
+                      max_new_tokens=max_new_tokens, lora_idx=idx)
         self._uid += 1
         self._queue.append(req)
         return req.uid
+
+    def _params_for_prefill(self, req: Request):
+        if not self._lora_names:
+            return self.params
+        from ao_tpu.serving.lora import set_slot_ids
+
+        return set_slot_ids(self.params, [req.lora_idx])
+
+    def _bind_slot_adapters(self) -> None:
+        """Point every MultiLoRAWeight at the current slot→adapter map
+        (data-leaf rebind; no recompilation)."""
+        if self._lora_names:
+            from ao_tpu.serving.lora import set_slot_ids
+
+            self.params = set_slot_ids(self.params, self._slot_adapter)
 
     def _bucket(self, n: int) -> Optional[int]:
         if n >= self.cfg.max_seq:
@@ -478,6 +511,7 @@ class Engine:
                 continue
             req = self._queue.pop(0)
             req.slot = slot
+            self._slot_adapter[slot] = req.lora_idx
             if self.paged and self.cfg.prefix_cache:
                 hit = self._match_prefix(req.prompt)
                 if hit is not None:
@@ -529,7 +563,7 @@ class Engine:
                 self._table_host[slot, :n_pg] = ids
                 self.block_table = jnp.asarray(self._table_host)
                 self.caches, tok = self._prefill(
-                    self.params, self.caches, prompt,
+                    self._params_for_prefill(req), self.caches, prompt,
                     jnp.asarray(ids, jnp.int32),
                     jnp.int32(len(req.prompt)), plen=plen,
                 )
@@ -537,8 +571,8 @@ class Engine:
                     self._register_prefix(req, slot)
             else:
                 self.caches, tok = self._prefill(
-                    self.params, self.caches, prompt, jnp.int32(slot),
-                    jnp.int32(len(req.prompt)), plen=plen,
+                    self._params_for_prefill(req), self.caches, prompt,
+                    jnp.int32(slot), jnp.int32(len(req.prompt)), plen=plen,
                 )
             req.generated.append(int(tok))
             self.cur_tok[slot] = int(tok)
@@ -617,6 +651,7 @@ class Engine:
         self._step_count += 1
         if not self.active.any():
             return
+        self._bind_slot_adapters()
         if self.cfg.spec_draft > 0:
             self._step_spec()
             return
