@@ -130,6 +130,7 @@ class Engine:
         self._queue: List[Request] = []
         self._finished: List[Request] = []
         self._rng = jax.random.PRNGKey(cfg.seed)
+        self._salt = 0  # host-advanced; folded into every device program's key
         self._step_count = 0
         self._finished_total = 0
         self._tokens_total = 0
@@ -166,7 +167,8 @@ class Engine:
 
     # -- jitted programs ----------------------------------------------------
 
-    def _prefill_impl(self, params, caches, prompt, slot, true_len, *, plen):
+    def _prefill_impl(self, params, caches, prompt, slot, true_len, step, *,
+                      plen):
         """prompt (1, plen) padded; writes this slot's KV rows and returns
         (caches, first generated token)."""
         mcfg = self.model_cfg
@@ -189,10 +191,11 @@ class Engine:
             )
 
         caches = jax.tree_util.tree_map(insert, caches, scratch)
-        next_tok = self._pick(logits[0, true_len - 1][None], true_len)[0]
+        next_tok = self._pick(logits[0, true_len - 1][None], true_len, step)[0]
         return caches, next_tok
 
-    def _prefill_paged_impl(self, params, caches, prompt, page_ids, true_len, *, plen):
+    def _prefill_paged_impl(self, params, caches, prompt, page_ids, true_len,
+                            step, *, plen):
         """Prefill via a scratch contiguous cache, then bulk-write the rows
         into this request's pages (quantization happens in write_prompt)."""
         mcfg = self.model_cfg
@@ -208,20 +211,20 @@ class Engine:
                 kp.write_prompt(sk[0], page_ids),
                 vp.write_prompt(sv[0], page_ids),
             ))
-        next_tok = self._pick(logits[0, true_len - 1][None], true_len)[0]
+        next_tok = self._pick(logits[0, true_len - 1][None], true_len, step)[0]
         return new_caches, next_tok
 
     def _step_paged_impl(self, params, caches, cur_tok, positions, active,
-                         block_table):
+                         block_table, step):
         mcfg = self.model_cfg
         logits, new_caches = self.model.forward(
             params, cur_tok[:, None], mcfg, positions=positions[:, None],
             kv_caches=caches, cache_index=(block_table, positions),
         )
-        nxt = self._pick(logits[:, -1], positions[0])
+        nxt = self._pick(logits[:, -1], positions[0], step)
         return new_caches, jnp.where(active, nxt, cur_tok)
 
-    def _step_impl(self, params, caches, cur_tok, positions, active):
+    def _step_impl(self, params, caches, cur_tok, positions, active, step):
         """One decode step for all slots; returns (caches, next_tok)."""
         mcfg = self.model_cfg
         b = self.cfg.max_batch
@@ -230,43 +233,54 @@ class Engine:
             params, cur_tok[:, None], mcfg, positions=pos,
             kv_caches=caches, cache_index=positions,
         )
-        nxt = self._pick(logits[:, -1], positions[0])
+        nxt = self._pick(logits[:, -1], positions[0], step)
         return new_caches, jnp.where(active, nxt, cur_tok)
 
     def _step_multi_impl(self, params, caches, cur_tok, positions, active,
-                         block_table=None, *, k):
+                         step, block_table=None, *, k):
         """k fused decode steps (lax.scan): one device program, k tokens per
         host round-trip. Inactive slots idle; positions clamp at max_seq-1
         so mid-window finishes can't write out of bounds."""
         mcfg = self.model_cfg
         cap = self.cfg.max_seq - 1
 
-        def body(carry, _):
+        def body(carry, i):
             caches, tok, pos = carry
             idx = (pos if block_table is None else (block_table, pos))
             logits, caches = self.model.forward(
                 params, tok[:, None], mcfg, positions=pos[:, None],
                 kv_caches=caches, cache_index=idx,
             )
-            nxt = self._pick(logits[:, -1], pos[0])
+            nxt = self._pick(logits[:, -1], pos[0], step + i)
             nxt = jnp.where(active, nxt, tok)
             pos = jnp.where(active, jnp.minimum(pos + 1, cap), pos)
             return (caches, nxt, pos), nxt
 
         (caches, _, _), toks = jax.lax.scan(
-            body, (caches, cur_tok, positions), None, length=k)
+            body, (caches, cur_tok, positions), jnp.arange(k, dtype=jnp.int32))
         return caches, toks  # (k, B)
 
-    def _pick(self, logits, salt):
-        """Greedy or sampled next-token selection (salt: any traced int
-        that varies per call — position — so folded keys differ)."""
+    def _pick(self, logits, salt, step):
+        """Greedy or sampled next-token selection.
+
+        ``step`` is the host-advanced call counter (every device program gets
+        a fresh value, so keys never repeat even when slot 0 is idle and
+        ``positions[0]`` stalls); ``salt`` adds per-position variety within a
+        program. Passed as a traced argument — ``self._rng`` alone would be
+        baked into the compiled program as a constant."""
         if self.cfg.temperature == 0.0:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         from ao_tpu.serving.sampling import sample_logits
 
-        key = jax.random.fold_in(self._rng, salt)
+        key = jax.random.fold_in(jax.random.fold_in(self._rng, step), salt)
         return sample_logits(logits, key, self.cfg.temperature,
                              self.cfg.top_k, self.cfg.top_p)
+
+    def _next_salt(self, n=1):
+        """Advance and return the host-side PRNG salt counter."""
+        s = self._salt
+        self._salt += n
+        return jnp.int32(s)
 
     def _prefill_chunk_impl(self, params, scratch, chunk_toks, offset, *,
                             chunk):
@@ -318,7 +332,7 @@ class Engine:
                 jnp.int32(off), chunk=chunk
             )
         last = (n - 1) % chunk
-        tok = self._pick(logits[last][None], n)[0]
+        tok = self._pick(logits[last][None], n, self._next_salt())[0]
         if self.paged:
             ps = self.cfg.page_size
             self.caches = self._write_pages(
@@ -409,7 +423,7 @@ class Engine:
                 self._params_for_prefill(req), scratch, toks,
                 jnp.int32(off), chunk=chunk)
         last = (n - 1 - shared_len) % chunk
-        tok = self._pick(logits[last][None], n)[0]
+        tok = self._pick(logits[last][None], n, self._next_salt())[0]
         # write only the tail pages the request owns
         if own:
             self._write_pages_from(scratch, own, start_pg=len(shared_pages))
@@ -565,14 +579,15 @@ class Engine:
                 self.caches, tok = self._prefill(
                     self._params_for_prefill(req), self.caches, prompt,
                     jnp.asarray(ids, jnp.int32),
-                    jnp.int32(len(req.prompt)), plen=plen,
+                    jnp.int32(len(req.prompt)), self._next_salt(), plen=plen,
                 )
                 if self.cfg.prefix_cache:
                     self._register_prefix(req, slot)
             else:
                 self.caches, tok = self._prefill(
                     self._params_for_prefill(req), self.caches, prompt,
-                    jnp.int32(slot), jnp.int32(len(req.prompt)), plen=plen,
+                    jnp.int32(slot), jnp.int32(len(req.prompt)),
+                    self._next_salt(), plen=plen,
                 )
             req.generated.append(int(tok))
             self.cur_tok[slot] = int(tok)
@@ -663,6 +678,7 @@ class Engine:
                     jnp.asarray(self.positions), jnp.asarray(self.active))
             if self.paged:
                 args += (self.block_table,)
+            args += (self._next_salt(),)
             self.caches, nxt = self._step(*args)
             toks_host = _np.asarray(nxt)[None]  # (1, B); ONE device read
         else:
@@ -674,6 +690,7 @@ class Engine:
             self.caches, toks = self._step_multi(
                 self.params, self.caches, jnp.asarray(self.cur_tok),
                 jnp.asarray(self.positions), jnp.asarray(self.active),
+                self._next_salt(k),
                 self.block_table if self.paged else None, k=k,
             )
             toks_host = _np.asarray(toks)  # (k, B); ONE device read

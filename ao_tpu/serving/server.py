@@ -60,11 +60,36 @@ class ServingFrontend:
     def wait(self, uid: int, timeout: float = 300.0) -> Dict[str, Any]:
         ev = self._events[uid]
         if not ev.wait(timeout):
+            with self._lock:  # don't leak bookkeeping for abandoned requests
+                self._events.pop(uid, None)
+                self._requests.pop(uid, None)
+                self._results.pop(uid, None)
             raise TimeoutError(f"request {uid} timed out")
         with self._lock:
             self._events.pop(uid, None)
             self._requests.pop(uid, None)
             return self._results.pop(uid)
+
+    def _fail_all_locked(self):
+        """Resolve every in-flight request with an error result (called with
+        self._lock held, after an engine.step() exception)."""
+        reqs = [r for r in self.engine._queue if r is not None]
+        reqs += [r for r in self.engine._slots if r is not None]
+        for req in reqs:
+            try:
+                self.engine.cancel(req.uid)
+            except Exception:
+                pass
+            self._results[req.uid] = {
+                "token_ids": list(req.generated),
+                "finish_reason": "error",
+                "prompt_tokens": len(req.prompt),
+            }
+            ev = self._events.get(req.uid)
+            if ev is not None:
+                ev.set()
+        self.engine._queue.clear()
+        self.engine._slots = [None] * len(self.engine._slots)
 
     def _drive(self):
         import time
@@ -74,7 +99,16 @@ class ServingFrontend:
                 busy = bool(self.engine._queue) or any(
                     s is not None for s in self.engine._slots)
                 if busy:
-                    self.engine.step()
+                    try:
+                        self.engine.step()
+                    except Exception:
+                        # A failing admit/step must not kill the driver
+                        # thread (one bad request would wedge the server).
+                        # Fail every in-flight request and keep serving.
+                        import traceback
+
+                        traceback.print_exc()
+                        self._fail_all_locked()
                     done = self.engine._finished
                     self.engine._finished = []
                 else:
@@ -122,30 +156,37 @@ class ServingFrontend:
                 self.end_headers()
                 live = frontend._requests.get(uid)
                 sent = 0
-                while True:
-                    # snapshot without locks (list()/dict reads are
-                    # GIL-atomic); block on the driver's progress signal
-                    # between chunks — NOT a fast poll, which wedges the
-                    # remote-TPU transfer path
-                    toks = list(live.generated) if live else []
-                    done = uid in frontend._results
-                    if len(toks) > sent:
-                        chunk = {"id": f"cmpl-{uid}",
-                                 "choices": [{"index": 0,
-                                              "token_ids": toks[sent:]}]}
-                        self.wfile.write(
-                            f"data: {json.dumps(chunk)}\n\n".encode())
-                        self.wfile.flush()
-                        sent = len(toks)
-                    if done and sent == len(toks):
-                        break
-                    with frontend._progress:
-                        frontend._progress.wait(10.0)
-                frontend._events.pop(uid, None)
-                frontend._requests.pop(uid, None)
-                frontend._results.pop(uid, None)
-                self.wfile.write(b"data: [DONE]\n\n")
-                self.wfile.flush()
+                try:
+                    while True:
+                        # snapshot without locks (list()/dict reads are
+                        # GIL-atomic); block on the driver's progress signal
+                        # between chunks — NOT a fast poll, which wedges the
+                        # remote-TPU transfer path. Read `done` BEFORE the
+                        # token snapshot: once done is observed true the
+                        # generated list no longer grows, so the snapshot
+                        # taken after it is complete (the reverse order could
+                        # drop tail tokens appended between the two reads).
+                        done = uid in frontend._results
+                        toks = list(live.generated) if live else []
+                        if len(toks) > sent:
+                            chunk = {"id": f"cmpl-{uid}",
+                                     "choices": [{"index": 0,
+                                                  "token_ids": toks[sent:]}]}
+                            self.wfile.write(
+                                f"data: {json.dumps(chunk)}\n\n".encode())
+                            self.wfile.flush()
+                            sent = len(toks)
+                        if done and sent == len(toks):
+                            break
+                        with frontend._progress:
+                            frontend._progress.wait(10.0)
+                    self.wfile.write(b"data: [DONE]\n\n")
+                    self.wfile.flush()
+                finally:
+                    # always drop bookkeeping, even on client disconnect
+                    frontend._events.pop(uid, None)
+                    frontend._requests.pop(uid, None)
+                    frontend._results.pop(uid, None)
 
             def do_GET(self):
                 if self.path == "/v1/stats":
@@ -165,6 +206,13 @@ class ServingFrontend:
                     if not (isinstance(prompt, list) and
                             all(isinstance(t, int) for t in prompt)):
                         raise ValueError("prompt must be a list of token ids")
+                    if not prompt:
+                        raise ValueError("prompt must be non-empty")
+                    max_seq = frontend.engine.cfg.max_seq
+                    if len(prompt) >= max_seq:
+                        raise ValueError(
+                            f"prompt length {len(prompt)} exceeds the "
+                            f"engine's max_seq-1 ({max_seq - 1})")
                     uid = frontend.submit(prompt,
                                           int(req.get("max_tokens", 32)))
                     if req.get("stream"):
