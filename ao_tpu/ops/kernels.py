@@ -152,14 +152,19 @@ def int8_dynamic_matmul(qx, sx, zx, qw, sw, zw, wbs, out_dtype=jnp.bfloat16):
 
 
 def int4_wo_matmul(x, packed, scale, zp, group_size, zp_domain):
-    """x (M, K) hp; packed uint8 (K/2, N) split-half layout;
-    scale/zp (K/g, N)."""
+    """x (M, K) hp; packed uint8 (K/2, N) split-half layout or int32 (K/8, N)
+    magic layout (inferred from dtype); scale/zp (K/g, N)."""
+    magic = packed.dtype == jnp.int32
     if _use_pallas():
         from ao_tpu.ops.pallas import UnsupportedShape
 
         try:
             from ao_tpu.ops.pallas import int4_matmul as pk
 
+            if magic:
+                return pk.int4_wo_magic_pallas(
+                    x, packed, scale, zp, group_size, zp_domain
+                )
             return pk.int4_wo_matmul_pallas(
                 x, packed, scale, zp, group_size, zp_domain
             )
@@ -169,12 +174,13 @@ def int4_wo_matmul(x, packed, scale, zp, group_size, zp_domain):
 
 
 def _int4_wo_matmul_xla(x, packed, scale, zp, group_size, zp_domain):
-    from ao_tpu.quantization.qarrays.int4 import unpack_int4
+    from ao_tpu.quantization.qarrays.int4 import unpack_int4, unpack_int4_magic
 
-    k = packed.shape[-2] * 2
-    n = packed.shape[-1]
     bs = (group_size, 1)
-    u = unpack_int4(packed, group_size, axis=-2).astype(jnp.int32) - 8
+    if packed.dtype == jnp.int32:
+        u = unpack_int4_magic(packed, group_size).astype(jnp.int32) - 8
+    else:
+        u = unpack_int4(packed, group_size, axis=-2).astype(jnp.int32) - 8
     if zp_domain is P.ZeroPointDomain.FLOAT:
         w_dq = P.dequantize_affine_tinygemm(
             u, bs, scale, zp, -8, 7, output_dtype=x.dtype

@@ -16,8 +16,13 @@ never interleaves lanes. Dequant is normalized to w = u * s + b
 The (s, b) normalization happens outside the kernel (tiny elementwise op
 fused by XLA). Accumulation is f32 in VMEM scratch across the K grid dim.
 
-Measured on v5e (M=8, K=N=4096, g=128): ~21 us vs ~46 us bf16 dense
-(2.2x); VPU-dequant bound at ~50% of int4-bytes HBM speed-of-light.
+Two kernels, selected by the container layout (qdata dtype):
+  * int32 "magic" layout (default for 2-D weights) — nibble→bf16 via
+    integer bit-ops + bitcast, per-group post-dot scaling; 14.5us at
+    M=8 4096² g=128 on v5e = 72% of the int4-bytes roofline (3.2x bf16
+    dense; the measured DMA ceiling itself is ~90% of roofline).
+  * uint8 split-half layout (MoE 3-D / odd group counts / K-sharding
+    fallbacks) — two-plane f32-dequant kernel, 19.7us on the same shape.
 """
 
 from __future__ import annotations
@@ -231,6 +236,169 @@ def _int4_wo_matmul_impl(x, packed, s, b, *, group_size, out_dtype,
     )(x, packed, s, b)
 
     return out[:m] if pad_m else out
+
+
+# ---------------------------------------------------------------------------
+# "magic" layout kernel: nibble -> bf16 via integer bit-ops + bitcast
+# ---------------------------------------------------------------------------
+#
+# qdata is the pack_int4_magic int32 layout (qarrays/int4.py): bit-plane j of
+# a word block holds the rows of quantization groups {g' ≡ j mod 4} in natural
+# order. Per plane j and group-chunk t the kernel does
+#     ow = ((w >> 4j) & 0x000F000F) | 0x43004300        # 3 int ops / 2 weights
+#     c  = bitcast_bf16(ow) - 136.0                     # rows = 128+u -> u-8
+#     acc += s[4t+j] * dot(x_j[t], c)                   # scale in f32 post-dot
+# so the per-weight VPU cost is ~1.9 ops (no int->float converts) and the
+# groupwise scale multiplies an (M, tn) f32 accumulator, not the weights.
+# The affine bias (zp domain normalized to w = u*s + b) is exact via one
+# extra dot: sum_k x_k b[g,n] = xsum @ (b + 8s). Interleaving extraction
+# with each group's dot lets Mosaic pipeline VPU against MXU.
+#
+# Measured on v5e (M=8, K=N=4096, g=128): 14.5us = 72% of the int4-bytes
+# roofline (gemm_sol.py), vs 11.6us pure-DMA floor (the DMA engine itself
+# tops out at ~90% of roofline — bf16 dense reaches 89.8%; normalized to
+# that ceiling the kernel is at ~80% of achievable) and 19.7us for the
+# split-half two-plane kernel. SQNR vs f32 reference 55.2dB vs the old
+# kernel's 52.8dB — post-dot f32 scaling beats pre-rounded bf16 weights.
+# At M=512 (prefill) it also beats the bf16 dense matmul (108us vs 123us).
+
+
+def _magic_kernel(x0, x1, x2, x3, xsum_ref, w_ref, s_ref, b_ref, out_ref,
+                  acc_ref, *, group_size: int, out_dtype):
+    acc_ref[:] = jnp.dot(xsum_ref[:], b_ref[:].astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+    w = w_ref[:]
+    tkw, _ = w.shape
+    g = group_size
+    nt = 8 * tkw // (4 * g)
+    xr = (x0, x1, x2, x3)
+    s = s_ref[:].astype(jnp.float32)  # DMA'd bf16, applied in f32
+    for j in range(4):
+        shifted = w if j == 0 else (w >> (4 * j))
+        for t in range(nt):
+            wr0, wr1 = t * g // 2, (t + 1) * g // 2
+            ow = (shifted[wr0:wr1] & 0x000F000F) | 0x43004300
+            c = pltpu.bitcast(ow, jnp.bfloat16) - jnp.bfloat16(136.0)
+            r0 = t * g
+            pg = jnp.dot(xr[j][:, r0:r0 + g], c,
+                         preferred_element_type=jnp.float32)
+            acc_ref[:] += s[4 * t + j][None, :] * pg
+    out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _pick_tn_magic(m, k, n, group_size):
+    from ao_tpu.ops.pallas.autotune import lookup_tuned
+
+    tm = m if m <= 256 else 256
+    ngf = k // group_size
+
+    def vmem_bytes(tn):
+        # x planes + packed words (double-buffered) + scales/bias + acc/out
+        return (
+            4 * tm * (k // 4) * 2
+            + 2 * (k // 8) * tn * 4
+            + 2 * ngf * tn * 2
+            + tm * tn * 6
+            + tm * ngf * 4
+        )
+
+    budget = int(15.5 * 1024 * 1024)  # v5e scoped-vmem limit is 16M
+    tuned = lookup_tuned("int4_wo_magic", m, k, n, 0)
+    if (tuned is not None and n % tuned[2] == 0
+            and vmem_bytes(tuned[2]) <= budget):
+        return tuned[2]
+    for tn in (1024, 512, 256, 128):
+        if n % tn == 0 and vmem_bytes(tn) <= budget:
+            return tn
+    raise UnsupportedShape(
+        f"no VMEM-feasible N tile for m={m}, k={k}, n={n}"
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "out_dtype"))
+def _int4_wo_magic_impl(x, word, s, b2, *, group_size, out_dtype):
+    m, k = x.shape
+    kw, n = word.shape
+    g = group_size
+    ngf = k // g
+    tn = _pick_tn_magic(m, k, n, g)
+
+    # plane-j activations: groups with g' % 4 == j, natural row order
+    xg = x.reshape(m, ngf // 4, 4, g)
+    xs4 = [xg[:, :, j].reshape(m, k // 4) for j in range(4)]
+    xsum = x.reshape(m, ngf, g).astype(jnp.float32).sum(axis=2)
+
+    tm = m if m <= 256 else 256
+    pad_m = (-m) % tm
+    if pad_m:
+        xs4 = [jnp.pad(xj, ((0, pad_m), (0, 0))) for xj in xs4]
+        xsum = jnp.pad(xsum, ((0, pad_m), (0, 0)))
+    mp = m + pad_m
+
+    grid = (mp // tm, n // tn, 1)
+    kq = k // 4
+    cost = pl.CostEstimate(
+        flops=2 * mp * k * n,
+        bytes_accessed=mp * k * 2 + kw * n * 4 + ngf * n * 4 + mp * n * 2,
+        transcendentals=0,
+    )
+    out = pl.pallas_call(
+        functools.partial(_magic_kernel, group_size=g, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            *[pl.BlockSpec((tm, kq), lambda i, j, kk: (i, 0),
+                           memory_space=pltpu.VMEM) for _ in range(4)],
+            pl.BlockSpec((tm, ngf), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kw, tn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ngf, tn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ngf, tn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+    )(*xs4, xsum, word, s, b2)
+    return out[:m] if pad_m else out
+
+
+def int4_wo_magic_pallas(x, word, scale, zp, group_size, zp_domain):
+    """x (M, K) hp; word int32 (K/8, N) magic layout; scale/zp (K/g, N)."""
+    if x.ndim != 2 or word.ndim != 2:
+        raise UnsupportedShape("kernel handles 2-D only")
+    m, k = x.shape
+    kw, n = word.shape
+    if k != 8 * kw:
+        raise UnsupportedShape(f"K mismatch {k} vs packed {kw}*8")
+    g = group_size
+    if n % 128 != 0 or (k // g) % 4 != 0 or (g // 2) % 8 != 0:
+        raise UnsupportedShape(
+            f"N={n} or K={k} misaligned for magic layout (g={g})"
+        )
+
+    s = scale.astype(jnp.float32)
+    if zp_domain is P.ZeroPointDomain.FLOAT:
+        b = zp.astype(jnp.float32)
+    elif zp is None:
+        b = -8.0 * s
+    else:
+        b = -(8.0 + zp.astype(jnp.float32)) * s
+    b2 = b + 8.0 * s  # kernel rows are q = u - 8
+
+    x = x.astype(jnp.bfloat16)
+    # scales/bias travel as bf16 (halves their DMA; the kernel multiplies in
+    # f32 — scale rounding ~2^-9 sits far below int4 quantization error)
+    return _int4_wo_magic_impl(
+        x, word, s.astype(jnp.bfloat16), b2.astype(jnp.bfloat16),
+        group_size=g, out_dtype=jnp.bfloat16
+    )
 
 
 def int4_wo_matmul_pallas(x, packed, scale, zp, group_size, zp_domain):

@@ -150,9 +150,26 @@ def shard_params(params: Any, mesh: Mesh, tp_axis: str = "tp",
                     f"{fqn}: K={k} with group={g} cannot shard onto tp={tp} "
                     f"at group-aligned boundaries"
                 )
+            # magic int4 layout interleaves 4 groups per word block: a
+            # row-parallel K shard must hold whole 4-group blocks, else
+            # repack to the split-half layout (slower kernel, same numerics)
+            fqn = path_to_fqn(path)
+            name = fqn.split(".")[-1]
+            if (
+                getattr(leaf, "layout", None) == "magic"
+                and name in _ROW_PARALLEL
+                and (k // g) % (4 * tp) != 0
+            ):
+                import warnings
+
+                warnings.warn(
+                    f"{fqn}: magic int4 layout cannot K-shard onto tp={tp} "
+                    f"(K={k}, g={g}); repacking to split-half layout"
+                )
+                return leaf.to_layout("halves")
         return leaf
 
-    jax.tree_util.tree_map_with_path(
+    params = jax.tree_util.tree_map_with_path(
         check, params, is_leaf=lambda x: isinstance(x, QuantizedArray)
     )
 

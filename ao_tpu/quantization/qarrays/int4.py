@@ -70,9 +70,53 @@ def unpack_int4(packed: jax.Array, group_size: int, axis: int = -2) -> jax.Array
     return u.reshape(shape[:axis] + (2 * kp,) + shape[axis + 1 :])
 
 
+def pack_int4_magic(u: jax.Array, group_size: int) -> jax.Array:
+    """Pack unsigned nibbles (K, N) into the "magic" int32 layout (K/8, N).
+
+    Word-row r = (g/2)*t + r' holds, at bits [4j + 16h : +4), the nibble of
+    logical row (4t + j)*g + 2r' + h. Consequences the fused kernel exploits
+    (ops/pallas/int4_matmul.py): extracting bit-plane j of a word block and
+    bitcasting i32→bf16 (sublane-doubling) yields the rows of quantization
+    groups {g' ≡ j (mod 4)} in natural order as bf16 values 128+u — nibble→
+    bf16 costs 3 integer ops per TWO weights, with no int→float converts.
+    Requires (K/group_size) % 4 == 0.
+    """
+    k, n = u.shape
+    g = group_size
+    ngroups = k // g
+    if ngroups % 4 != 0:
+        raise ValueError(
+            f"magic int4 layout needs K/group_size % 4 == 0, got {ngroups}"
+        )
+    ug = u.reshape(ngroups // 4, 4, g // 2, 2, n).astype(jnp.int32)
+    word = jnp.zeros((ngroups // 4, g // 2, n), jnp.int32)
+    for j in range(4):
+        for h in range(2):
+            word = word | (ug[:, j, :, h] << (4 * j + 16 * h))
+    return word.reshape(k // 8, n)
+
+
+def unpack_int4_magic(word: jax.Array, group_size: int) -> jax.Array:
+    """Inverse of :func:`pack_int4_magic`; returns uint8 values 0..15 (K, N)."""
+    kw, n = word.shape
+    g = group_size
+    nt = 8 * kw // (4 * g)
+    wb = word.reshape(nt, g // 2, n)
+    planes = []
+    for j in range(4):
+        nib = jnp.stack(
+            [(wb >> (4 * j + 16 * h)) & 0xF for h in range(2)], axis=2
+        )  # (nt, g/2, 2, n) [r', h]
+        planes.append(nib.reshape(nt, g, n))
+    u = jnp.stack(planes, axis=1)  # (nt, 4, g, n): group index 4t + j
+    return u.reshape(8 * kw, n).astype(jnp.uint8)
+
+
 @qarray_dataclass
 class Int4Array(QuantizedArray):
-    qdata: jax.Array  # uint8 (K/2, N) or (E, K/2, N): two nibbles per byte
+    # uint8 (K/2, N) or (E, K/2, N) split-half layout, OR int32 (K/8, N)
+    # "magic" layout (pack_int4_magic) — layout is inferred from the dtype
+    qdata: jax.Array
     scale: jax.Array  # (K/g, N) — bf16 (tinygemm) or fp32
     zero_point: Optional[jax.Array]  # same shape as scale; int32 or bf16
     act_pre_scale: Optional[jax.Array]  # AWQ per-K-channel activation scale
@@ -86,6 +130,21 @@ class Int4Array(QuantizedArray):
     def group_size(self) -> int:
         return self.block_size[-2]
 
+    @property
+    def layout(self) -> str:
+        return "magic" if self.qdata.dtype == jnp.int32 else "halves"
+
+    def to_layout(self, layout: str) -> "Int4Array":
+        """Repack qdata between the split-half and magic layouts."""
+        if layout == self.layout:
+            return self
+        u = self.unpack()
+        if layout == "magic":
+            return self.replace(qdata=pack_int4_magic(u, self.group_size))
+        if layout == "halves":
+            return self.replace(qdata=pack_int4(u, self.group_size, axis=-2))
+        raise ValueError(layout)
+
     @classmethod
     def from_hp(
         cls,
@@ -97,6 +156,7 @@ class Int4Array(QuantizedArray):
         act_pre_scale: Optional[jax.Array] = None,
         act_quant: Optional[ActQuantSpec] = None,
         dequant_dtype: str = "bfloat16",
+        layout: str = "auto",
     ) -> "Int4Array":
         if hp.ndim < 2:
             raise ValueError("int4 weights must be at least 2-D (K, N)")
@@ -134,8 +194,23 @@ class Int4Array(QuantizedArray):
         else:
             raise ValueError(zero_point_domain)
 
+        # "magic" (int32-word) layout feeds the fastest fused kernel; it is
+        # defined for 2-D weights with K/g a multiple of 4 (plane = groups
+        # mod 4), otherwise fall back to split-halves
+        if layout == "auto":
+            layout = (
+                "magic"
+                if hp.ndim == 2 and (k // group_size) % 4 == 0
+                else "halves"
+            )
+        if layout == "magic":
+            qdata = pack_int4_magic(u, group_size)
+        elif layout == "halves":
+            qdata = pack_int4(u, group_size, axis=-2)
+        else:
+            raise ValueError(layout)
         return cls(
-            qdata=pack_int4(u, group_size, axis=-2),
+            qdata=qdata,
             scale=scale,
             zero_point=zp,
             act_pre_scale=act_pre_scale,
@@ -148,6 +223,8 @@ class Int4Array(QuantizedArray):
 
     def unpack(self) -> jax.Array:
         """uint8 nibble values 0..15, logical (.., K, N)."""
+        if self.layout == "magic":
+            return unpack_int4_magic(self.qdata, self.group_size)
         return unpack_int4(self.qdata, self.group_size, axis=-2)
 
     def dequantize(self, output_dtype=None) -> jax.Array:

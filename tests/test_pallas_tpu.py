@@ -37,6 +37,23 @@ def test_int4_kernel_matches_emulated(m, shape, g):
     assert compute_error(y_ref, y) > 40.0
 
 
+def test_int4_magic_vs_halves_kernels():
+    """Both layouts' Pallas kernels agree with each other and emulated."""
+    w = jax.random.normal(KEY, (2048, 2048), jnp.float32) * 0.02
+    x = jax.random.normal(KEY, (8, 2048), jnp.bfloat16)
+    qm = Int4Array.from_hp(w, 128)
+    assert qm.layout == "magic"
+    qh = qm.to_layout("halves")
+    with kernels.backend("pallas"):
+        ym = linear(x, qm)
+        yh = linear(x, qh)
+    with kernels.backend("emulated"):
+        y_ref = linear(x, qm)
+    assert compute_error(y_ref, ym) > 40.0
+    assert compute_error(y_ref, yh) > 40.0
+    assert compute_error(ym, yh) > 40.0
+
+
 def test_int4_kernel_hqq_weights():
     w = jax.random.normal(KEY, (2048, 2048), jnp.float32) * 0.02
     x = jax.random.normal(KEY, (4, 2048), jnp.bfloat16)

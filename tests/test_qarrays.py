@@ -112,10 +112,27 @@ class TestInt4Array:
             )
         else:
             qw = Int4Array.from_hp(w, 64, algorithm="hqq" if algo == "hqq" else "minmax")
-        assert qw.qdata.shape == (128, 128)  # K/2
+        # 2-D K=256 g=64 -> K/g=4 groups -> auto picks the magic layout
+        assert qw.layout == "magic"
+        assert qw.qdata.shape == (32, 128)  # K/8 int32 words
+        assert qw.qdata.dtype == jnp.int32
         assert qw.scale.shape == (4, 128)  # K/g
         err = P.compute_error(w, qw.dequantize(jnp.float32))
         assert err > 15.0, f"{algo}: {err}"
+        # layout conversion roundtrips exactly
+        qh = qw.to_layout("halves")
+        assert qh.qdata.shape == (128, 128) and qh.qdata.dtype == jnp.uint8
+        np.testing.assert_array_equal(
+            np.asarray(qh.unpack()), np.asarray(qw.unpack())
+        )
+        qm = qh.to_layout("magic")
+        np.testing.assert_array_equal(
+            np.asarray(qm.qdata), np.asarray(qw.qdata)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(qh.dequantize(jnp.float32)),
+            np.asarray(qw.dequantize(jnp.float32)),
+        )
 
     def test_hqq_beats_or_matches_minmax(self):
         # HQQ should not be (much) worse than minmax on outlier-heavy weights
