@@ -9,8 +9,8 @@ github.com/ggml-org/ggml/blob/master/docs/gguf.md — little-endian, magic
 first (reversed numpy order).)
 
 Supported tensor codings: F32, F16, Q8_0 (32-elem blocks: fp16 scale +
-32 int8 — bit-exact, simple, universally loadable). Q4_K emission can build
-on GGUFQuantizedArray later; Q8_0 covers the interop path.
+32 int8 — bit-exact, simple, universally loadable) and Q4_K emission
+(``quantize_2d="q4_k"``: 256-elem superblocks, 6-bit sub-scales/mins).
 """
 
 from __future__ import annotations

@@ -131,5 +131,5 @@ class TestQ4K:
         for name, a in tensors.items():
             assert back[name].shape == a.shape
             err = 10 * np.log10(
-                (a ** 2).mean() / ((a - back[name]) ** 2).mean() + 1e-30)
+                (a ** 2).mean() / max(((a - back[name]) ** 2).mean(), 1e-30))
             assert err > 13.0, (name, err)
