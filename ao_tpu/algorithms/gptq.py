@@ -43,7 +43,7 @@ class GPTQConfig(AOBaseConfig):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group_size", "quant_max", "blocksize")
+    jax.jit, static_argnames=("group_size", "quant_max", "blocksize", "mode")
 )
 def gptq_quantize(
     w: jax.Array,  # (K, N) input-dim-major
@@ -52,15 +52,25 @@ def gptq_quantize(
     quant_max: int = 15,
     percdamp: float = 0.01,
     blocksize: int = 128,
+    mode: str = "affine",  # "affine" | "fp8" | "nvfp4"
+    pts: Optional[jax.Array] = None,  # nvfp4 per-tensor scale (scalar)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (q (K, N) uint in [0, quant_max], scale (K/g, N), zp (K/g, N))
-    with FLOAT-domain zero points (dq = q * scale + zp after q -= qmin shift;
-    here q is already unsigned so dq = q * scale + zp directly).
+    """Returns (q (K, N), scale (K/g, N), zp (K/g, N)).
+
+    mode="affine": q uint in [0, quant_max], FLOAT-domain zp
+    (dq = q * scale + zp).
+    mode="fp8": q holds e4m3-grid *values* (f32), symmetric per-group scale
+    s = absmax/448, zp unused (dq = q * s). Use group_size=K for rowwise.
+    mode="nvfp4": q holds e2m1 codes 0..15, scale is the e4m3-snapped block
+    scale (pre per-tensor), dq = decode(q) * scale * pts. (ref two-level
+    NVFP4 emission: prototype/gptq/api.py:537-595.)
     """
     k, n = w.shape
     g = group_size
     w = w.astype(jnp.float32)
     h = hessian.astype(jnp.float32)
+    if pts is None:
+        pts = jnp.float32(1.0)
 
     # dead input channels: H_ii == 0 → pin weight to 0 (ref api.py:390)
     dead = jnp.diag(h) == 0.0
@@ -89,10 +99,23 @@ def gptq_quantize(
             def fresh_qparams(_):
                 gi = r // g
                 grp = jax.lax.dynamic_slice(wblk, (gi * g, 0), (g, n))
-                mx = jnp.max(grp, axis=0, keepdims=True)
-                mn = jnp.min(grp, axis=0, keepdims=True)
-                s = jnp.maximum((mx - mn) / float(quant_max), P.EPS)
-                z = mn  # dq = q*s + z, q in [0, quant_max]
+                if mode == "affine":
+                    mx = jnp.max(grp, axis=0, keepdims=True)
+                    mn = jnp.min(grp, axis=0, keepdims=True)
+                    s = jnp.maximum((mx - mn) / float(quant_max), P.EPS)
+                    z = mn  # dq = q*s + z, q in [0, quant_max]
+                elif mode == "fp8":
+                    amax = jnp.max(jnp.abs(grp), axis=0, keepdims=True)
+                    s = jnp.maximum(amax / 448.0, P.EPS)
+                    z = jnp.zeros_like(s)
+                elif mode == "nvfp4":
+                    amax = jnp.max(jnp.abs(grp), axis=0, keepdims=True)
+                    s = jnp.clip(amax / 6.0 / pts, 1e-12, 448.0)
+                    # snap to the e4m3 grid the container stores
+                    s = s.astype(jnp.float8_e4m3fn).astype(jnp.float32)
+                    z = jnp.zeros_like(s)
+                else:
+                    raise ValueError(mode)
                 sblk2 = jax.lax.dynamic_update_slice(sblk, s, (gi, 0))
                 zblk2 = jax.lax.dynamic_update_slice(zblk, z, (gi, 0))
                 return sblk2, zblk2
@@ -105,8 +128,24 @@ def gptq_quantize(
             z = jax.lax.dynamic_slice(zblk, (gi, 0), (1, n))
 
             wrow = jax.lax.dynamic_slice(wblk, (r, 0), (1, n))
-            q = jnp.clip(jnp.round((wrow - z) / s), 0, quant_max)
-            dq = q * s + z
+            if mode == "affine":
+                q = jnp.clip(jnp.round((wrow - z) / s), 0, quant_max)
+                dq = q * s + z
+            elif mode == "fp8":
+                # clip: GPTQ error propagation can push rows past the range
+                # frozen at the group boundary (e4m3fn overflows to NaN)
+                v = jnp.clip(wrow / s, -448.0, 448.0)
+                q = v.astype(jnp.float8_e4m3fn).astype(jnp.float32)
+                dq = q * s
+            else:  # nvfp4
+                from ao_tpu.quantization.qarrays.fp4 import (
+                    decode_fp4_e2m1,
+                    encode_fp4_e2m1,
+                )
+
+                st = jnp.maximum(s * pts, 1e-12)
+                q = encode_fp4_e2m1(wrow / st).astype(jnp.float32)
+                dq = decode_fp4_e2m1(q.astype(jnp.uint8)) * st
             d = jax.lax.dynamic_slice(hblk, (r, r), (1, 1))[0, 0]
             e = (wrow - dq) / d  # (1, n)
 
@@ -220,6 +259,106 @@ def _convert_one(obs: ObservedArray, config: GPTQConfig):
             _shape=tuple(w.shape),
             _dequant_dtype="bfloat16",
         )
+    from ao_tpu.prototype.mx import NVFP4WeightOnlyConfig
+    from ao_tpu.quantization.configs import (
+        Float8WeightOnlyConfig,
+        IntxWeightOnlyConfig,
+    )
+
+    if isinstance(base, NVFP4WeightOnlyConfig):
+        # two-level scales like the reference's NVFP4 GPTQ emission
+        # (prototype/gptq/api.py:537-595): per-tensor f32 x per-16 e4m3
+        from ao_tpu.quantization.qarrays.fp4 import pack_fp4
+        from ao_tpu.quantization.qarrays.nvfp4 import NVFP4Array
+
+        g = 16
+        bs = max(config.block_size, g)
+        if k % bs != 0 or bs % g != 0:
+            bs = g
+
+        def solve(we, he):
+            pts = jnp.maximum(jnp.max(jnp.abs(we)) / (448.0 * 6.0), 1e-12)
+            q, s, _ = gptq_quantize(
+                we, he, g, 15, config.percdamp, bs, mode="nvfp4", pts=pts
+            )
+            return q, s, pts
+
+        if w.ndim == 3:
+            q, s, pts = jax.vmap(solve)(w, h)
+        else:
+            q, s, pts = solve(w, h)
+        return NVFP4Array(
+            qdata=pack_fp4(q.astype(jnp.uint8), g, axis=-2),
+            scale=s.astype(jnp.float8_e4m3fn),
+            per_tensor_scale=pts.astype(jnp.float32),
+            act_per_tensor_scale=None,
+            block_size=(1,) * (w.ndim - 2) + (g, 1),
+            act_quant=False,
+            _shape=tuple(w.shape),
+            _dequant_dtype="bfloat16",
+        )
+
+    if isinstance(base, Float8WeightOnlyConfig):
+        # rowwise (per-output-channel) symmetric e4m3, group spanning K
+        from ao_tpu.quantization.qarrays.float8 import Float8Array
+
+        if w.ndim == 3:
+            q, s, _ = jax.vmap(
+                lambda we, he: gptq_quantize(
+                    we, he, k, 0, config.percdamp, k, mode="fp8"
+                )
+            )(w, h)
+        else:
+            q, s, _ = gptq_quantize(
+                w, h, k, 0, config.percdamp, k, mode="fp8"
+            )
+        return Float8Array(
+            qdata=q.astype(jnp.float8_e4m3fn),  # values already on-grid
+            scale=s.astype(jnp.float32),
+            act_scale=None,
+            act_pre_scale=None,
+            block_size=(1,) * (w.ndim - 2) + (k, 1),
+            act_quant=None,
+            _shape=tuple(w.shape),
+            _dequant_dtype="bfloat16",
+        )
+
+    if isinstance(base, IntxWeightOnlyConfig):
+        from ao_tpu.quantization.qarrays.intx import IntxArray, pack_bitplanes
+
+        bits = base.bit_width
+        g = base.group_size
+        qmax_u = (1 << bits) - 1
+        half = 1 << (bits - 1)
+        bs = max(config.block_size, g)
+        if k % bs != 0 or bs % g != 0:
+            bs = g
+        if w.ndim == 3:
+            q, s, z = jax.vmap(
+                lambda we, he: gptq_quantize(
+                    we, he, g, qmax_u, config.percdamp, bs
+                )
+            )(w, h)
+        else:
+            q, s, z = gptq_quantize(w, h, g, qmax_u, config.percdamp, bs)
+        qi = (q - float(half)).astype(jnp.int8)
+        zp = (-z / s - float(half)).astype(jnp.float32)
+        if base.packed:
+            qdata = pack_bitplanes(q.astype(jnp.uint8), bits, axis=-2)
+        else:
+            qdata = qi
+        return IntxArray(
+            qdata=qdata,
+            scale=s.astype(jnp.float32),
+            zero_point=zp,
+            block_size=(1,) * (w.ndim - 2) + (g, 1),
+            bits=bits,
+            packed=base.packed,
+            act_quant=None,
+            _shape=tuple(w.shape),
+            _dequant_dtype="bfloat16",
+        )
+
     raise NotImplementedError(
         f"GPTQ convert for base config {type(base).__name__}"
     )

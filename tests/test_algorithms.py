@@ -71,6 +71,62 @@ class TestGPTQ:
         assert isinstance(qp["wq"], Int8Array)
         assert float(compute_error(x @ w, linear(x, qp["wq"]))) > 30.0
 
+    def test_gptq_nvfp4_base(self):
+        from ao_tpu.prototype.mx import NVFP4WeightOnlyConfig
+        from ao_tpu.quantization.qarrays.nvfp4 import NVFP4Array
+
+        w, x = make_data()
+        params = {"wq": w}
+        obs = ao_tpu.quantize_(
+            params, GPTQConfig(NVFP4WeightOnlyConfig(), step="observe"))
+        _ = linear(x, obs["wq"])
+        qp = ao_tpu.quantize_(
+            obs, GPTQConfig(NVFP4WeightOnlyConfig(), step="convert"))
+        qw = qp["wq"]
+        assert isinstance(qw, NVFP4Array)
+        assert qw.scale.dtype == jnp.float8_e4m3fn
+        assert qw.per_tensor_scale is not None
+        err_gptq = float(compute_error(x @ w, linear(x, qw)))
+        assert err_gptq > 10.0, err_gptq
+        # Hessian-aware should not lose to plain rounding on the output
+        q_rtn = NVFP4Array.from_hp(w)
+        err_rtn = float(compute_error(x @ w, linear(x, q_rtn)))
+        assert err_gptq > err_rtn - 0.5, (err_gptq, err_rtn)
+
+    def test_gptq_fp8_base(self):
+        from ao_tpu.quantization.qarrays.float8 import Float8Array
+
+        w, x = make_data()
+        params = {"wq": w}
+        obs = ao_tpu.quantize_(
+            params,
+            GPTQConfig(ao_tpu.Float8WeightOnlyConfig(), step="observe"))
+        _ = linear(x, obs["wq"])
+        qp = ao_tpu.quantize_(
+            obs, GPTQConfig(ao_tpu.Float8WeightOnlyConfig(), step="convert"))
+        qw = qp["wq"]
+        assert isinstance(qw, Float8Array)
+        assert qw.qdata.dtype == jnp.float8_e4m3fn
+        assert float(compute_error(x @ w, linear(x, qw))) > 25.0
+
+    def test_gptq_intx_base(self):
+        from ao_tpu.quantization.configs import IntxWeightOnlyConfig
+        from ao_tpu.quantization.qarrays.intx import IntxArray
+
+        w, x = make_data()
+        for bits in (3, 5):
+            params = {"wq": w}
+            cfg = IntxWeightOnlyConfig(bit_width=bits, group_size=32)
+            obs = ao_tpu.quantize_(params, GPTQConfig(cfg, step="observe"))
+            _ = linear(x, obs["wq"])
+            qp = ao_tpu.quantize_(obs, GPTQConfig(cfg, step="convert"))
+            qw = qp["wq"]
+            assert isinstance(qw, IntxArray) and qw.bits == bits
+            err_gptq = float(compute_error(x @ w, linear(x, qw)))
+            qmm = IntxArray.from_hp(w, bits, 32)
+            err_mm = float(compute_error(x @ w, linear(x, qmm)))
+            assert err_gptq > err_mm - 0.5, (bits, err_gptq, err_mm)
+
     def test_observer_rejects_jit(self):
         w, _ = make_data()
         obs = ObservedArray.wrap(w, "gptq")
