@@ -36,22 +36,23 @@ def _fp8_quant_rowwise(x: jax.Array):
 
 def _mx_quant(x: jax.Array):
     """MXFP8 (block-32 e8m0 scales, rceil) quantization of the token payload.
-    Scales are bitcast to uint8 for the collective (ref: mx_tensor.py:1004
-    views e8m0 as uint8 for comms)."""
+    Scales are already the uint8 e8m0 byte — exactly what the collective
+    wants on the wire (ref: mx_tensor.py:1004 views e8m0 as uint8 for
+    comms)."""
     from ao_tpu.quantization.qarrays.mx import to_mx
 
     bs = (1,) * (x.ndim - 1) + (32,)
-    q, scale = to_mx(x, bs, "float8_e4m3fn", "rceil")
-    return q, jax.lax.bitcast_convert_type(scale, jnp.uint8)
+    return to_mx(x, bs, "float8_e4m3fn", "rceil")
 
 
 def _mx_dequant(q: jax.Array, scale_u8: jax.Array, out_dtype):
     from ao_tpu.quantization import primitives as P
+    from ao_tpu.quantization.qarrays.mx import e8m0_decode
 
-    scale = jax.lax.bitcast_convert_type(scale_u8, jnp.float8_e8m0fnu)
+    scale = e8m0_decode(scale_u8)
     bs = tuple(q.shape[i] // scale.shape[i] for i in range(q.ndim))
     v = P.apply_blockwise(
-        q.astype(jnp.float32), bs, lambda v, s: v * s, scale.astype(jnp.float32)
+        q.astype(jnp.float32), bs, lambda v, s: v * s, scale
     )
     return v.astype(out_dtype)
 

@@ -128,12 +128,12 @@ def _mx_qdq(x, block_size):
     the dot runs bf16 on the MXU — same numerics contract as the reference's
     EMULATED kernel preference."""
     from ao_tpu.quantization import primitives as P
-    from ao_tpu.quantization.qarrays.mx import to_mx
+    from ao_tpu.quantization.qarrays.mx import e8m0_decode, to_mx
 
     q, scale = to_mx(x, block_size, "float8_e4m3fn", "rceil")
     return P.apply_blockwise(
         q.astype(jnp.float32), block_size, lambda v, s: v * s,
-        scale.astype(jnp.float32),
+        e8m0_decode(scale),
     )
 
 

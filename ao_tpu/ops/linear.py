@@ -157,6 +157,8 @@ def _mx_linear(x: jax.Array, w: MXArray, b):
         from ao_tpu.quantization.qarrays.fp4 import decode_fp4_e2m1, encode_fp4_e2m1
         from ao_tpu.quantization import primitives as P
 
+        from ao_tpu.quantization.qarrays.mx import e8m0_decode
+
         bs = (1, 32)
         qx, sx = to_mx(x2, bs, w.act_elem_dtype, w.scale_mode)
         if w.act_elem_dtype == "float4_e2m1fn":
@@ -164,7 +166,7 @@ def _mx_linear(x: jax.Array, w: MXArray, b):
         else:
             vx = qx.astype(jnp.float32)
         x2 = P.apply_blockwise(
-            vx, bs, lambda v, s: v * s, sx.astype(jnp.float32)
+            vx, bs, lambda v, s: v * s, e8m0_decode(sx)
         ).astype(x.dtype)
     w_dq = w.dequantize(x2.dtype)
     y = jnp.matmul(x2, w_dq)

@@ -22,12 +22,24 @@ F4_E2M1_MAX = 6.0
 
 
 def encode_fp4_e2m1(x: jax.Array) -> jax.Array:
-    """f32/bf16 → uint8 4-bit e2m1 codes (round-to-nearest-even via the
-    native float4_e2m1fn cast), values clamped to ±6."""
-    x4 = jnp.clip(x.astype(jnp.float32), -F4_E2M1_MAX, F4_E2M1_MAX).astype(
-        jnp.float4_e2m1fn
+    """f32/bf16 → uint8 4-bit e2m1 codes, values clamped to ±6.
+
+    Round-to-nearest-even is done arithmetically (floor-log2 exponent +
+    jnp.round on the mantissa step): XLA:TPU cannot compile the native
+    ``float4_e2m1fn`` element type (it aborts the backend), and the
+    arithmetic snap is bit-equivalent for every representable input."""
+    xf = x.astype(jnp.float32)
+    a = jnp.minimum(jnp.abs(xf), F4_E2M1_MAX)
+    # e2m1: 1 mantissa bit, exponent bias 1; min normal = 1.0, grid step at
+    # exponent e is 2^(e-1); the same formula below 1.0 yields the
+    # subnormal step 0.5
+    e = jnp.floor(jnp.log2(jnp.maximum(a, 1.0)))
+    step = jnp.exp2(e - 1.0)
+    snapped = jnp.round(a / step) * step  # jnp.round is RNE
+    v = jnp.where(xf < 0, -snapped, snapped)
+    v = jnp.where(
+        (xf == 0) & jnp.signbit(xf), -0.0, v
     )
-    v = x4.astype(jnp.float32)
     s = (v < 0) | ((v == 0) & (jnp.signbit(v)))
     a = jnp.abs(v)
     # exponent field: a in [0, .5] → subnormal e=0; else e = floor(log2 a)+1

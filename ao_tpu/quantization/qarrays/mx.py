@@ -1,10 +1,15 @@
 """MXArray — OCP Microscaling formats (MXFP8 / MXFP6 / MXFP4, e8m0 scales).
 
 (ref: torchao/prototype/mx_formats/mx_tensor.py:510 ``MXTensor``; ``to_mx``
-:214 with FLOOR/RCEIL scale modes, ``to_dtype`` :431. TPU re-design: scales
-are plain ``float8_e8m0fnu`` arrays with rank-preserved reduced shape — no
-"swizzled"/to_blocked layout, which is a CUDA-tensor-core artifact; Pallas
-tiles read the scale rows directly.)
+:214 with FLOOR/RCEIL scale modes, ``to_dtype`` :431. TPU re-design: e8m0
+scales are stored as their biased-exponent **uint8 byte** with
+rank-preserved reduced shape — bit-identical to the OCP e8m0 encoding, but
+XLA:TPU cannot compile the ``float8_e8m0fnu`` element type, and the uint8
+view is what collectives/serialization want anyway (the reference also
+views e8m0 as uint8 for comms, mx_tensor.py:1004). Decode is
+``exp2(byte - 127)`` (:func:`e8m0_decode`). No "swizzled"/to_blocked
+layout, which is a CUDA-tensor-core artifact; Pallas tiles read the scale
+rows directly.)
 
 Element dtypes:
   * float8_e4m3fn / float8_e5m2 — native fp8 arrays
@@ -34,6 +39,11 @@ from ao_tpu.quantization.qarrays.fp4 import (
 )
 
 MX_BLOCK = 32
+
+
+def e8m0_decode(scale_u8: jax.Array) -> jax.Array:
+    """Biased-exponent uint8 (the e8m0 byte) -> f32 power-of-two scale."""
+    return jnp.exp2(scale_u8.astype(jnp.float32) - 127.0)
 
 _ELEM_MAX = {
     "float8_e4m3fn": 448.0,
@@ -77,8 +87,9 @@ def to_mx(
     elem_dtype: str = "float8_e4m3fn",
     scale_mode: str = "floor",  # "floor" | "rceil" | "even"
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (qdata, e8m0 scale). (ref: to_mx mx_tensor.py:214; rceil
-    matches _to_mx_rceil :109 — round scale up so elements never overflow.)"""
+    """Returns (qdata, e8m0 scale as biased-exponent uint8). (ref: to_mx
+    mx_tensor.py:214; rceil matches _to_mx_rceil :109 — round scale up so
+    elements never overflow.)"""
     xf = x.astype(jnp.float32)
     amax = P.block_reduce(xf, block_size, "absmax")
     emax = _ELEM_MAX[elem_dtype]
@@ -95,9 +106,8 @@ def to_mx(
     else:
         raise ValueError(scale_mode)
     shared_exp = jnp.clip(shared_exp, -127.0, 127.0)
-    scale = jnp.exp2(shared_exp)
-    scale_e8m0 = scale.astype(jnp.float8_e8m0fnu)
-    scale_f = scale_e8m0.astype(jnp.float32)
+    scale_e8m0 = (shared_exp + 127.0).astype(jnp.uint8)  # biased e8m0 byte
+    scale_f = jnp.exp2(shared_exp)
 
     def _q(xb, s):
         return jnp.clip(xb / s, -emax, emax)
@@ -116,7 +126,7 @@ def to_mx(
 @qarray_dataclass
 class MXArray(QuantizedArray):
     qdata: jax.Array  # fp8 container or packed fp4 codes (uint8)
-    scale: jax.Array  # float8_e8m0fnu, rank-preserved reduced shape
+    scale: jax.Array  # e8m0 as biased-exponent uint8, rank-preserved shape
     elem_dtype: str = meta(default="float8_e4m3fn")
     block_size: Tuple[int, ...] = meta(default=())
     act_elem_dtype: Optional[str] = meta(default=None)  # dynamic act quant
@@ -169,6 +179,5 @@ class MXArray(QuantizedArray):
         def _dq(vb, s):
             return vb * s
 
-        scale_f = self.scale.astype(jnp.float32)
-        out = P.apply_blockwise(v, self.block_size, _dq, scale_f)
+        out = P.apply_blockwise(v, self.block_size, _dq, e8m0_decode(self.scale))
         return out.astype(out_dtype)

@@ -67,21 +67,25 @@ class TestMX:
     def test_roundtrip_sqnr(self, elem, thresh):
         w = weights()
         qw = MXArray.from_hp(w, elem_dtype=elem)
-        assert qw.scale.dtype == jnp.float8_e8m0fnu
+        assert qw.scale.dtype == jnp.uint8  # e8m0 byte (biased exponent)
         err = float(compute_error(w, qw.dequantize(jnp.float32)))
         assert err > thresh, f"{elem}: {err}"
 
     def test_scale_is_power_of_two(self):
+        from ao_tpu.quantization.qarrays.mx import e8m0_decode
+
         w = weights()
         qw = MXArray.from_hp(w)
-        s = np.asarray(qw.scale.astype(jnp.float32))
+        s = np.asarray(e8m0_decode(qw.scale))
         exp = np.log2(s)
         np.testing.assert_allclose(exp, np.round(exp))
 
     def test_rceil_never_overflows(self):
+        from ao_tpu.quantization.qarrays.mx import e8m0_decode
+
         w = weights() * 100
         _, scale = to_mx(w, (32, 1), "float8_e4m3fn", "rceil")
-        q = w / np.asarray(scale.astype(jnp.float32)).repeat(32, axis=0)
+        q = w / np.asarray(e8m0_decode(scale)).repeat(32, axis=0)
         assert float(jnp.max(jnp.abs(q))) <= 448.0 + 1e-3
 
     def test_fp4_packing_halves_bytes(self):
