@@ -168,6 +168,17 @@ def _mx_linear(x: jax.Array, w: MXArray, b):
         x2 = P.apply_blockwise(
             vx, bs, lambda v, s: v * s, e8m0_decode(sx)
         ).astype(x.dtype)
+    if (w.elem_dtype == "float4_e2m1fn" and w.layout == "magic"
+            and kernels._use_pallas()):
+        from ao_tpu.ops.pallas import UnsupportedShape
+
+        try:
+            from ao_tpu.ops.pallas.fp4_matmul import mxfp4_wo_matmul_pallas
+
+            y = mxfp4_wo_matmul_pallas(x2, w.qdata, w.scale)
+            return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
+        except (ImportError, UnsupportedShape):
+            pass
     w_dq = w.dequantize(x2.dtype)
     y = jnp.matmul(x2, w_dq)
     return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
@@ -193,6 +204,18 @@ def _nvfp4_linear(x: jax.Array, w: NVFP4Array, b):
         vx = decode_fp4_e2m1(codes, jnp.float32)
         total = bscale.astype(jnp.float32) * (pts if pts is not None else 1.0)
         x2 = P.apply_blockwise(vx, bs, lambda v, s: v * s, total).astype(x.dtype)
+    if w.layout == "magic" and kernels._use_pallas():
+        from ao_tpu.ops.pallas import UnsupportedShape
+
+        try:
+            from ao_tpu.ops.pallas.fp4_matmul import nvfp4_wo_matmul_pallas
+
+            y = nvfp4_wo_matmul_pallas(
+                x2, w.qdata, w.scale, w.per_tensor_scale
+            )
+            return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
+        except (ImportError, UnsupportedShape):
+            pass
     w_dq = w.dequantize(x2.dtype)
     y = jnp.matmul(x2, w_dq)
     return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)

@@ -78,3 +78,48 @@ def pack_fp4(codes: jax.Array, group_size: int, axis: int = -2) -> jax.Array:
 
 def unpack_fp4(packed: jax.Array, group_size: int, axis: int = -2) -> jax.Array:
     return unpack_int4(packed, group_size, axis=axis)
+
+
+def _remap_fp4_magic(codes: jax.Array) -> jax.Array:
+    """Swap the e2m1 em-field 0 <-> 1 (self-inverse, sign preserved).
+
+    The fused kernel (ops/pallas/fp4_matmul.py) reconstructs bf16 values as
+    (1 + m/2) * 2^(e-1), which is exact for every nonzero e2m1 value once
+    0.5 (em=1) is stored as em=0; the zero codes move to em=1 where one
+    bit-test masks them."""
+    em = codes & 0x7
+    out = jnp.where(em == 0, codes | 1,
+                    jnp.where(em == 1, codes & 0xE, codes))
+    return out.astype(jnp.uint8)
+
+
+def pack_fp4_magic(codes: jax.Array) -> jax.Array:
+    """e2m1 codes (K, N) uint8 -> int32 (K/8, N) "fp4 magic" words.
+
+    Plane j = logical rows [j*K/4, (j+1)*K/4); word-row r holds the
+    remapped codes of plane rows (2r, 2r+1) at bits [4j:4j+4) and
+    [16+4j:16+4j+4) (the pltpu.bitcast sublane-doubling order)."""
+    k, n = codes.shape
+    if k % 8 != 0:
+        raise ValueError(f"K={k} must be a multiple of 8")
+    rc = _remap_fp4_magic(codes.astype(jnp.int32))
+    planes = rc.reshape(4, k // 4, n)
+    word = jnp.zeros((k // 8, n), jnp.int32)
+    for j in range(4):
+        pj = planes[j].reshape(k // 8, 2, n)
+        for h in range(2):
+            word = word | (pj[:, h].astype(jnp.int32) << (4 * j + 16 * h))
+    return word
+
+
+def unpack_fp4_magic(word: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_fp4_magic`; returns e2m1 codes (K, N) uint8."""
+    kw, n = word.shape
+    planes = []
+    for j in range(4):
+        pj = jnp.stack(
+            [(word >> (4 * j + 16 * h)) & 0xF for h in range(2)], axis=1
+        )  # (K/8, 2, n)
+        planes.append(pj.reshape(kw * 2, n))
+    rc = jnp.concatenate(planes, axis=0)
+    return _remap_fp4_magic(rc)

@@ -155,7 +155,14 @@ class MXArray(QuantizedArray):
         )
         q, scale = to_mx(hp, block_size, elem_dtype, scale_mode)
         if elem_dtype == "float4_e2m1fn":
-            q = pack_fp4(q, MX_BLOCK, axis=block_dim)
+            # "magic" int32 word layout feeds the fused Pallas kernel
+            # (2-D, K-blocked, K % 128 == 0); otherwise split-half bytes
+            if rank == 2 and block_dim == rank - 2 and hp.shape[-2] % 128 == 0:
+                from ao_tpu.quantization.qarrays.fp4 import pack_fp4_magic
+
+                q = pack_fp4_magic(q)
+            else:
+                q = pack_fp4(q, MX_BLOCK, axis=block_dim)
         return cls(
             qdata=q,
             scale=scale,
@@ -167,11 +174,20 @@ class MXArray(QuantizedArray):
             _dequant_dtype=dequant_dtype,
         )
 
+    @property
+    def layout(self) -> str:
+        return "magic" if self.qdata.dtype == jnp.int32 else "halves"
+
     def dequantize(self, output_dtype=None) -> jax.Array:
         out_dtype = output_dtype or self.dtype
         if self.elem_dtype == "float4_e2m1fn":
-            block_dim = self.block_size.index(MX_BLOCK)
-            codes = unpack_fp4(self.qdata, MX_BLOCK, axis=block_dim)
+            if self.layout == "magic":
+                from ao_tpu.quantization.qarrays.fp4 import unpack_fp4_magic
+
+                codes = unpack_fp4_magic(self.qdata)
+            else:
+                block_dim = self.block_size.index(MX_BLOCK)
+                codes = unpack_fp4(self.qdata, MX_BLOCK, axis=block_dim)
             v = decode_fp4_e2m1(codes, jnp.float32)
         else:
             v = self.qdata.astype(jnp.float32)

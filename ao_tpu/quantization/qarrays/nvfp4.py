@@ -96,8 +96,16 @@ class NVFP4Array(QuantizedArray):
             NVFP4_BLOCK if i == block_dim else 1 for i in range(rank)
         )
         codes, bscale, pts = nvfp4_quantize(hp, block_size, per_tensor)
+        # "magic" int32 word layout feeds the fused Pallas kernel; defined
+        # for 2-D weights blocked along K with K % 64 == 0
+        if rank == 2 and block_dim == rank - 2 and hp.shape[-2] % 64 == 0:
+            from ao_tpu.quantization.qarrays.fp4 import pack_fp4_magic
+
+            qdata = pack_fp4_magic(codes)
+        else:
+            qdata = pack_fp4(codes, NVFP4_BLOCK, axis=block_dim)
         return cls(
-            qdata=pack_fp4(codes, NVFP4_BLOCK, axis=block_dim),
+            qdata=qdata,
             scale=bscale,
             per_tensor_scale=pts,
             act_per_tensor_scale=act_per_tensor_scale,
@@ -107,10 +115,22 @@ class NVFP4Array(QuantizedArray):
             _dequant_dtype=dequant_dtype,
         )
 
+    @property
+    def layout(self) -> str:
+        return "magic" if self.qdata.dtype == jnp.int32 else "halves"
+
+    def unpack(self) -> jax.Array:
+        """e2m1 codes 0..15, logical shape."""
+        if self.layout == "magic":
+            from ao_tpu.quantization.qarrays.fp4 import unpack_fp4_magic
+
+            return unpack_fp4_magic(self.qdata)
+        block_dim = self.block_size.index(NVFP4_BLOCK)
+        return unpack_fp4(self.qdata, NVFP4_BLOCK, axis=block_dim)
+
     def dequantize(self, output_dtype=None) -> jax.Array:
         out_dtype = output_dtype or self.dtype
-        block_dim = self.block_size.index(NVFP4_BLOCK)
-        codes = unpack_fp4(self.qdata, NVFP4_BLOCK, axis=block_dim)
+        codes = self.unpack()
         v = decode_fp4_e2m1(codes, jnp.float32)
         scale_f = self.scale.astype(jnp.float32)
         if self.per_tensor_scale is not None:

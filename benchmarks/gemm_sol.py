@@ -51,6 +51,52 @@ def bench_scheme(name, make_qw, m, k, n, weight_bits, act_bits,
     return us
 
 
+def dma_floor(m, k, n):
+    """Pure weight-DMA floor for the int4-bytes working set: loads the
+    packed (K/8, N) int32 words tile-by-tile and consumes 8 rows. This is
+    the empirical ceiling for any 4-bit kernel — on v5e it sits at ~90% of
+    the analytic roofline, so %SoL numbers should be read against it."""
+    import functools
+
+    import numpy as _np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ao_tpu.utils.roofline import gemm_roofline_us
+
+    kw = k // 8
+    tn = 1024 if n % 1024 == 0 else 512
+    words = [
+        jax.random.randint(jax.random.PRNGKey(50 + i), (kw, n), 0,
+                           2 ** 31 - 1, jnp.int32)
+        for i in range(N_WEIGHTS)
+    ]
+
+    def floor_kern(w_ref, o_ref):
+        o_ref[:] = w_ref[:8, :].astype(jnp.float32)
+
+    def run(wm):
+        return pl.pallas_call(
+            floor_kern, grid=(n // tn,),
+            in_specs=[pl.BlockSpec((kw, tn), lambda j: (0, j),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((8, tn), lambda j: (0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=0, bytes_accessed=kw * n * 4, transcendentals=0),
+        )(wm)
+
+    f = jax.jit(lambda *ws: [run(w) for w in ws])
+    us = device_time_us(f, *words, iters=10) / N_WEIGHTS
+    roof = gemm_roofline_us(m, k, n, 4, 16)
+    print(json.dumps({
+        "scheme": "dma_floor_int4_bytes", "m": m, "k": k, "n": n,
+        "us": round(us, 2), "roofline_us": round(roof["roofline_us"], 2),
+        "bound": "memory", "pct_sol": round(
+            100 * roof["roofline_us"] / us, 1),
+    }))
+
+
 def main():
     m = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     spec = detect_tpu_spec()
@@ -75,6 +121,16 @@ def main():
                 w, block_size=(k, 1),
                 act_quant=ActQuantSpec("float8_e4m3fn")),
             m, k, n, 8, 8)
+        from ao_tpu.quantization.qarrays.mx import MXArray
+        from ao_tpu.quantization.qarrays.nvfp4 import NVFP4Array
+
+        bench_scheme(
+            "mxfp4_wo",
+            lambda w: MXArray.from_hp(w, elem_dtype="float4_e2m1fn"),
+            m, k, n, 4, 16)
+        bench_scheme(
+            "nvfp4_wo", lambda w: NVFP4Array.from_hp(w), m, k, n, 4, 16)
+        dma_floor(m, k, n)
 
 
 if __name__ == "__main__":

@@ -71,6 +71,31 @@ class TestMX:
         err = float(compute_error(w, qw.dequantize(jnp.float32)))
         assert err > thresh, f"{elem}: {err}"
 
+    def test_fp4_magic_pack_roundtrip(self):
+        from ao_tpu.quantization.qarrays.fp4 import (
+            pack_fp4_magic,
+            unpack_fp4_magic,
+        )
+
+        codes = jnp.asarray(
+            np.random.default_rng(0).integers(0, 16, (256, 128)), jnp.uint8)
+        word = pack_fp4_magic(codes)
+        assert word.shape == (32, 128) and word.dtype == jnp.int32
+        back = unpack_fp4_magic(word)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(codes))
+
+    def test_fp4_magic_layout_dequant_matches_halves(self):
+        w = weights(256, 128)
+        qm = MXArray.from_hp(w, elem_dtype="float4_e2m1fn")
+        assert qm.layout == "magic"
+        # 3-D weights fall back to the split-half byte layout
+        q3 = MXArray.from_hp(w[None], elem_dtype="float4_e2m1fn")
+        assert q3.layout == "halves"
+        np.testing.assert_array_equal(
+            np.asarray(qm.dequantize(jnp.float32)),
+            np.asarray(q3.dequantize(jnp.float32))[0],
+        )
+
     def test_scale_is_power_of_two(self):
         from ao_tpu.quantization.qarrays.mx import e8m0_decode
 

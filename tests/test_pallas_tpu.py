@@ -54,6 +54,38 @@ def test_int4_magic_vs_halves_kernels():
     assert compute_error(ym, yh) > 40.0
 
 
+@pytest.mark.parametrize("m", [1, 8, 64])
+def test_mxfp4_kernel_matches_emulated(m):
+    from ao_tpu.quantization.qarrays.mx import MXArray
+
+    w = jax.random.normal(KEY, (2048, 2048), jnp.float32) * 0.02
+    x = jax.random.normal(KEY, (m, 2048), jnp.bfloat16)
+    qw = MXArray.from_hp(w, elem_dtype="float4_e2m1fn")
+    assert qw.layout == "magic"
+    with kernels.backend("emulated"):
+        y_ref = linear(x, qw)
+    with kernels.backend("pallas"):
+        y = linear(x, qw)
+    # integer exponent-add reproduces the emulated dequant bit-exactly up
+    # to the bf16 output cast
+    assert compute_error(y_ref, y) > 50.0
+
+
+@pytest.mark.parametrize("m", [1, 8, 64])
+def test_nvfp4_kernel_matches_emulated(m):
+    from ao_tpu.quantization.qarrays.nvfp4 import NVFP4Array
+
+    w = jax.random.normal(KEY, (2048, 2048), jnp.float32) * 0.02
+    x = jax.random.normal(KEY, (m, 2048), jnp.bfloat16)
+    qw = NVFP4Array.from_hp(w)
+    assert qw.layout == "magic"
+    with kernels.backend("emulated"):
+        y_ref = linear(x, qw)
+    with kernels.backend("pallas"):
+        y = linear(x, qw)
+    assert compute_error(y_ref, y) > 40.0
+
+
 def test_int4_kernel_hqq_weights():
     w = jax.random.normal(KEY, (2048, 2048), jnp.float32) * 0.02
     x = jax.random.normal(KEY, (4, 2048), jnp.bfloat16)
