@@ -126,6 +126,85 @@ class TestQAT:
         y = linear(x, prep["wq"])
         assert float(compute_error(x.astype(jnp.float32) @ w, y)) > 12.0
 
+    @pytest.mark.parametrize("mk", ["mxfp8", "mxfp4", "nvfp4", "mx_dyn"])
+    def test_qat_mx_nvfp4_fake_quant(self, mk):
+        from ao_tpu.prototype.mx import (
+            MXDynamicActivationMXWeightConfig,
+            MXWeightOnlyConfig,
+            NVFP4WeightOnlyConfig,
+        )
+
+        base = {
+            "mxfp8": MXWeightOnlyConfig(),
+            "mxfp4": MXWeightOnlyConfig(elem_dtype="float4_e2m1fn"),
+            "nvfp4": NVFP4WeightOnlyConfig(),
+            "mx_dyn": MXDynamicActivationMXWeightConfig(),
+        }[mk]
+        w = jax.random.normal(KEY, (64, 32), jnp.float32) * 0.05
+        prep = ao_tpu.quantize_({"wq": w}, QATConfig(base, step="prepare"))
+        x = jax.random.normal(KEY, (4, 64), jnp.float32)
+        y = linear(x, prep["wq"])
+        thresh = 12.0 if "fp4" in mk else 20.0
+        assert float(compute_error(x @ w, y)) > thresh
+        # fake-quant forward tracks the converted PTQ forward
+        conv = ao_tpu.quantize_(prep, QATConfig(base, step="convert"))
+        yq = linear(x, conv["wq"])
+        assert float(compute_error(y, yq)) > 25.0
+        # gradients flow through the STE
+        g = jax.grad(lambda p: jnp.sum(linear(x, p["wq"]) ** 2))(prep)
+        assert float(jnp.linalg.norm(g["wq"].weight)) > 0
+
+    def test_qat_range_learning_recovers_ptq_degradation(self):
+        """Learnable scales/zps + convert handoff: brief QAT training must
+        beat straight PTQ on the task loss (the reference's recovery story,
+        README.md:203)."""
+        import optax
+
+        base = ao_tpu.Int4WeightOnlyConfig(group_size=32)
+        k = jax.random.PRNGKey(7)
+        w = jax.random.normal(k, (64, 48), jnp.float32) * 0.05
+        # inject outliers so minmax PTQ qparams are clearly suboptimal
+        w = w.at[0, :].set(5.0)
+        x = jax.random.normal(jax.random.PRNGKey(8), (256, 64), jnp.float32)
+        y_true = x @ w
+
+        ptq = ao_tpu.quantize_({"wq": w}, base)
+        e_ptq = float(jnp.mean((linear(x, ptq["wq"]) - y_true) ** 2))
+
+        prep = ao_tpu.quantize_(
+            {"wq": w}, QATConfig(base, step="prepare", range_learning=True))
+        assert prep["wq"].scale is not None
+
+        def loss(p):
+            return jnp.mean((linear(x, p["wq"]) - y_true) ** 2)
+
+        opt = optax.adam(3e-3)
+        state = opt.init(prep)
+
+        @jax.jit
+        def step(p, s):
+            g = jax.grad(loss)(p)
+            # learn ONLY the qparams: isolates the range-learning effect
+            g = {"wq": g["wq"].replace(
+                weight=jnp.zeros_like(g["wq"].weight))}
+            upd, s = opt.update(g, s)
+            return optax.apply_updates(p, upd), s
+
+        # scale/zp gradients must be nonzero (the LSQ path is live)
+        g0 = jax.grad(loss)(prep)
+        assert float(jnp.linalg.norm(g0["wq"].scale)) > 0
+        assert float(jnp.linalg.norm(g0["wq"].zero_point)) > 0
+
+        for _ in range(150):
+            prep, state = step(prep, state)
+
+        conv = ao_tpu.quantize_(prep, QATConfig(base, step="convert"))
+        from ao_tpu.quantization.qarrays.int4 import Int4Array
+
+        assert isinstance(conv["wq"], Int4Array)
+        e_qat = float(jnp.mean((linear(x, conv["wq"]) - y_true) ** 2))
+        assert e_qat < e_ptq, (e_qat, e_ptq)
+
 
 class TestLowBitAdam:
     @pytest.mark.parametrize("bits", [8, 4, "fp8"])
