@@ -74,67 +74,139 @@ def make_hybrid_mesh(
     return Mesh(arr, tuple(dcn_axes) + tuple(ici_axes))
 
 
-# Column-parallel (shard output dim N) vs row-parallel (shard input dim K)
-_COL_PARALLEL = {"wq", "wk", "wv", "w1", "w3", "up", "gate", "qkv"}
-_ROW_PARALLEL = {"wo", "w2", "down", "proj"}
+# ---------------------------------------------------------------------------
+# Sharding rules: ordered (regex -> kind) table, FqnToConfig-style.
+#
+# A rule's regex is matched (re.search) against the leaf's fqn with any
+# QuantizedArray field suffix stripped; the first hit wins. Kinds:
+#   "col"       — column parallel: shard the output dim (-1) over tp
+#   "row"       — row parallel: shard the input dim (-2) over tp
+#   "replicate" — explicitly replicate (suppresses the unmatched warning)
+# or a concrete PartitionSpec to use verbatim.
+#
+# Any ≥2-D leaf that matches NO rule is replicated WITH a warning (raise
+# under strict=True): a renamed parameter must never silently stop sharding
+# (ref contract: torchao testing/utils.py:370-467 TP test harness).
+# ---------------------------------------------------------------------------
+
+ShardingRules = Sequence[Tuple[str, Any]]
+
+# Built-in rule set covering the in-repo model families (llama / gemma /
+# MoE-llama expert stacks / ViT) plus common HF-style names.
+DEFAULT_TP_RULES: ShardingRules = (
+    # attention + MLP expansions: shard the output dim
+    (r"(^|\.)(wq|wk|wv|w1|w3|up|gate|qkv|fc1|in_proj|query|key|value)$",
+     "col"),
+    # projections back to the model dim: shard the input dim
+    (r"(^|\.)(wo|w2|down|proj|fc2|out_proj|o_proj|down_proj)$", "row"),
+    # HF llama-style names
+    (r"(^|\.)(q_proj|k_proj|v_proj|gate_proj|up_proj)$", "col"),
+    # embeddings / head: shard the model (last) dim; vocab gather local
+    (r"(^|\.)(embed|lm_head|head|patch_embed|pos_embed)$", "col"),
+    # MoE router + norms + biases are tiny: replicate silently
+    (r"(^|\.)(router|gate_w)$", "replicate"),
+    (r"(^|\.)(ln\d*|norm\w*|.*_norm|bias|b)$", "replicate"),
+)
+
+_QARRAY_FIELDS = ("qdata", "scale", "zero_point", "act_pre_scale",
+                  "act_scale", "act_zero_point", "per_tensor_scale",
+                  "act_per_tensor_scale", "weight")
 
 
-def _leaf_pspec(fqn: str, leaf: Any, tp_axis: str, fsdp_axis: Optional[str]):
+def _match_rule(name: str, rules: ShardingRules):
+    import re
+
+    for pattern, kind in rules:
+        if re.search(pattern, name):
+            return kind
+    return None
+
+
+def _leaf_pspec(fqn: str, leaf: Any, tp_axis: str, fsdp_axis: Optional[str],
+                rules: ShardingRules = DEFAULT_TP_RULES,
+                strict: bool = False, _warned: Optional[set] = None):
     parts = fqn.split(".")
     # QuantizedArray fields appear as the last path component
     field = None
-    name = parts[-1]
-    if name in ("qdata", "scale", "zero_point", "act_pre_scale", "act_scale",
-                "act_zero_point"):
-        field = name
-        name = parts[-2] if len(parts) >= 2 else name
+    name = fqn
+    if parts[-1] in _QARRAY_FIELDS:
+        field = parts[-1]
+        name = ".".join(parts[:-1]) if len(parts) >= 2 else fqn
 
     ndim = getattr(leaf, "ndim", 0)
     if ndim < 2:
         return P()
-    if field in ("act_pre_scale", "act_scale", "act_zero_point"):
+    if field in ("act_pre_scale", "act_scale", "act_zero_point",
+                 "per_tensor_scale", "act_per_tensor_scale"):
         return P()  # tiny, replicate
 
-    if name in _COL_PARALLEL:
+    kind = _match_rule(name, rules)
+    if kind is None:
+        msg = (
+            f"sharding rules matched nothing for ≥2-D leaf '{fqn}' "
+            f"(shape {getattr(leaf, 'shape', '?')}); it will be REPLICATED "
+            f"on the tp mesh. Add a rule (regex -> 'col'/'row'/'replicate'/"
+            f"PartitionSpec) or rename the parameter."
+        )
+        if strict:
+            raise ValueError(msg)
+        import warnings
+
+        if _warned is None or name not in _warned:
+            warnings.warn(msg)
+            if _warned is not None:
+                _warned.add(name)
+        return P()
+    if isinstance(kind, P):
+        return kind
+    if kind == "replicate":
+        return P()
+    if kind == "col":
         # (K, N) shard N; qdata (K/2, N) and scale (K/g, N) shard dim -1 too
         spec = [None] * ndim
         spec[-1] = tp_axis
         if fsdp_axis and ndim >= 2:
             spec[-2] = fsdp_axis
         return P(*spec)
-    if name in _ROW_PARALLEL:
+    if kind == "row":
         spec = [None] * ndim
         spec[-2] = tp_axis
         if fsdp_axis:
             spec[-1] = fsdp_axis
         return P(*spec)
-    if name == "embed":
-        spec = [None] * ndim
-        spec[-1] = tp_axis  # shard model dim; vocab gather stays local
-        return P(*spec)
-    if name == "lm_head":
-        spec = [None] * ndim
-        spec[-1] = tp_axis
-        return P(*spec)
-    return P()
+    raise ValueError(f"unknown sharding rule kind {kind!r} for '{fqn}'")
 
 
 def param_pspecs(params: Any, tp_axis: str = "tp",
-                 fsdp_axis: Optional[str] = None) -> Any:
+                 fsdp_axis: Optional[str] = None,
+                 rules: ShardingRules = DEFAULT_TP_RULES,
+                 strict: bool = False) -> Any:
     """PartitionSpec pytree matching ``params`` leaf-for-leaf (QuantizedArray
-    leaves get per-field specs so qdata and scales shard together)."""
+    leaves get per-field specs so qdata and scales shard together).
+
+    ``rules`` is an ordered (regex -> kind) table — see DEFAULT_TP_RULES.
+    User rules are consulted FIRST, then the defaults; pass strict=True to
+    raise instead of warn on unmatched ≥2-D leaves."""
+    if rules is not DEFAULT_TP_RULES:
+        rules = tuple(rules) + tuple(DEFAULT_TP_RULES)
+    warned: set = set()
 
     def spec(path, leaf):
-        return _leaf_pspec(path_to_fqn(path), leaf, tp_axis, fsdp_axis)
+        return _leaf_pspec(path_to_fqn(path), leaf, tp_axis, fsdp_axis,
+                           rules, strict, warned)
 
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
 def shard_params(params: Any, mesh: Mesh, tp_axis: str = "tp",
-                 fsdp_axis: Optional[str] = None) -> Any:
+                 fsdp_axis: Optional[str] = None,
+                 rules: ShardingRules = DEFAULT_TP_RULES,
+                 strict: bool = False) -> Any:
     """Device-put params with tensor-parallel NamedShardings. Validates that
     quantization-group boundaries align with the K-shard boundaries."""
-    specs = param_pspecs(params, tp_axis, fsdp_axis)
+    specs = param_pspecs(params, tp_axis, fsdp_axis, rules, strict)
+    if rules is not DEFAULT_TP_RULES:
+        rules = tuple(rules) + tuple(DEFAULT_TP_RULES)
     tp = mesh.shape[tp_axis]
 
     def check(path, leaf):
@@ -154,10 +226,9 @@ def shard_params(params: Any, mesh: Mesh, tp_axis: str = "tp",
             # row-parallel K shard must hold whole 4-group blocks, else
             # repack to the split-half layout (slower kernel, same numerics)
             fqn = path_to_fqn(path)
-            name = fqn.split(".")[-1]
             if (
                 getattr(leaf, "layout", None) == "magic"
-                and name in _ROW_PARALLEL
+                and _match_rule(fqn, rules) == "row"
                 and (k // g) % (4 * tp) != 0
             ):
                 import warnings

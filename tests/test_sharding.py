@@ -55,6 +55,42 @@ class TestShardParams:
         assert w2.qdata == P("tp", None)
         assert w2.scale == P("tp", None)
 
+    def test_renamed_param_warns_never_silently_replicates(self):
+        """A model whose params match no rule must WARN (or raise under
+        strict=True), never silently fall through to replication."""
+        import warnings
+
+        from ao_tpu.quantization.qarrays.int4 import Int4Array
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (256, 128),
+                              jnp.float32) * 0.02
+        params = {"mystery_matrix": Int4Array.from_hp(w, 64)}
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            specs = param_pspecs(params)
+        assert any("mystery_matrix" in str(r.message) for r in rec), rec
+        assert specs["mystery_matrix"].qdata == P()  # replicated, loudly
+        with pytest.raises(ValueError, match="mystery_matrix"):
+            param_pspecs(params, strict=True)
+
+    def test_custom_rules_extend_defaults(self):
+        from ao_tpu.quantization.qarrays.int4 import Int4Array
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (256, 128),
+                              jnp.float32) * 0.02
+        params = {
+            "mystery_matrix": Int4Array.from_hp(w, 64),
+            "wq": Int4Array.from_hp(w, 64),  # defaults still apply
+        }
+        specs = param_pspecs(
+            params, rules=[(r"mystery_matrix$", "col")], strict=True)
+        assert specs["mystery_matrix"].qdata == P(None, "tp")
+        assert specs["wq"].qdata == P(None, "tp")
+        # explicit PartitionSpec rules pass through verbatim
+        specs2 = param_pspecs(
+            params, rules=[(r"mystery_matrix$", P("tp", None))])
+        assert specs2["mystery_matrix"].qdata == P("tp", None)
+
     def test_group_misalignment_raises(self):
         # K=64 rows packed → 32; with g=64 there is ONE group: tp=2 cannot
         # split it at a group boundary
