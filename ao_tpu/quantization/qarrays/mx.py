@@ -14,10 +14,9 @@ rows directly.)
 Element dtypes:
   * float8_e4m3fn / float8_e5m2 — native fp8 arrays
   * float4_e2m1fn — packed 2-codes-per-byte (group-local layout, g=32)
-  * float6_e2m3 / float6_e3m2 — values snapped to the fp6 grid, stored in an
-    fp8-e4m3 container (every fp6 value is exactly representable there);
-    numerics match the OCP spec, memory is 8 bits until a packed 6-bit
-    layout lands
+  * float6_e2m3 / float6_e3m2 — values snapped to the fp6 grid and stored
+    PACKED: 6-bit codes, 4 values per 3 bytes along the block dim
+    (qarrays/fp6.py) — 0.75x fp8 checkpoint bytes, OCP-spec numerics
 Block size: 32 along the contraction dim (per OCP MX spec).
 """
 
@@ -154,6 +153,15 @@ class MXArray(QuantizedArray):
             MX_BLOCK if i == block_dim else 1 for i in range(rank)
         )
         q, scale = to_mx(hp, block_size, elem_dtype, scale_mode)
+        if elem_dtype in ("float6_e2m3", "float6_e3m2"):
+            # packed 6-bit codes: 4 values / 3 bytes along the block dim
+            # (0.75x fp8 checkpoint bytes; ref: fp6 packing
+            # prototype/mx_formats/kernels.py)
+            from ao_tpu.quantization.qarrays.fp6 import encode_fp6, pack_fp6
+
+            q = pack_fp6(
+                encode_fp6(q.astype(jnp.float32), elem_dtype), axis=block_dim
+            )
         if elem_dtype == "float4_e2m1fn":
             # "magic" int32 word layout feeds the fused Pallas kernel
             # (2-D, K-blocked, K % 128 == 0); otherwise split-half bytes
@@ -189,6 +197,15 @@ class MXArray(QuantizedArray):
                 block_dim = self.block_size.index(MX_BLOCK)
                 codes = unpack_fp4(self.qdata, MX_BLOCK, axis=block_dim)
             v = decode_fp4_e2m1(codes, jnp.float32)
+        elif self.elem_dtype in ("float6_e2m3", "float6_e3m2"):
+            from ao_tpu.quantization.qarrays.fp6 import decode_fp6, unpack_fp6
+
+            block_dim = self.block_size.index(MX_BLOCK)
+            if self.qdata.dtype == jnp.uint8:  # packed 6-bit codes
+                codes = unpack_fp6(self.qdata, axis=block_dim)
+                v = decode_fp6(codes, self.elem_dtype, jnp.float32)
+            else:  # legacy e4m3 container
+                v = self.qdata.astype(jnp.float32)
         else:
             v = self.qdata.astype(jnp.float32)
 

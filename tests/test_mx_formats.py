@@ -71,6 +71,35 @@ class TestMX:
         err = float(compute_error(w, qw.dequantize(jnp.float32)))
         assert err > thresh, f"{elem}: {err}"
 
+    @pytest.mark.parametrize("elem", ["float6_e2m3", "float6_e3m2"])
+    def test_fp6_pack_roundtrip_and_bytes(self, elem):
+        from ao_tpu.quantization.qarrays.fp6 import (
+            decode_fp6,
+            encode_fp6,
+            pack_fp6,
+            unpack_fp6,
+        )
+        from ao_tpu.quantization.qarrays.mx import _snap_fp6
+
+        w = weights(256, 128)
+        snapped = np.asarray(_snap_fp6(w * 40.0, elem))  # exercise full range
+        codes = encode_fp6(jnp.asarray(snapped), elem)
+        # encode/decode reproduces every snapped value exactly
+        np.testing.assert_array_equal(
+            np.asarray(decode_fp6(codes, elem)), snapped)
+        packed = pack_fp6(codes, axis=0)
+        assert packed.shape == (192, 128)  # 3/4 of 256 rows
+        np.testing.assert_array_equal(
+            np.asarray(unpack_fp6(packed, axis=0)), np.asarray(codes))
+
+        # container: packed fp6 bytes = 0.75x the fp8 container
+        q8 = MXArray.from_hp(w, elem_dtype="float8_e4m3fn")
+        q6 = MXArray.from_hp(w, elem_dtype=elem)
+        assert q6.qdata.dtype == jnp.uint8
+        assert q6.qdata.size * 4 == q8.qdata.size * 3
+        err = float(compute_error(w, q6.dequantize(jnp.float32)))
+        assert err > (26.0 if elem == "float6_e2m3" else 23.0), err
+
     def test_fp4_magic_pack_roundtrip(self):
         from ao_tpu.quantization.qarrays.fp4 import (
             pack_fp4_magic,
