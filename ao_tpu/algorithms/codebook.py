@@ -8,8 +8,11 @@ init, and codebook_quantized_tensor.py:26 ``CodebookQuantizedTensor`` +
 at inference is a gather feeding the MXU matmul.)
 
 Scheme: values are grouped into scale blocks along K (like int4 groupwise),
-normalized by an absmax scale, then vector-quantized against a shared
-2^bits-entry scalar codebook fit with k-means over the whole tensor.
+normalized by an absmax scale, then vector-quantized against a
+2^bits-entry scalar codebook fit with k-means — either one SHARED codebook
+over the whole tensor, or PER-GROUP LUTs (``lut_block`` rows per LUT,
+vmapped k-means; ref: the groupwise-LUT variants
+prototype/quantization/codebook_groupwise/ and codebook_coreml/).
 """
 
 from __future__ import annotations
@@ -70,7 +73,7 @@ def dequantize_codebook(codes: jax.Array, codebook: jax.Array, output_dtype):
 @qarray_dataclass
 class CodebookArray(QuantizedArray):
     codes: jax.Array  # uint8/uint16 (K, N)
-    codebook: jax.Array  # (2^bits,) f32, sorted
+    codebook: jax.Array  # (2^bits,) shared, or (K/lut_block, 2^bits) LUTs
     scale: jax.Array  # (K/g, N) absmax block scales
     block_size: Tuple[int, ...] = meta(default=())
     bits: int = meta(default=4)
@@ -84,6 +87,7 @@ class CodebookArray(QuantizedArray):
         bits: int = 4,
         scale_block: int = 64,
         kmeans_iters: int = 30,
+        lut_block: Optional[int] = None,
         dequant_dtype: str = "bfloat16",
     ) -> "CodebookArray":
         if hp.ndim != 2:
@@ -96,8 +100,19 @@ class CodebookArray(QuantizedArray):
         wg = w.reshape(k_dim // g, g, n)
         scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=1), 1e-12)  # (K/g, N)
         normed = (wg / scale[:, None, :]).reshape(k_dim, n)
-        codebook = fit_kmeans(normed, 2 ** bits, iters=kmeans_iters)
-        codes = quantize_codebook(normed, codebook)
+        if lut_block is None:
+            codebook = fit_kmeans(normed, 2 ** bits, iters=kmeans_iters)
+            codes = quantize_codebook(normed, codebook)
+        else:
+            if k_dim % lut_block:
+                raise ValueError(
+                    f"K={k_dim} not a multiple of lut_block={lut_block}")
+            groups = normed.reshape(k_dim // lut_block, lut_block * n)
+            codebook = jax.vmap(
+                lambda v: fit_kmeans(v, 2 ** bits, iters=kmeans_iters)
+            )(groups)  # (L, 2^bits)
+            codes = jax.vmap(quantize_codebook)(groups, codebook)
+            codes = codes.reshape(k_dim, n)
         return cls(
             codes=codes,
             codebook=codebook,
@@ -112,18 +127,28 @@ class CodebookArray(QuantizedArray):
         out_dtype = output_dtype or self.dtype
         k_dim, n = self.shape
         g = self.block_size[0]
-        v = dequantize_codebook(self.codes, self.codebook, jnp.float32)
+        if self.codebook.ndim == 2:  # per-group LUTs
+            lb = k_dim // self.codebook.shape[0]
+            cg = self.codes.reshape(k_dim // lb, lb * n)
+            v = jnp.take_along_axis(
+                self.codebook, cg.astype(jnp.int32), axis=1
+            ).astype(jnp.float32).reshape(k_dim, n)
+        else:
+            v = dequantize_codebook(self.codes, self.codebook, jnp.float32)
         v = v.reshape(k_dim // g, g, n) * self.scale[:, None, :]
         return v.reshape(k_dim, n).astype(out_dtype)
 
 
 @dataclasses.dataclass(frozen=True)
 class CodebookWeightOnlyConfig(AOBaseConfig):
-    """(ref: CodebookWeightOnlyConfig, prototype/quantization/codebook/)"""
+    """(ref: CodebookWeightOnlyConfig, prototype/quantization/codebook/;
+    lut_block != None gives per-row-group LUTs like
+    prototype/quantization/codebook_groupwise/ GroupwiseLutWeightConfig)"""
 
     bits: int = 4
     scale_block: int = 64
     kmeans_iters: int = 30
+    lut_block: Optional[int] = None  # rows per LUT; None = one shared LUT
     version: int = 1
 
 
@@ -131,9 +156,11 @@ class CodebookWeightOnlyConfig(AOBaseConfig):
 def _codebook_transform(weight: jax.Array, config: CodebookWeightOnlyConfig):
     if weight.ndim != 2 or weight.shape[-2] % config.scale_block:
         return weight
+    if config.lut_block and weight.shape[-2] % config.lut_block:
+        return weight
     return CodebookArray.from_hp(
         weight, bits=config.bits, scale_block=config.scale_block,
-        kmeans_iters=config.kmeans_iters,
+        kmeans_iters=config.kmeans_iters, lut_block=config.lut_block,
     )
 
 

@@ -95,4 +95,20 @@ def quantize_conv_weight(w: jax.Array, config) -> QuantizedArray:
             bits=bits, packed=False, block_size=block, _shape=tuple(w.shape),
             _dequant_dtype="bfloat16",
         )
+    if isinstance(config, ao_tpu.Int4WeightOnlyConfig):
+        # conv weights quantize per-out-channel at 4 bits through the intx
+        # container (the groupwise tinygemm layout is a matmul-K concept;
+        # per-channel matches the reference's conv branches)
+        from ao_tpu.quantization.qarrays.intx import IntxArray
+
+        qmin, qmax = P.dtype_range("int4")
+        scale, zp = P.choose_qparams_affine(
+            w, P.MappingType.SYMMETRIC, block, quant_min=qmin, quant_max=qmax
+        )
+        q = P.quantize_affine(w, block, scale, zp, qmin, qmax, jnp.int8)
+        return IntxArray(
+            qdata=q, scale=scale, zero_point=None, act_quant=None,
+            bits=4, packed=False, block_size=block, _shape=tuple(w.shape),
+            _dequant_dtype="bfloat16",
+        )
     raise NotImplementedError(f"conv quantization for {type(config).__name__}")

@@ -49,6 +49,30 @@ class TestCodebook:
         qa8 = CodebookArray.from_hp(w, bits=8, scale_block=32)
         assert sqnr(w, qa8.dequantize(jnp.float32)) > 30
 
+    def test_groupwise_luts_beat_shared_on_heterogeneous_weights(self):
+        # two K-halves with very different distributions: per-group LUTs
+        # must beat a single shared codebook
+        k1 = jax.random.normal(jax.random.PRNGKey(5), (64, 96), jnp.float32)
+        k2 = jax.random.laplace(jax.random.PRNGKey(6), (64, 96)) * 0.2
+        w = jnp.concatenate([k1, k2], axis=0)
+        q_shared = CodebookArray.from_hp(w, bits=3, scale_block=32)
+        q_group = CodebookArray.from_hp(w, bits=3, scale_block=32,
+                                        lut_block=64)
+        assert q_group.codebook.shape == (2, 8)
+        e_shared = sqnr(w, q_shared.dequantize(jnp.float32))
+        e_group = sqnr(w, q_group.dequantize(jnp.float32))
+        assert e_group > e_shared, (e_group, e_shared)
+
+    def test_groupwise_lut_config_and_linear(self):
+        w = jax.random.normal(jax.random.PRNGKey(3), (64, 48), jnp.float32)
+        qp = ao_tpu.quantize_({"kernel": w}, ao_tpu.CodebookWeightOnlyConfig(
+            bits=4, scale_block=16, lut_block=16))
+        assert isinstance(qp["kernel"], CodebookArray)
+        assert qp["kernel"].codebook.shape == (4, 16)
+        x = jax.random.normal(jax.random.PRNGKey(4), (4, 64), jnp.float32)
+        y = jax.jit(linear)(x, qp["kernel"])
+        assert sqnr(x @ w, y) > 14
+
     def test_config_api_and_linear(self):
         w = jax.random.normal(jax.random.PRNGKey(3), (64, 48), jnp.float32)
         params = {"kernel": w}

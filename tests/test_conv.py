@@ -25,6 +25,7 @@ class TestConv:
         (ao_tpu.Float8WeightOnlyConfig(), 25),
         (ao_tpu.Int8WeightOnlyConfig(), 28),
         (IntxWeightOnlyConfig(bit_width=4), 13),
+        (ao_tpu.Int4WeightOnlyConfig(), 13),
     ])
     def test_conv2d_quantized(self, config, bound):
         x, w = self._data2d()
