@@ -1,3 +1,3 @@
-from ao_tpu.eval.perplexity import perplexity, ppl_delta_report, synthetic_tokens
+from ao_tpu.eval.perplexity import load_tokens, perplexity, ppl_delta_report, synthetic_tokens
 
-__all__ = ["perplexity", "ppl_delta_report", "synthetic_tokens"]
+__all__ = ["load_tokens", "perplexity", "ppl_delta_report", "synthetic_tokens"]

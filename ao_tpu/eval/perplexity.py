@@ -18,6 +18,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def load_tokens(path: str, vocab_size: Optional[int] = None) -> jax.Array:
+    """Load a real token stream as the evaluation corpus — the first-class
+    path when a tokenized corpus (e.g. wikitext-2) is available.
+
+    Accepts ``.npy`` (any integer dtype), raw binary int32 (``.bin``), or a
+    text file of whitespace-separated ids. Returns a 1-D int32 array;
+    raises if any id falls outside ``vocab_size`` when given.
+    """
+    if path.endswith(".npy"):
+        toks = np.load(path)
+    elif path.endswith(".bin"):
+        toks = np.fromfile(path, dtype=np.int32)
+    else:
+        toks = np.loadtxt(path, dtype=np.int64).reshape(-1)
+    toks = np.asarray(toks).reshape(-1).astype(np.int32)
+    if vocab_size is not None and (toks.min() < 0 or toks.max() >= vocab_size):
+        raise ValueError(
+            f"token ids in {path} outside [0, {vocab_size}): "
+            f"range [{toks.min()}, {toks.max()}]"
+        )
+    return jnp.asarray(toks)
+
+
 def synthetic_tokens(key: jax.Array, n: int, vocab_size: int,
                      alpha: float = 1.2) -> jax.Array:
     """Zipf-distributed token stream with local repetition structure — a

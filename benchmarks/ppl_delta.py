@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import optax
 
 import ao_tpu
-from ao_tpu.eval.perplexity import perplexity, synthetic_tokens
+from ao_tpu.eval.perplexity import load_tokens, perplexity, synthetic_tokens
 from ao_tpu.models import llama
 
 VOCAB = 512
@@ -66,7 +66,12 @@ def main():
     key = jax.random.PRNGKey(0)
     print("training base model on the synthetic stream...")
     params = train_base(key)
-    eval_toks = synthetic_tokens(jax.random.fold_in(key, 99), 64 * SEQ, VOCAB)
+    corpus = os.environ.get("AO_TPU_PPL_TOKENS")
+    if corpus:  # real tokenized corpus (e.g. wikitext-2) is first-class
+        eval_toks = load_tokens(corpus, VOCAB)
+    else:
+        eval_toks = synthetic_tokens(
+            jax.random.fold_in(key, 99), 64 * SEQ, VOCAB)
 
     def ppl_of(p):
         return perplexity(

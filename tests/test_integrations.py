@@ -127,6 +127,35 @@ class TestPerplexity:
         tokens = synthetic_tokens(jax.random.PRNGKey(1), 4096, cfg.vocab_size)
         return cfg, params, tokens
 
+    def test_load_tokens_formats(self, tmp_path):
+        from ao_tpu.eval import load_tokens
+
+        toks = np.arange(100, dtype=np.int32) % 256
+        p_npy = str(tmp_path / "t.npy")
+        np.save(p_npy, toks.astype(np.uint16))
+        np.testing.assert_array_equal(np.asarray(load_tokens(p_npy, 256)), toks)
+        p_bin = str(tmp_path / "t.bin")
+        toks.tofile(p_bin)
+        np.testing.assert_array_equal(np.asarray(load_tokens(p_bin, 256)), toks)
+        p_txt = str(tmp_path / "t.txt")
+        np.savetxt(p_txt, toks, fmt="%d")
+        np.testing.assert_array_equal(np.asarray(load_tokens(p_txt, 256)), toks)
+        with pytest.raises(ValueError, match="outside"):
+            load_tokens(p_npy, 50)  # vocab too small
+
+    def test_ppl_on_loaded_corpus(self, tmp_path):
+        from ao_tpu.eval import load_tokens
+
+        cfg, params, tokens = self._setup()
+        path = str(tmp_path / "corpus.npy")
+        np.save(path, np.asarray(tokens))
+        loaded = load_tokens(path, cfg.vocab_size)
+        p1 = perplexity(lambda b: llama.forward(params, b, cfg)[0], tokens,
+                        seq_len=128, batch_size=2)
+        p2 = perplexity(lambda b: llama.forward(params, b, cfg)[0], loaded,
+                        seq_len=128, batch_size=2)
+        assert abs(p1 - p2) < 1e-3
+
     def test_ppl_sane_range(self):
         cfg, params, tokens = self._setup()
         p = perplexity(
