@@ -23,6 +23,7 @@ from ao_tpu.quantization.configs import (
     Float8WeightOnlyConfig,
     FqnToConfig,
     Int4WeightOnlyConfig,
+    Int8DynamicActivationInt4WeightConfig,
     Int8DynamicActivationInt8WeightConfig,
     Int8DynamicActivationIntxWeightConfig,
     Int8StaticActivationInt8WeightConfig,
@@ -82,6 +83,7 @@ __all__ = [
     "PerBlock",
     "Int4WeightOnlyConfig",
     "Int8WeightOnlyConfig",
+    "Int8DynamicActivationInt4WeightConfig",
     "Int8DynamicActivationInt8WeightConfig",
     "Int8StaticActivationInt8WeightConfig",
     "Float8WeightOnlyConfig",

@@ -156,17 +156,19 @@ def int8_dynamic_matmul(qx, sx, zx, qw, sw, zw, wbs, out_dtype=jnp.bfloat16):
 # ---------------------------------------------------------------------------
 
 
-def int4_wo_matmul(x, packed, scale, zp, group_size, zp_domain):
+def int4_wo_matmul(x, packed, scale, zp, group_size, zp_domain, layout=None):
     """x (M, K) hp; packed uint8 (K/2, N) split-half layout or int32 (K/8, N)
-    magic layout (inferred from dtype); scale/zp (K/g, N)."""
-    magic = packed.dtype == jnp.int32
-    if _use_pallas():
+    magic/magic8 layout; scale/zp (K/g, N). ``layout`` defaults to dtype
+    inference (int32 = magic) — pass the container's layout for magic8."""
+    if layout is None:
+        layout = "magic" if packed.dtype == jnp.int32 else "halves"
+    if _use_pallas() and layout != "magic8":
         from ao_tpu.ops.pallas import UnsupportedShape
 
         try:
             from ao_tpu.ops.pallas import int4_matmul as pk
 
-            if magic:
+            if layout == "magic":
                 return pk.int4_wo_magic_pallas(
                     x, packed, scale, zp, group_size, zp_domain
                 )
@@ -175,15 +177,23 @@ def int4_wo_matmul(x, packed, scale, zp, group_size, zp_domain):
             )
         except (ImportError, UnsupportedShape):
             pass
-    return _int4_wo_matmul_xla(x, packed, scale, zp, group_size, zp_domain)
+    return _int4_wo_matmul_xla(x, packed, scale, zp, group_size, zp_domain,
+                               layout)
 
 
-def _int4_wo_matmul_xla(x, packed, scale, zp, group_size, zp_domain):
-    from ao_tpu.quantization.qarrays.int4 import unpack_int4, unpack_int4_magic
+def _int4_wo_matmul_xla(x, packed, scale, zp, group_size, zp_domain,
+                        layout=None):
+    from ao_tpu.quantization.qarrays.int4 import (
+        unpack_int4, unpack_int4_magic, unpack_int4_magic8,
+    )
 
+    if layout is None:
+        layout = "magic" if packed.dtype == jnp.int32 else "halves"
     bs = (group_size, 1)
-    if packed.dtype == jnp.int32:
+    if layout == "magic":
         u = unpack_int4_magic(packed, group_size).astype(jnp.int32) - 8
+    elif layout == "magic8":
+        u = unpack_int4_magic8(packed, group_size).astype(jnp.int32) - 8
     else:
         u = unpack_int4(packed, group_size, axis=-2).astype(jnp.int32) - 8
     if zp_domain is P.ZeroPointDomain.FLOAT:

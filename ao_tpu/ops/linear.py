@@ -96,17 +96,36 @@ def _int4_linear(x: jax.Array, w: Int4Array, b):
     if w.act_pre_scale is not None:
         x2 = x2 * w.act_pre_scale.astype(x2.dtype)
     if w.act_quant is not None:
-        # fp8/int8 dynamic activation (ref: f8i4 rowwise gemm,
-        # quant_api.py:657): q/dq bounds the activation to the quantized
-        # contract; the dot still runs the fused int4 path (TPU has no
-        # mixed f8×i4 mma to target)
         qx, sx, zx = quantize_activation(x2, w.act_quant)
+        if (w.act_quant.dtype == "int8" and zx is None
+                and w.layout == "magic8" and kernels._use_pallas()):
+            # TRUE W4A8: i8 activations x magic8 int4 planes on the int8
+            # MXU (exact integer core; per-token scale in the epilogue)
+            from ao_tpu.ops.pallas import UnsupportedShape
+
+            try:
+                from ao_tpu.ops.pallas.int4_matmul import (
+                    int4_w4a8_matmul_pallas,
+                )
+
+                y = int4_w4a8_matmul_pallas(
+                    qx, sx, w.qdata, w.scale, w.zero_point, w.group_size,
+                    w.zero_point_domain,
+                )
+                return _unflatten_batch(
+                    _maybe_bias(y.astype(x.dtype), b), lead)
+            except (ImportError, UnsupportedShape):
+                pass
+        # fp8/int8 dynamic activation fallback (ref: f8i4 rowwise gemm,
+        # quant_api.py:657): q/dq bounds the activation to the quantized
+        # contract; the dot runs the fused bf16 int4 path
         x2 = qx.astype(jnp.float32) * sx
         if zx is not None:
             x2 = x2 - (zx * sx)
         x2 = x2.astype(x.dtype)
     y = kernels.int4_wo_matmul(
         x2, w.qdata, w.scale, w.zero_point, w.group_size, w.zero_point_domain,
+        layout=w.layout,
     )
     return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
 

@@ -401,6 +401,144 @@ def int4_wo_magic_pallas(x, word, scale, zp, group_size, zp_domain):
     )
 
 
+# ---------------------------------------------------------------------------
+# W4A8: int8 activations x "magic8" int4 weights on the int8 MXU
+# ---------------------------------------------------------------------------
+#
+# (ref analog: the int8-dynamic-activation int4-weight CUDA/CPU path,
+# quant_api.py Int8DynamicActivationInt4WeightConfig.) qdata is the 2-plane
+# pack_int4_magic8 layout (qarrays/int4.py): plane A = even quantization
+# groups, plane B = odd groups; word byte b holds plane A row 4r+b in the
+# low nibble and plane B row 4r+b in the high nibble. Per group-pair t:
+#     a8 = bitcast_i8(w[t] & 0x0F0F0F0F)        # plane A group 2t rows,
+#     acc += s[2t]   * dot_i8(xa[t], a8)        #   natural order, NO zero
+#     b8 = bitcast_i8((w[t] >> 4) & 0x0F0F0F0F) #   rows, NO converts
+#     acc += s[2t+1] * dot_i8(xb[t], b8)
+# so the weights never leave the integer domain: the MXU runs exact
+# i8xi8->i32 dots at exact-K MACs (the earlier 4-plane attempt needed
+# zero-interleaved activations that doubled the MACs and cost ~10us of XLA
+# prep), per-weight VPU cost is ~1 op (one shift+mask per TWO weights),
+# and groupwise scales multiply exact i32 partials in f32. The affine bias
+# is one tiny xsum @ b matmul in XLA outside the kernel (see note in the
+# impl); per-token activation scales apply outside. On the int8 MXU
+# (2x bf16 peak) this wins at prefill M too.
+#
+# Measured on v5e (K=N=4096, g=128, device_time_us incl. activation-plane
+# prep, vs the bf16 magic-WO kernel in the same harness): M=8 14.7us vs
+# 18.2, M=64 24.8 vs 29.7, M=512 94.5 vs 138.2 (and vs ~123us bf16 dense).
+
+
+def _w4a8_kernel(xa, xb, w_ref, s_ref, out_ref,
+                 acc_ref, *, group_size: int, out_dtype):
+    w = w_ref[:]
+    tkw, _ = w.shape
+    g = group_size
+    nt = 8 * tkw // (2 * g)  # group-pairs in this K tile
+    s = s_ref[:].astype(jnp.float32)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    # whole-plane extraction up front: per-group-slice bitcasts wedge the
+    # v5e (the kernel "completes" but the chip hangs on the next program)
+    a8 = pltpu.bitcast(w & 0x0F0F0F0F, jnp.int8)        # (4*tkw, tn)
+    b8 = pltpu.bitcast((w >> 4) & 0x0F0F0F0F, jnp.int8)
+    for t in range(nt):
+        r0 = t * g
+        pa = jnp.dot(xa[:, r0:r0 + g], a8[r0:r0 + g],
+                     preferred_element_type=jnp.int32)
+        acc_ref[:] += s[2 * t][None, :] * pa.astype(jnp.float32)
+        pb = jnp.dot(xb[:, r0:r0 + g], b8[r0:r0 + g],
+                     preferred_element_type=jnp.int32)
+        acc_ref[:] += s[2 * t + 1][None, :] * pb.astype(jnp.float32)
+    out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "out_dtype"))
+def _int4_w4a8_impl(xq, word, s, b, *, group_size, out_dtype):
+    m, k = xq.shape
+    kw, n = word.shape
+    g = group_size
+    ngf = k // g
+    tn = _pick_tn_magic(m, k, n, g)
+
+    # plane activations: two contiguous slices of the group-pair reshape
+    # (cheap — no zero interleaving)
+    pair = xq.reshape(m, ngf // 2, 2, g)
+    xa = pair[:, :, 0].reshape(m, k // 2)
+    xb = pair[:, :, 1].reshape(m, k // 2)
+
+    tm = m if m <= 256 else 256
+    pad_m = (-m) % tm
+    if pad_m:
+        xa = jnp.pad(xa, ((0, pad_m), (0, 0)))
+        xb = jnp.pad(xb, ((0, pad_m), (0, 0)))
+    mp = m + pad_m
+
+    grid = (mp // tm, n // tn, 1)
+    cost = pl.CostEstimate(
+        flops=2 * mp * k * n,
+        bytes_accessed=mp * k + kw * n * 4 + ngf * n * 2 + mp * n * 4,
+        transcendentals=0,
+    )
+    out = pl.pallas_call(
+        functools.partial(_w4a8_kernel, group_size=g, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, k // 2), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, k // 2), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kw, tn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ngf, tn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+    )(xa, xb, word, s)
+    if pad_m:
+        out = out[:m]
+    # affine bias via one tiny XLA matmul OUTSIDE the kernel: exact group
+    # sums of the int8 activations (fit f32 exactly) x per-group bias rows.
+    # In-kernel this dot's (m, ngf) sub-128-lane input triggers a Mosaic
+    # post-run pathology on v5e (minutes-long compiles of the NEXT program);
+    # XLA also sums it in real f32, which the MXU bias dot did not.
+    xsum = xq.astype(jnp.float32).reshape(m, ngf, g).sum(axis=2)
+    return out + xsum @ b.astype(jnp.float32)
+
+
+def int4_w4a8_matmul_pallas(xq, sx, word, scale, zp, group_size, zp_domain):
+    """xq (M, K) int8 (symmetric per-token, scale sx (M, 1) f32); word int32
+    (K/8, N) magic8 layout. Returns f32 (M, N) already scaled by sx."""
+    if xq.ndim != 2 or word.ndim != 2:
+        raise UnsupportedShape("kernel handles 2-D only")
+    m, k = xq.shape
+    kw, n = word.shape
+    g = group_size
+    if k != 8 * kw:
+        raise UnsupportedShape(f"K mismatch {k} vs packed {kw}*8")
+    if n % 128 != 0 or (k // g) % 2 != 0 or g % 8 != 0:
+        raise UnsupportedShape(
+            f"N={n} or K={k} misaligned for magic8 layout (g={g})"
+        )
+    s = scale.astype(jnp.float32)
+    if zp_domain is P.ZeroPointDomain.FLOAT:
+        b = zp.astype(jnp.float32)
+    elif zp is None:
+        b = -8.0 * s
+    else:
+        b = -(8.0 + zp.astype(jnp.float32)) * s
+    y = _int4_w4a8_impl(
+        xq, word, s.astype(jnp.bfloat16), b.astype(jnp.float32),
+        group_size=g, out_dtype=jnp.float32,
+    )
+    return y * sx.astype(jnp.float32)
+
+
 def int4_wo_matmul_pallas(x, packed, scale, zp, group_size, zp_domain):
     """x (M, K) hp; packed uint8 (K/2, N) group-local split-half layout;
     scale/zp (K/g, N)."""

@@ -204,7 +204,6 @@ def shard_params(params: Any, mesh: Mesh, tp_axis: str = "tp",
                  strict: bool = False) -> Any:
     """Device-put params with tensor-parallel NamedShardings. Validates that
     quantization-group boundaries align with the K-shard boundaries."""
-    specs = param_pspecs(params, tp_axis, fsdp_axis, rules, strict)
     if rules is not DEFAULT_TP_RULES:
         rules = tuple(rules) + tuple(DEFAULT_TP_RULES)
     tp = mesh.shape[tp_axis]
@@ -222,20 +221,23 @@ def shard_params(params: Any, mesh: Mesh, tp_axis: str = "tp",
                     f"{fqn}: K={k} with group={g} cannot shard onto tp={tp} "
                     f"at group-aligned boundaries"
                 )
-            # magic int4 layout interleaves 4 groups per word block: a
-            # row-parallel K shard must hold whole 4-group blocks, else
-            # repack to the split-half layout (slower kernel, same numerics)
+            # magic int4 layouts interleave groups per word block (4 for
+            # "magic", a pair for "magic8"): a row-parallel K shard must
+            # hold whole blocks, else repack to the split-half layout
+            # (slower kernel, same numerics)
             fqn = path_to_fqn(path)
+            layout = getattr(leaf, "layout", None)
+            blocked = {"magic": 4, "magic8": 2}.get(layout)
             if (
-                getattr(leaf, "layout", None) == "magic"
+                blocked is not None
                 and _match_rule(fqn, rules) == "row"
-                and (k // g) % (4 * tp) != 0
+                and (k // g) % (blocked * tp) != 0
             ):
                 import warnings
 
                 warnings.warn(
-                    f"{fqn}: magic int4 layout cannot K-shard onto tp={tp} "
-                    f"(K={k}, g={g}); repacking to split-half layout"
+                    f"{fqn}: {layout} int4 layout cannot K-shard onto "
+                    f"tp={tp} (K={k}, g={g}); repacking to split-half layout"
                 )
                 return leaf.to_layout("halves")
         return leaf
@@ -243,6 +245,11 @@ def shard_params(params: Any, mesh: Mesh, tp_axis: str = "tp",
     params = jax.tree_util.tree_map_with_path(
         check, params, is_leaf=lambda x: isinstance(x, QuantizedArray)
     )
+    # specs AFTER the repack pass: repacking changes qdata's packed shape
+    # and the container's static layout, so the spec tree must match the
+    # repacked tree leaf-for-leaf (rules already has the defaults appended;
+    # param_pspecs appending them again is harmless — first match wins)
+    specs = param_pspecs(params, tp_axis, fsdp_axis, rules, strict)
 
     def put(leaf, spec):
         return jax.device_put(leaf, NamedSharding(mesh, spec))

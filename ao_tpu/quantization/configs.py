@@ -134,6 +134,31 @@ def _fp8_int4_transform(weight, config: Float8DynamicActivationInt4WeightConfig)
     )
 
 
+@dataclasses.dataclass
+class Int8DynamicActivationInt4WeightConfig(AOBaseConfig):
+    """int8 dynamic per-token activations × int4 groupwise weights (W4A8).
+    (ref: Int8DynamicActivationInt4WeightConfig quant_api.py — the
+    CUDA/CPU int8-act int4-weight path; on TPU the fused kernel bitcasts
+    the magic int4 bit-planes straight to int8 rows and runs true
+    i8×i8→i32 MXU dots, ops/pallas/int4_matmul.py.)"""
+
+    group_size: int = 128
+    version: int = 1
+
+
+@register_quantize_handler(Int8DynamicActivationInt4WeightConfig)
+def _int8_int4_transform(weight, config: Int8DynamicActivationInt4WeightConfig):
+    if _skip_indivisible(weight, config.group_size,
+                         "Int8DynamicActivationInt4WeightConfig"):
+        return weight
+    return Int4Array.from_hp(
+        weight, group_size=config.group_size,
+        zero_point_domain=P.ZeroPointDomain.FLOAT,
+        act_quant=ActQuantSpec(
+            dtype="int8", granularity="per_token", symmetric=True),
+    )
+
+
 # ---------------------------------------------------------------------------
 # int8
 # ---------------------------------------------------------------------------

@@ -112,10 +112,53 @@ def unpack_int4_magic(word: jax.Array, group_size: int) -> jax.Array:
     return u.reshape(8 * kw, n).astype(jnp.uint8)
 
 
+def pack_int4_magic8(u: jax.Array, group_size: int) -> jax.Array:
+    """Pack unsigned nibbles (K, N) into the 2-plane "magic8" int32 layout
+    (K/8, N) for the int8-MXU W4A8 kernel.
+
+    Plane A = even quantization groups concatenated (K/2 rows), plane B =
+    odd groups. Word row r stores, in byte b, plane A row 4r+b in the LOW
+    nibble and plane B row 4r+b in the HIGH nibble. The kernel exploits
+    that ``bitcast(word & 0x0F0F0F0F, int8)`` yields plane A's rows in
+    natural order as int8 values 0..15 with NO zero rows (and
+    ``(word >> 4) & 0x0F0F0F0F`` plane B) — so true i8×i8→i32 MXU dots run
+    at exact K MACs with one shift+mask per plane.
+    Requires K % 8 == 0, (K/group_size) % 2 == 0, group_size % 8 == 0.
+    """
+    k, n = u.shape
+    g = group_size
+    ngroups = k // g
+    if ngroups % 2 != 0 or g % 8 != 0 or k % 8 != 0:
+        raise ValueError(
+            f"magic8 layout needs K/g even, g % 8 == 0 (K={k}, g={g})"
+        )
+    pair = u.reshape(ngroups // 2, 2, g, n)
+    a = pair[:, 0].reshape(k // 8, 4, n).astype(jnp.int32)
+    b = pair[:, 1].reshape(k // 8, 4, n).astype(jnp.int32)
+    word = jnp.zeros((k // 8, n), jnp.int32)
+    for byte in range(4):
+        word = word | (a[:, byte] << (8 * byte)) | (b[:, byte] << (8 * byte + 4))
+    return word
+
+
+def unpack_int4_magic8(word: jax.Array, group_size: int) -> jax.Array:
+    """Inverse of :func:`pack_int4_magic8`; returns uint8 values 0..15 (K, N)."""
+    kw, n = word.shape
+    k = kw * 8
+    g = group_size
+    a = jnp.stack([(word >> (8 * b)) & 0xF for b in range(4)], axis=1)
+    bb = jnp.stack([(word >> (8 * b + 4)) & 0xF for b in range(4)], axis=1)
+    a = a.reshape(k // (2 * g), g, n)
+    bb = bb.reshape(k // (2 * g), g, n)
+    u = jnp.stack([a, bb], axis=1)  # (ng/2, 2, g, n): group 2t / 2t+1
+    return u.reshape(k, n).astype(jnp.uint8)
+
+
 @qarray_dataclass
 class Int4Array(QuantizedArray):
     # uint8 (K/2, N) or (E, K/2, N) split-half layout, OR int32 (K/8, N)
-    # "magic" layout (pack_int4_magic) — layout is inferred from the dtype
+    # "magic" layout (pack_int4_magic) / "magic8" layout (pack_int4_magic8,
+    # distinguished by _layout) — layout is inferred from dtype + _layout
     qdata: jax.Array
     scale: jax.Array  # (K/g, N) — bf16 (tinygemm) or fp32
     zero_point: Optional[jax.Array]  # same shape as scale; int32 or bf16
@@ -125,6 +168,7 @@ class Int4Array(QuantizedArray):
     act_quant: Optional[ActQuantSpec] = meta(default=None)
     _shape: Tuple[int, ...] = meta(default=())
     _dequant_dtype: str = meta(default="bfloat16")
+    _layout: str = meta(default="")  # "" = infer from qdata dtype
 
     @property
     def group_size(self) -> int:
@@ -132,17 +176,24 @@ class Int4Array(QuantizedArray):
 
     @property
     def layout(self) -> str:
+        if self._layout:
+            return self._layout
         return "magic" if self.qdata.dtype == jnp.int32 else "halves"
 
     def to_layout(self, layout: str) -> "Int4Array":
-        """Repack qdata between the split-half and magic layouts."""
+        """Repack qdata between the split-half, magic, and magic8 layouts."""
         if layout == self.layout:
             return self
         u = self.unpack()
         if layout == "magic":
-            return self.replace(qdata=pack_int4_magic(u, self.group_size))
+            return self.replace(qdata=pack_int4_magic(u, self.group_size),
+                                _layout="magic")
+        if layout == "magic8":
+            return self.replace(qdata=pack_int4_magic8(u, self.group_size),
+                                _layout="magic8")
         if layout == "halves":
-            return self.replace(qdata=pack_int4(u, self.group_size, axis=-2))
+            return self.replace(qdata=pack_int4(u, self.group_size, axis=-2),
+                                _layout="halves")
         raise ValueError(layout)
 
     @classmethod
@@ -194,23 +245,31 @@ class Int4Array(QuantizedArray):
         else:
             raise ValueError(zero_point_domain)
 
-        # "magic" (int32-word) layout feeds the fastest fused kernel; it is
-        # defined for 2-D weights with K/g a multiple of 4 (plane = groups
-        # mod 4), otherwise fall back to split-halves
+        # "magic" (int32-word) layout feeds the fastest fused bf16 kernel
+        # (2-D, K/g % 4 == 0); int8-activation weights instead take the
+        # 2-plane "magic8" layout whose bitcast feeds i8×i8→i32 MXU dots;
+        # otherwise fall back to split-halves
         if layout == "auto":
-            layout = (
-                "magic"
-                if hp.ndim == 2 and (k // group_size) % 4 == 0
-                else "halves"
-            )
+            if (act_quant is not None and act_quant.dtype == "int8"
+                    and act_quant.symmetric and hp.ndim == 2
+                    and k % 8 == 0 and (k // group_size) % 2 == 0
+                    and group_size % 8 == 0):
+                layout = "magic8"
+            elif hp.ndim == 2 and (k // group_size) % 4 == 0:
+                layout = "magic"
+            else:
+                layout = "halves"
         if layout == "magic":
             qdata = pack_int4_magic(u, group_size)
+        elif layout == "magic8":
+            qdata = pack_int4_magic8(u, group_size)
         elif layout == "halves":
             qdata = pack_int4(u, group_size, axis=-2)
         else:
             raise ValueError(layout)
         return cls(
             qdata=qdata,
+            _layout=layout,
             scale=scale,
             zero_point=zp,
             act_pre_scale=act_pre_scale,
@@ -225,6 +284,8 @@ class Int4Array(QuantizedArray):
         """uint8 nibble values 0..15, logical (.., K, N)."""
         if self.layout == "magic":
             return unpack_int4_magic(self.qdata, self.group_size)
+        if self.layout == "magic8":
+            return unpack_int4_magic8(self.qdata, self.group_size)
         return unpack_int4(self.qdata, self.group_size, axis=-2)
 
     def dequantize(self, output_dtype=None) -> jax.Array:

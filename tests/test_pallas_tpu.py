@@ -86,6 +86,28 @@ def test_nvfp4_kernel_matches_emulated(m):
     assert compute_error(y_ref, y) > 40.0
 
 
+@pytest.mark.parametrize("m", [1, 8, 64])
+def test_w4a8_kernel_matches_emulated(m):
+    """Int8DynamicActivationInt4Weight: the i8-MXU kernel vs the q/dq
+    fallback (same activation quantization, float dot)."""
+    import ao_tpu
+
+    w = jax.random.normal(KEY, (2048, 2048), jnp.float32) * 0.02
+    x = jax.random.normal(KEY, (m, 2048), jnp.bfloat16)
+    qw = ao_tpu.quantize_(
+        {"kernel": w},
+        ao_tpu.Int8DynamicActivationInt4WeightConfig(group_size=128),
+    )["kernel"]
+    assert qw.layout == "magic8" and qw.act_quant is not None
+    with kernels.backend("emulated"):
+        y_ref = linear(x, qw)
+    with kernels.backend("pallas"):
+        y = linear(x, qw)
+    # the i8 core computes the same quantized contract exactly; residual
+    # is the fallback's f32 dequant-dot vs i32-exact dot rounding
+    assert compute_error(y_ref, y) > 40.0
+
+
 def test_int4_kernel_hqq_weights():
     w = jax.random.normal(KEY, (2048, 2048), jnp.float32) * 0.02
     x = jax.random.normal(KEY, (4, 2048), jnp.bfloat16)

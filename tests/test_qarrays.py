@@ -134,6 +134,38 @@ class TestInt4Array:
             np.asarray(qw.dequantize(jnp.float32)),
         )
 
+    def test_magic8_layout(self):
+        """magic8 (2-plane i8-MXU layout) roundtrips and is auto-picked for
+        int8-activation weights."""
+        from ao_tpu.quantization.qarrays.common import ActQuantSpec
+        from ao_tpu.quantization.qarrays.int4 import (
+            pack_int4_magic8, unpack_int4_magic8,
+        )
+
+        u = jax.random.randint(KEY, (256, 128), 0, 16, jnp.uint8)
+        for g in (32, 64, 128):
+            word = pack_int4_magic8(u, g)
+            assert word.shape == (32, 128) and word.dtype == jnp.int32
+            np.testing.assert_array_equal(
+                np.asarray(unpack_int4_magic8(word, g)), np.asarray(u))
+
+        w = weights()
+        spec = ActQuantSpec(dtype="int8", symmetric=True,
+                            granularity="per_token")
+        qw = Int4Array.from_hp(w, 64, act_quant=spec)
+        assert qw.layout == "magic8"
+        # all three layouts dequantize identically
+        qm = qw.to_layout("magic")
+        qh = qw.to_layout("halves")
+        assert qm.layout == "magic" and qh.layout == "halves"
+        np.testing.assert_array_equal(
+            np.asarray(qm.unpack()), np.asarray(qw.unpack()))
+        np.testing.assert_array_equal(
+            np.asarray(qh.unpack()), np.asarray(qw.unpack()))
+        # K/g odd -> magic8 impossible, auto falls back
+        qo = Int4Array.from_hp(weights()[:192], 64, act_quant=spec)
+        assert qo.layout != "magic8"
+
     def test_hqq_beats_or_matches_minmax(self):
         # HQQ should not be (much) worse than minmax on outlier-heavy weights
         w = weights() + (jax.random.uniform(KEY, (256, 128)) > 0.99) * 0.5

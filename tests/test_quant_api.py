@@ -70,6 +70,7 @@ class TestQuantizeAPI:
             (Int4WeightOnlyConfig(group_size=64, int4_choose_qparams_algorithm="hqq"), Int4Array),
             (Int8WeightOnlyConfig(), Int8Array),
             (Int8DynamicActivationInt8WeightConfig(), Int8Array),
+            (ao_tpu.Int8DynamicActivationInt4WeightConfig(group_size=64), Int4Array),
             (Float8WeightOnlyConfig(), Float8Array),
             (Float8DynamicActivationFloat8WeightConfig(), Float8Array),
             (Float8DynamicActivationFloat8WeightConfig(granularity=PerTensor()), Float8Array),
@@ -125,6 +126,7 @@ class TestConfigSerde:
             Int4WeightOnlyConfig(group_size=32, int4_choose_qparams_algorithm="hqq"),
             Int8WeightOnlyConfig(granularity=PerGroup(64)),
             Int8DynamicActivationInt8WeightConfig(act_symmetric=False),
+            ao_tpu.Int8DynamicActivationInt4WeightConfig(group_size=32),
             Float8WeightOnlyConfig(float8_dtype="float8_e5m2"),
             Float8DynamicActivationFloat8WeightConfig(
                 granularity=PerBlock((128, 128)), activation_value_ub=1200.0
