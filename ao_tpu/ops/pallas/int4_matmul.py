@@ -263,16 +263,16 @@ def _int4_wo_matmul_impl(x, packed, s, b, *, group_size, out_dtype,
 # At M=512 (prefill) it also beats the bf16 dense matmul (108us vs 123us).
 
 
-def _magic_kernel(x0, x1, x2, x3, xsum_ref, w_ref, s_ref, b_ref, out_ref,
+def _magic_kernel(x0, x1, x2, x3, w_ref, s_ref, b_ref, out_ref,
                   acc_ref, *, group_size: int, out_dtype):
-    acc_ref[:] = jnp.dot(xsum_ref[:], b_ref[:].astype(jnp.float32),
-                         preferred_element_type=jnp.float32)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
     w = w_ref[:]
     tkw, _ = w.shape
     g = group_size
     nt = 8 * tkw // (4 * g)
     xr = (x0, x1, x2, x3)
     s = s_ref[:].astype(jnp.float32)  # DMA'd bf16, applied in f32
+    b = b_ref[:].astype(jnp.float32)
     for j in range(4):
         shifted = w if j == 0 else (w >> (4 * j))
         for t in range(nt):
@@ -283,6 +283,13 @@ def _magic_kernel(x0, x1, x2, x3, xsum_ref, w_ref, s_ref, b_ref, out_ref,
             pg = jnp.dot(xr[j][:, r0:r0 + g], c,
                          preferred_element_type=jnp.float32)
             acc_ref[:] += s[4 * t + j][None, :] * pg
+            # affine bias: per-group activation sums computed IN-KERNEL by
+            # a lane reduction (an (m, ngf) xsum input block is narrower
+            # than 128 lanes — a Mosaic post-run pathology on v5e — and an
+            # MXU bias dot costs f32 precision), then one f32 FMA row
+            xs = jnp.sum(xr[j][:, r0:r0 + g].astype(jnp.float32), axis=1,
+                         keepdims=True)
+            acc_ref[:] += xs * b[4 * t + j][None, :]
     out_ref[:] = acc_ref[:].astype(out_dtype)
 
 
@@ -326,20 +333,18 @@ def _int4_wo_magic_impl(x, word, s, b2, *, group_size, out_dtype):
     # plane-j activations: groups with g' % 4 == j, natural row order
     xg = x.reshape(m, ngf // 4, 4, g)
     xs4 = [xg[:, :, j].reshape(m, k // 4) for j in range(4)]
-    xsum = x.reshape(m, ngf, g).astype(jnp.float32).sum(axis=2)
 
     tm = m if m <= 256 else 256
     pad_m = (-m) % tm
     if pad_m:
         xs4 = [jnp.pad(xj, ((0, pad_m), (0, 0))) for xj in xs4]
-        xsum = jnp.pad(xsum, ((0, pad_m), (0, 0)))
     mp = m + pad_m
 
     grid = (mp // tm, n // tn, 1)
     kq = k // 4
     cost = pl.CostEstimate(
         flops=2 * mp * k * n,
-        bytes_accessed=mp * k * 2 + kw * n * 4 + ngf * n * 4 + mp * n * 2,
+        bytes_accessed=mp * k * 2 + kw * n * 4 + ngf * n * 2 + mp * n * 2,
         transcendentals=0,
     )
     out = pl.pallas_call(
@@ -348,8 +353,6 @@ def _int4_wo_magic_impl(x, word, s, b2, *, group_size, out_dtype):
         in_specs=[
             *[pl.BlockSpec((tm, kq), lambda i, j, kk: (i, 0),
                            memory_space=pltpu.VMEM) for _ in range(4)],
-            pl.BlockSpec((tm, ngf), lambda i, j, kk: (i, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((kw, tn), lambda i, j, kk: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ngf, tn), lambda i, j, kk: (0, j),
@@ -365,7 +368,7 @@ def _int4_wo_magic_impl(x, word, s, b2, *, group_size, out_dtype):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=cost,
-    )(*xs4, xsum, word, s, b2)
+    )(*xs4, word, s, b2)
     return out[:m] if pad_m else out
 
 
@@ -419,22 +422,25 @@ def int4_wo_magic_pallas(x, word, scale, zp, group_size, zp_domain):
 # zero-interleaved activations that doubled the MACs and cost ~10us of XLA
 # prep), per-weight VPU cost is ~1 op (one shift+mask per TWO weights),
 # and groupwise scales multiply exact i32 partials in f32. The affine bias
-# is one tiny xsum @ b matmul in XLA outside the kernel (see note in the
-# impl); per-token activation scales apply outside. On the int8 MXU
-# (2x bf16 peak) this wins at prefill M too.
+# is an in-kernel per-group lane reduction of the int8 activations (exact
+# in f32) FMA'd against the bias rows; per-token activation scales apply
+# outside. On the int8 MXU (2x bf16 peak) this wins at prefill M too.
 #
 # Measured on v5e (K=N=4096, g=128, device_time_us incl. activation-plane
-# prep, vs the bf16 magic-WO kernel in the same harness): M=8 14.7us vs
-# 18.2, M=64 24.8 vs 29.7, M=512 94.5 vs 138.2 (and vs ~123us bf16 dense).
+# prep, vs the bf16 magic-WO kernel in the same harness): M=8 14.0us vs
+# 17.8, M=64 23.6 vs 25.5, M=512 98.2 vs 126.8 (and vs ~123us bf16 dense).
+# SQNR vs the exact q/dq emulation: 52.6dB (f32 rounding only — the int
+# core and the f32 bias reductions are exact).
 
 
-def _w4a8_kernel(xa, xb, w_ref, s_ref, out_ref,
+def _w4a8_kernel(xa, xb, w_ref, s_ref, b_ref, out_ref,
                  acc_ref, *, group_size: int, out_dtype):
     w = w_ref[:]
     tkw, _ = w.shape
     g = group_size
     nt = 8 * tkw // (2 * g)  # group-pairs in this K tile
     s = s_ref[:].astype(jnp.float32)
+    b = b_ref[:].astype(jnp.float32)
     acc_ref[:] = jnp.zeros_like(acc_ref)
     # whole-plane extraction up front: per-group-slice bitcasts wedge the
     # v5e (the kernel "completes" but the chip hangs on the next program)
@@ -445,9 +451,19 @@ def _w4a8_kernel(xa, xb, w_ref, s_ref, out_ref,
         pa = jnp.dot(xa[:, r0:r0 + g], a8[r0:r0 + g],
                      preferred_element_type=jnp.int32)
         acc_ref[:] += s[2 * t][None, :] * pa.astype(jnp.float32)
+        # affine bias via in-kernel lane reduction (exact: int8 group sums
+        # fit f32) — an (m, ngf) xsum INPUT block is narrower than 128
+        # lanes, a Mosaic post-run pathology on v5e, and an XLA epilogue
+        # costs (m, n) extra bandwidth at prefill M
+        xsa = jnp.sum(xa[:, r0:r0 + g].astype(jnp.float32), axis=1,
+                      keepdims=True)
+        acc_ref[:] += xsa * b[2 * t][None, :]
         pb = jnp.dot(xb[:, r0:r0 + g], b8[r0:r0 + g],
                      preferred_element_type=jnp.int32)
         acc_ref[:] += s[2 * t + 1][None, :] * pb.astype(jnp.float32)
+        xsb = jnp.sum(xb[:, r0:r0 + g].astype(jnp.float32), axis=1,
+                      keepdims=True)
+        acc_ref[:] += xsb * b[2 * t + 1][None, :]
     out_ref[:] = acc_ref[:].astype(out_dtype)
 
 
@@ -475,7 +491,7 @@ def _int4_w4a8_impl(xq, word, s, b, *, group_size, out_dtype):
     grid = (mp // tm, n // tn, 1)
     cost = pl.CostEstimate(
         flops=2 * mp * k * n,
-        bytes_accessed=mp * k + kw * n * 4 + ngf * n * 2 + mp * n * 4,
+        bytes_accessed=mp * k + kw * n * 4 + 2 * ngf * n * 2 + mp * n * 4,
         transcendentals=0,
     )
     out = pl.pallas_call(
@@ -490,6 +506,8 @@ def _int4_w4a8_impl(xq, word, s, b, *, group_size, out_dtype):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ngf, tn), lambda i, j, kk: (0, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((ngf, tn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
@@ -499,16 +517,8 @@ def _int4_w4a8_impl(xq, word, s, b, *, group_size, out_dtype):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=cost,
-    )(xa, xb, word, s)
-    if pad_m:
-        out = out[:m]
-    # affine bias via one tiny XLA matmul OUTSIDE the kernel: exact group
-    # sums of the int8 activations (fit f32 exactly) x per-group bias rows.
-    # In-kernel this dot's (m, ngf) sub-128-lane input triggers a Mosaic
-    # post-run pathology on v5e (minutes-long compiles of the NEXT program);
-    # XLA also sums it in real f32, which the MXU bias dot did not.
-    xsum = xq.astype(jnp.float32).reshape(m, ngf, g).sum(axis=2)
-    return out + xsum @ b.astype(jnp.float32)
+    )(xa, xb, word, s, b)
+    return out[:m] if pad_m else out
 
 
 def int4_w4a8_matmul_pallas(xq, sx, word, scale, zp, group_size, zp_domain):
@@ -533,7 +543,7 @@ def int4_w4a8_matmul_pallas(xq, sx, word, scale, zp, group_size, zp_domain):
     else:
         b = -(8.0 + zp.astype(jnp.float32)) * s
     y = _int4_w4a8_impl(
-        xq, word, s.astype(jnp.bfloat16), b.astype(jnp.float32),
+        xq, word, s.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
         group_size=g, out_dtype=jnp.float32,
     )
     return y * sx.astype(jnp.float32)

@@ -51,6 +51,8 @@ def main():
 
     suites = [
         ("int4_wo_g128", ao_tpu.Int4WeightOnlyConfig(group_size=128), None),
+        ("w4a8_g128",
+         ao_tpu.Int8DynamicActivationInt4WeightConfig(group_size=128), None),
         ("int8_wo", ao_tpu.Int8WeightOnlyConfig(), None),
         ("fp8_dyn", ao_tpu.Float8DynamicActivationFloat8WeightConfig(), None),
         ("int4_wo+int8kv", ao_tpu.Int4WeightOnlyConfig(group_size=128),

@@ -87,6 +87,8 @@ def main():
         ("int8xint8", ao_tpu.Int8DynamicActivationInt8WeightConfig()),
         ("fp8-dyn", ao_tpu.Float8DynamicActivationFloat8WeightConfig()),
         ("int4-WO g64", ao_tpu.Int4WeightOnlyConfig(group_size=64)),
+        ("w4a8 g64",
+         ao_tpu.Int8DynamicActivationInt4WeightConfig(group_size=64)),
         ("nf4 g64", ao_tpu.NF4WeightOnlyConfig(block_size=64)),
         ("intx-3bit", ao_tpu.IntxWeightOnlyConfig(bit_width=3)),
     ]
