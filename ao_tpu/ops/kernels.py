@@ -10,6 +10,12 @@ Backends:
   * "emulated" — dequantize to high precision then dot; bit-exact reference
                  for numerics tests (ref: KernelPreference.EMULATED)
   * "auto"     — pallas for the ops where it wins on TPU, else xla
+
+EXPERIMENTAL under backend("pallas"): the fused fp8-blockwise GEMM and the
+per-block BSR kernel are validated for numerics but LOSE to the XLA paths
+on v5e (no native fp8 MXU there) — "auto" never selects them on this
+generation. They target fp8-native TPUs (v6e+), which this repo has not
+been able to measure on; treat their perf as unproven until then.
 """
 
 from __future__ import annotations

@@ -30,7 +30,7 @@ identically); nvfp4 37us at 49.8dB vs emulated (one bf16 rounding from
 the scale multiply). Both against 468us for the emulated dequant+matmul
 path and 46us bf16 dense. The VPU op-count floor (~7 lane-ops/nibble for
 construct+mask+scale vs ~3 for int4, plus nvfp4's per-element bf16
-multiply) puts fp4 at 1.6-2.5x the int4 kernel's 14.5us — the e2m1→bf16
+multiply) puts fp4 at 1.6-2.5x the int4 kernel's ~15us — the e2m1→bf16
 bit-layout gap is the structural cost on a VPU with no sub-word SIMD.
 """
 

@@ -16,11 +16,15 @@ never interleaves lanes. Dequant is normalized to w = u * s + b
 The (s, b) normalization happens outside the kernel (tiny elementwise op
 fused by XLA). Accumulation is f32 in VMEM scratch across the K grid dim.
 
-Two kernels, selected by the container layout (qdata dtype):
-  * int32 "magic" layout (default for 2-D weights) — nibble→bf16 via
-    integer bit-ops + bitcast, per-group post-dot scaling; 14.5us at
-    M=8 4096² g=128 on v5e = 72% of the int4-bytes roofline (3.2x bf16
-    dense; the measured DMA ceiling itself is ~90% of roofline).
+Three kernels, selected by the container layout:
+  * int32 "magic" layout (default for 2-D weight-only) — nibble→bf16 via
+    integer bit-ops + bitcast, per-group post-dot scaling, in-kernel
+    lane-reduced affine bias; 69.2% of the int4-bytes roofline at M=8
+    4096² g=128 on v5e (15.0us linear-level, benchmarks/gemm_sol.py — the
+    canonical table; the measured DMA ceiling itself is ~90% of roofline).
+  * int32 "magic8" layout (auto for int8-activation weights) — W4A8 on
+    the int8 MXU, 82.9% SoL (12.5us, ~93% of the DMA ceiling); see the
+    W4A8 section below.
   * uint8 split-half layout (MoE 3-D / odd group counts / K-sharding
     fallbacks) — two-plane f32-dequant kernel, 19.7us on the same shape.
 """
@@ -254,13 +258,17 @@ def _int4_wo_matmul_impl(x, packed, s, b, *, group_size, out_dtype,
 # extra dot: sum_k x_k b[g,n] = xsum @ (b + 8s). Interleaving extraction
 # with each group's dot lets Mosaic pipeline VPU against MXU.
 #
-# Measured on v5e (M=8, K=N=4096, g=128): 14.5us = 72% of the int4-bytes
-# roofline (gemm_sol.py), vs 11.6us pure-DMA floor (the DMA engine itself
-# tops out at ~90% of roofline — bf16 dense reaches 89.8%; normalized to
-# that ceiling the kernel is at ~80% of achievable) and 19.7us for the
-# split-half two-plane kernel. SQNR vs f32 reference 55.2dB vs the old
-# kernel's 52.8dB — post-dot f32 scaling beats pre-rounded bf16 weights.
-# At M=512 (prefill) it also beats the bf16 dense matmul (108us vs 123us).
+# Measured on v5e (M=8, K=N=4096, g=128, gemm_sol.py linear-level):
+# 15.0us = 69.2% of the int4-bytes roofline, vs 11.6us pure-DMA floor
+# (the DMA engine itself tops out at ~90% of roofline — bf16 dense
+# reaches 89.8%; normalized to that ceiling the kernel is at ~77% of
+# achievable) and 19.7us for the split-half two-plane kernel. Post-dot
+# f32 scaling beats pre-rounded bf16 weights by ~2.4dB; the affine bias
+# is an in-kernel f32 lane reduction (see _w4a8 notes — an (m, ngf) xsum
+# INPUT is a v5e Mosaic pathology and an MXU bias dot loses precision).
+# At M=512 (prefill) it also beats the bf16 dense matmul (127 vs ~145us
+# in the same harness). The remaining SoL gap is the nibble→bf16 VPU
+# cost — the magic8 W4A8 kernel below sidesteps it on the int8 MXU.
 
 
 def _magic_kernel(x0, x1, x2, x3, w_ref, s_ref, b_ref, out_ref,

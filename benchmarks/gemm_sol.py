@@ -108,6 +108,12 @@ def main():
             "int4_wo_g128", lambda w: Int4Array.from_hp(w, group_size=128),
             m, k, n, 4, 16)
         bench_scheme(
+            "w4a8_dyn",
+            lambda w: Int4Array.from_hp(
+                w, group_size=128,
+                act_quant=ActQuantSpec("int8", granularity="per_token")),
+            m, k, n, 4, 8, int_compute=True)
+        bench_scheme(
             "int8_wo", lambda w: Int8Array.from_hp(w, block_size=(k, 1)),
             m, k, n, 8, 16)
         bench_scheme(
