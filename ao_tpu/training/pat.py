@@ -306,10 +306,14 @@ def prune_optimizer(
             proxed = _apply_prox(st, rule, g)
             candidate = jnp.where(do_prox, proxed, st)
             # freeze the mask at the last pruning step; during healing the
-            # pruned coordinates stay exactly zero while survivors train
+            # pruned coordinates stay exactly zero while survivors train.
+            # min_rank instead REAPPLIES its projection through healing —
+            # dense low-rank weights have no literal zeros to mask (ref
+            # pruneopt.py:280 _prox_through_heal defaults on for MinRank)
             mask_new = jnp.where(healing, mask, candidate != 0)
+            healed = proxed if rule.prox == "min_rank" else st * mask
             final = jnp.where(
-                in_warmup, st, jnp.where(healing, st * mask, candidate))
+                in_warmup, st, jnp.where(healing, healed, candidate))
             new_upds.append((final.astype(jnp.float32)
                              - p.astype(jnp.float32)).astype(p.dtype))
             new_masks.append(mask_new)

@@ -160,6 +160,25 @@ class TestLowRank:
                     / jnp.mean(y ** 2))
         assert rel < 0.05
 
+    def test_min_rank_holds_through_healing(self):
+        """min_rank reapplies its projection during healing (dense low-rank
+        weights have no zeros for an elementwise mask to freeze)."""
+        k1, k2 = jax.random.split(KEY)
+        w_true = (jax.random.normal(k1, (16, 2))
+                  @ jax.random.normal(k2, (2, 16)))
+        x = jax.random.normal(KEY, (128, 16))
+        y = x @ w_true
+        params = {"w": jnp.zeros((16, 16))}
+        opt = prune_optimizer(
+            optax.sgd(0.05),
+            PruneRule(prox="min_rank", min_sparsity=0.75,
+                      min_sparsity_schedule=True),
+            learning_rate=0.05, healing_start_step=100)
+        trained, _ = _train(
+            params, opt, lambda p: jnp.mean((x @ p["w"] - y) ** 2), 200)
+        s = np.linalg.svd(np.asarray(trained["w"]), compute_uv=False)
+        assert (s > 1e-6 * s[0]).sum() <= 4  # 25% of 16 kept, after healing
+
     def test_to_low_rank_roundtrip(self):
         k1, k2 = jax.random.split(KEY)
         w = (jax.random.normal(k1, (32, 3))
