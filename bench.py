@@ -54,6 +54,12 @@ def main():
         return tok_s
 
     tok_bf16 = bench(params, "bf16")
+    # W4A8 sidecar row (the headline stays int4-WO for baseline
+    # comparability — torchao's 1.89x is weight-only)
+    qp8 = ao_tpu.quantize_(
+        params, ao_tpu.Int8DynamicActivationInt4WeightConfig(group_size=128))
+    tok_w4a8 = bench(qp8, "w4a8")
+    del qp8
     qparams = ao_tpu.quantize_(params, ao_tpu.Int4WeightOnlyConfig(group_size=128))
     del params
     tok_int4 = bench(qparams, "int4-wo")
@@ -120,6 +126,8 @@ def main():
         "detail": {
             "bf16_tok_s": round(tok_bf16, 1),
             "int4_tok_s": round(tok_int4, 1),
+            "w4a8_tok_s": round(tok_w4a8, 1),
+            "w4a8_speedup": round(tok_w4a8 / tok_bf16, 4),
             "reference_speedup": 1.89,
             "full_8b_32L": {
                 "int4_tok_s_measured": round(tok_int4_full, 1),

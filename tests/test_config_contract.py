@@ -33,6 +33,7 @@ ONE_STEP = [
     ("int8_wo_group",
      ao_tpu.Int8WeightOnlyConfig(granularity=PerGroup(32)), 28),
     ("w8a8", ao_tpu.Int8DynamicActivationInt8WeightConfig(), 25),
+    ("w4a8", ao_tpu.Int8DynamicActivationInt4WeightConfig(group_size=32), 13),
     ("fp8_wo", ao_tpu.Float8WeightOnlyConfig(), 25),
     ("fp8_dyn", ao_tpu.Float8DynamicActivationFloat8WeightConfig(), 22),
     ("f8i4", Float8DynamicActivationInt4WeightConfig(group_size=32), 13),

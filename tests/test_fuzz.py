@@ -20,6 +20,8 @@ CONFIG_MAKERS = [
     lambda rng: ao_tpu.Int4WeightOnlyConfig(
         group_size=rng.choice([32, 64, 128])),
     lambda rng: ao_tpu.Int8WeightOnlyConfig(),
+    lambda rng: ao_tpu.Int8DynamicActivationInt4WeightConfig(
+        group_size=int(rng.choice([32, 64, 128]))),
     lambda rng: ao_tpu.Int8DynamicActivationInt8WeightConfig(),
     lambda rng: ao_tpu.Float8DynamicActivationFloat8WeightConfig(),
     lambda rng: ao_tpu.SINQConfig(group_size=rng.choice([16, 32, 64])),

@@ -80,6 +80,27 @@ class TestQuantizedKVDecoding:
         toks = generate(qp, prompt, CFG, 4, 8, kv_quant="int8")
         assert toks.shape == (1, 4)
 
+    def test_generate_w4a8(self, params):
+        """W4A8 (magic8 int4 weights + dynamic int8 activations) through
+        the full prefill+decode generate loop. Token trajectories cascade
+        at 4-bit weight error on this random-init model, so the numeric
+        assert is against int4-WO (identical weight quantization): the
+        only difference must be the small int8 activation-quant noise."""
+        w4a8 = ao_tpu.quantize_(
+            params,
+            ao_tpu.Int8DynamicActivationInt4WeightConfig(group_size=32))
+        prompt = jax.random.randint(KEY, (2, 4), 0, CFG.vocab_size)
+        toks = generate(w4a8, prompt, CFG, 8, 16)
+        assert toks.shape == (2, 8)
+
+        int4 = ao_tpu.quantize_(
+            params, ao_tpu.Int4WeightOnlyConfig(group_size=32))
+        t = jax.random.randint(KEY, (2, 8), 0, CFG.vocab_size)
+        ref, _ = llama.forward(int4, t, CFG)
+        out, _ = llama.forward(w4a8, t, CFG)
+        assert float(compute_error(
+            ref.astype(jnp.float32), out.astype(jnp.float32))) > 25.0
+
 
 class TestFlashAttentionRef:
     def test_reference_impl_matches_xla(self):
