@@ -103,6 +103,8 @@ DEFAULT_TP_RULES: ShardingRules = (
     (r"(^|\.)(q_proj|k_proj|v_proj|gate_proj|up_proj)$", "col"),
     # embeddings / head: shard the model (last) dim; vocab gather local
     (r"(^|\.)(embed|lm_head|head|patch_embed|pos_embed)$", "col"),
+    # conv patchify weights (HWIO): shard output channels
+    (r"(^|\.)patch_embed\.kernel$", "col"),
     # MoE router + norms + biases are tiny: replicate silently
     (r"(^|\.)(router|gate_w)$", "replicate"),
     (r"(^|\.)(ln\d*|norm\w*|.*_norm|bias|b)$", "replicate"),
