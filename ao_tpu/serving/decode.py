@@ -81,3 +81,115 @@ def generate(
     )
     # the prefill-predicted token is the FIRST generated token
     return jnp.concatenate([next_tok[:, None], toks.T], axis=1)  # (B, steps)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "dcfg", "rounds", "k", "max_seq", "kv_quant"),
+)
+def generate_speculative(
+    params: Any,
+    draft_params: Any,
+    prompt: jax.Array,  # (B, S) int32
+    cfg: llama.LlamaConfig,
+    dcfg: llama.LlamaConfig,
+    rounds: int,
+    max_seq: int,
+    k: int = 4,
+    kv_quant: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Draft-model speculative decoding, greedy, fully on device: each
+    round drafts ``k`` tokens with the small model, verifies them in ONE
+    wide forward of the target model, and accepts the longest matching
+    prefix plus the bonus token — draft, verify, accept, and both KV-cache
+    fix-ups all inside one ``lax.scan`` body with zero host syncs.
+
+    (ref analog: the speculative-decoding serving pattern around the
+    reference's quantized models (gpt-fast/vLLM); the engine's
+    ``spec_draft`` is the host-drafted n-gram variant — this is the
+    model-drafted one. Natural pairing: a quantized draft (e.g. int4-WO
+    of a small model) + a quantized target. KV rows past each round's
+    accepted prefix hold rejected-branch values; every next round's
+    window starts exactly at the first stale row, so they are rewritten
+    before the causal mask ever exposes them.)
+
+    Returns ``(tokens, n_valid)``: tokens (B, 1 + rounds*(k+1)) — the
+    prefill-predicted token first, then each round's slots left-packed
+    with -1 padding on rejected drafts; n_valid (B,) counts the real
+    tokens. Requires prompt_len + rounds*(k+1) <= max_seq.
+    """
+    model = resolve_model(cfg)
+    dmodel = resolve_model(dcfg)
+    b, s = prompt.shape
+    if kv_quant:
+        from ao_tpu.serving.kvcache import init_quant_kv_caches
+
+        caches = init_quant_kv_caches(cfg, b, max_seq, kv_quant)
+    else:
+        caches = model.init_kv_caches(cfg, b, max_seq)
+    dcaches = dmodel.init_kv_caches(dcfg, b, max_seq)
+
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    logits, caches = model.forward(
+        params, prompt, cfg, positions=positions, kv_caches=caches,
+        cache_index=0,
+    )
+    _, dcaches = dmodel.forward(
+        draft_params, prompt, dcfg, positions=positions, kv_caches=dcaches,
+        cache_index=0,
+    )
+    cur = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    pos = jnp.full((b,), s, jnp.int32)
+    cap = max_seq - 1
+    rows = jnp.arange(b)
+
+    def round_step(carry, _):
+        caches, dcaches, cur, pos = carry
+        # -- draft chain: k single-token forwards of the small model,
+        # starting by (re)feeding cur at pos — which also repairs the
+        # draft cache row left wrong by the previous round's rejection
+        toks = [cur]
+        t = cur
+        dc = dcaches
+        for j in range(k):
+            pj = jnp.minimum(pos + j, cap)
+            lg, dc = dmodel.forward(
+                draft_params, t[:, None], dcfg, positions=pj[:, None],
+                kv_caches=dc, cache_index=pj,
+            )
+            t = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+            toks.append(t)
+        # write-only step for the last draft token's KV row: without it a
+        # fully-accepted round (acc == k) leaves a zero row at pos+k that
+        # the next round's drafts would attend over
+        pk = jnp.minimum(pos + k, cap)
+        _, dc = dmodel.forward(
+            draft_params, t[:, None], dcfg, positions=pk[:, None],
+            kv_caches=dc, cache_index=pk,
+        )
+        window = jnp.stack(toks, axis=1)  # (B, k+1)
+
+        # -- verify: one (k+1)-wide target forward at per-slot offsets
+        wpos = jnp.minimum(pos[:, None] + jnp.arange(k + 1)[None], cap)
+        logits, caches = model.forward(
+            params, window, cfg, positions=wpos, kv_caches=caches,
+            cache_index=pos,
+        )
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, k+1)
+
+        # -- accept longest matching draft prefix + 1 bonus token
+        match = (window[:, 1:] == preds[:, :k]).astype(jnp.int32)
+        acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # (B,) in [0, k]
+        emit_mask = jnp.arange(k + 1)[None] <= acc[:, None]
+        emitted = jnp.where(emit_mask, preds, -1)
+        cur_new = preds[rows, acc]
+        pos_new = jnp.minimum(pos + acc + 1, cap)
+        return (caches, dc, cur_new, pos_new), (emitted, acc + 1)
+
+    (_, _, _, _), (emitted, n_round) = jax.lax.scan(
+        round_step, (caches, dcaches, cur, pos), None, length=rounds
+    )
+    # (rounds, B, k+1) → (B, rounds*(k+1)); prepend the prefill token
+    packed = emitted.transpose(1, 0, 2).reshape(b, rounds * (k + 1))
+    tokens = jnp.concatenate([cur[:, None], packed], axis=1)
+    return tokens, 1 + jnp.sum(n_round, axis=0)

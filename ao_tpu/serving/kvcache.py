@@ -61,9 +61,13 @@ class QuantKVCache:
         (continuous batching: per-slot positions)."""
         q, s = self.quantize_values(x)
         if hasattr(index, "ndim") and getattr(index, "ndim", 0) == 1:
-            rows = jnp.arange(q.shape[0])
-            qdata = self.qdata.at[rows, index].set(q[:, 0])
-            scale = self.scale.at[rows, index].set(s[:, 0])
+            # per-slot offsets; x may be an s-token window per slot
+            # (speculative verify) — clamp writes at the last row
+            rows = jnp.arange(q.shape[0])[:, None]
+            cols = jnp.minimum(index[:, None] + jnp.arange(q.shape[1])[None],
+                               self.qdata.shape[1] - 1)
+            qdata = self.qdata.at[rows, cols].set(q)
+            scale = self.scale.at[rows, cols].set(s)
         else:
             qdata = jax.lax.dynamic_update_slice(self.qdata, q, (0, index, 0, 0))
             scale = jax.lax.dynamic_update_slice(self.scale, s, (0, index, 0, 0))

@@ -66,6 +66,22 @@ def main():
         del qp  # free HBM before the next config
         jax.clear_caches()
 
+    # ---- long context: at max_seq 4096 the per-step KV reads (bf16
+    # ~1.1 GB across 8 layers at batch 4) rival the int4 weight bytes, so
+    # int8-KV halves the dominant stream — this is where KV quantization
+    # pays, not at the 256-token suite above ----
+    batch, prompt_len, steps, max_seq = 4, 3968, 16, 4096
+    prompt = jax.random.randint(key, (batch, prompt_len), 0, cfg.vocab_size)
+    qp = ao_tpu.quantize_(params, ao_tpu.Int4WeightOnlyConfig(group_size=128))
+    del params
+    lbase = bench(qp, kv_quant=None)
+    print(json.dumps({"config": "long4k_int4_wo", "tok_s": round(lbase, 1),
+                      "speedup": 1.0}), flush=True)
+    lkv = bench(qp, kv_quant="int8")
+    print(json.dumps({"config": "long4k_int4_wo+int8kv",
+                      "tok_s": round(lkv, 1),
+                      "speedup": round(lkv / lbase, 3)}), flush=True)
+
 
 if __name__ == "__main__":
     main()
