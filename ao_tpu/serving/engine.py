@@ -41,10 +41,12 @@ class ServeConfig:
     # at the cost of up to k-1 wasted device steps when a request hits
     # eos mid-window and of admission only at window boundaries
     decode_steps_per_call: int = 1
-    # n-gram (prompt-lookup) speculative decoding: draft this many tokens
-    # per step from the request's own context and verify them in ONE
-    # multi-token forward — greedy-equivalent, up to draft+1 tokens per
-    # device call on repetitive text. 0 = off. Requires temperature == 0
+    # speculative decoding: draft this many tokens per step and verify
+    # them in ONE multi-token forward — greedy-equivalent, up to draft+1
+    # tokens per device call. Drafts come from the host n-gram
+    # (prompt-lookup) drafter, or — when Engine(draft_params=, draft_cfg=)
+    # is given — from a small draft model in a fused on-device
+    # draft+verify program. 0 = off. Requires temperature == 0
     # and is mutually exclusive with decode_steps_per_call > 1. Exactness
     # caveat: in bf16 the multi-token verify program and the single-token
     # step round differently, so near-tie argmaxes can flip (bit-exact in
@@ -73,7 +75,8 @@ class Engine:
 
     def __init__(self, params: Any, model_cfg: Any,
                  cfg: ServeConfig = ServeConfig(),
-                 lora_adapters: Optional[Dict[str, Any]] = None):
+                 lora_adapters: Optional[Dict[str, Any]] = None,
+                 draft_params: Any = None, draft_cfg: Any = None):
         from ao_tpu.models import resolve_model
 
         self.params = params
@@ -149,6 +152,18 @@ class Engine:
                 raise ValueError("spec_draft currently requires the slot "
                                  "layout with unquantized KV")
 
+        # model-drafted speculation: a small model drafts spec_draft tokens
+        # on device (vs the host n-gram drafter) — one fused draft+verify
+        # program per step
+        self.draft_model = None
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        if draft_params is not None:
+            if cfg.spec_draft <= 0:
+                raise ValueError("a draft model needs cfg.spec_draft > 0")
+            self.draft_model = resolve_model(draft_cfg)
+            self.dcaches = self.draft_model.init_kv_caches(draft_cfg, b, t)
+
         # params are ARGUMENTS of the jitted programs (a method closing
         # over self.params would bake the whole model into the compiled
         # program as constants)
@@ -164,6 +179,15 @@ class Engine:
                 donate_argnums=(1,),
             )
             self._step = jax.jit(self._step_impl, donate_argnums=(1,))
+            if self.draft_model is not None:
+                self._dprefill = jax.jit(
+                    self._dprefill_impl, static_argnames=("plen",),
+                    donate_argnums=(1,),
+                )
+                self._step_spec_model = jax.jit(
+                    self._step_spec_model_impl, static_argnames=("k",),
+                    donate_argnums=(1, 2),
+                )
 
     # -- jitted programs ----------------------------------------------------
 
@@ -557,6 +581,8 @@ class Engine:
                         self._register_prefix(req, slot)
                 else:
                     tok = self._prefill_long(req, slot)
+                if self.draft_model is not None:
+                    self._dprefill_long(req, slot)
                 req.generated.append(int(tok))
                 self.cur_tok[slot] = int(tok)
                 self.positions[slot] = len(req.prompt)
@@ -589,6 +615,11 @@ class Engine:
                     jnp.int32(slot), jnp.int32(len(req.prompt)),
                     self._next_salt(), plen=plen,
                 )
+                if self.draft_model is not None:
+                    self.dcaches = self._dprefill(
+                        self.draft_params, self.dcaches, prompt,
+                        jnp.int32(slot), plen=plen,
+                    )
             req.generated.append(int(tok))
             self.cur_tok[slot] = int(tok)
             self.positions[slot] = len(req.prompt)
@@ -727,6 +758,82 @@ class Engine:
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, k+1)
         return caches, preds
 
+    def _dprefill_impl(self, dparams, dcaches, prompt, slot, *, plen):
+        """Draft-model prefill of one slot (KV rows only; logits unused)."""
+        dcfg = self.draft_cfg
+        scratch = self.draft_model.init_kv_caches(dcfg, 1, plen)
+        positions = jnp.arange(plen, dtype=jnp.int32)[None]
+        _, scratch = self.draft_model.forward(
+            dparams, prompt, dcfg, positions=positions, kv_caches=scratch,
+            cache_index=0, use_flash=True,
+        )
+        return self._insert_scratch_impl(dcaches, scratch, slot)
+
+    def _dprefill_chunk_impl(self, dparams, scratch, chunk_toks, offset, *,
+                             chunk):
+        dcfg = self.draft_cfg
+        positions = offset + jnp.arange(chunk, dtype=jnp.int32)[None]
+        _, scratch = self.draft_model.forward(
+            dparams, chunk_toks, dcfg, positions=positions,
+            kv_caches=scratch, cache_index=offset,
+        )
+        return scratch
+
+    def _dprefill_long(self, req, slot):
+        """Chunked draft prefill mirroring ``_prefill_long``."""
+        self._ensure_chunk_fns()
+        chunk = max(self.cfg.prefill_buckets)
+        scratch = self.draft_model.init_kv_caches(
+            self.draft_cfg, 1, self.cfg.max_seq)
+        if not hasattr(self, "_dprefill_chunk"):
+            self._dprefill_chunk = jax.jit(
+                self._dprefill_chunk_impl, static_argnames=("chunk",),
+                donate_argnums=(1,),
+            )
+        n = len(req.prompt)
+        padded = req.prompt + [0] * ((-n) % chunk)
+        for off in range(0, n, chunk):
+            toks = jnp.asarray(padded[off:off + chunk], jnp.int32)[None]
+            scratch = self._dprefill_chunk(
+                self.draft_params, scratch, toks, jnp.int32(off), chunk=chunk)
+        self.dcaches = self._insert_scratch(
+            self.dcaches, scratch, jnp.int32(slot))
+
+    def _step_spec_model_impl(self, params, caches, dcaches, dparams,
+                              cur_tok, positions, active, *, k):
+        """Fused draft(k)+verify, ONE device program: the draft chain
+        re-feeds cur_tok at pos (repairing the draft-cache row left wrong
+        by the previous rejection), drafts k greedy tokens, writes the
+        last draft's KV row, then the target verifies the whole window.
+        Stale-row argument as in serving.decode.generate_speculative."""
+        mcfg, dcfg = self.model_cfg, self.draft_cfg
+        cap = self.cfg.max_seq - 1
+        pos = positions
+        toks = [cur_tok]
+        t = cur_tok
+        dc = dcaches
+        for j in range(k):
+            pj = jnp.minimum(pos + j, cap)
+            lg, dc = self.draft_model.forward(
+                dparams, t[:, None], dcfg, positions=pj[:, None],
+                kv_caches=dc, cache_index=pj,
+            )
+            t = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+            toks.append(t)
+        pk = jnp.minimum(pos + k, cap)
+        _, dc = self.draft_model.forward(
+            dparams, t[:, None], dcfg, positions=pk[:, None],
+            kv_caches=dc, cache_index=pk,
+        )
+        window = jnp.stack(toks, axis=1)  # (B, k+1)
+        wpos = jnp.minimum(pos[:, None] + jnp.arange(k + 1)[None], cap)
+        logits, caches = self.model.forward(
+            params, window, mcfg, positions=wpos, kv_caches=caches,
+            cache_index=pos,
+        )
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return caches, dc, window, preds
+
     def _draft_ngram(self, req, k: int) -> List[int]:
         """Prompt-lookup drafting: continue from the most recent earlier
         occurrence of the context's final bigram; fall back to repeating
@@ -748,22 +855,32 @@ class Engine:
         import numpy as _np
 
         k = self.cfg.spec_draft
-        drafts = _np.zeros((self.cfg.max_batch, k), _np.int32)
-        for slot, req in enumerate(self._slots):
-            if req is not None:
-                drafts[slot] = self._draft_ngram(req, k)
-        toks = _np.concatenate([self.cur_tok[:, None], drafts], axis=1)
-        if not hasattr(self, "_step_spec_jit"):
-            self._step_spec_jit = jax.jit(
-                self._step_spec_impl, static_argnames=("k",),
-                donate_argnums=(1,),
+        if self.draft_model is not None:
+            # device-drafted: fused draft-chain + verify program
+            self.caches, self.dcaches, window, preds = self._step_spec_model(
+                self.params, self.caches, self.dcaches, self.draft_params,
+                jnp.asarray(self.cur_tok), jnp.asarray(self.positions),
+                jnp.asarray(self.active), k=k,
             )
-        self.caches, preds = self._step_spec_jit(
-            self.params, self.caches, jnp.asarray(toks),
-            jnp.asarray(self.positions), jnp.asarray(self.active),
-            self.block_table if self.paged else None, k=k,
-        )
-        preds_host = _np.asarray(preds)  # (B, k+1); ONE device read
+            drafts = _np.asarray(window)[:, 1:]
+            preds_host = _np.asarray(preds)  # (B, k+1)
+        else:
+            drafts = _np.zeros((self.cfg.max_batch, k), _np.int32)
+            for slot, req in enumerate(self._slots):
+                if req is not None:
+                    drafts[slot] = self._draft_ngram(req, k)
+            toks = _np.concatenate([self.cur_tok[:, None], drafts], axis=1)
+            if not hasattr(self, "_step_spec_jit"):
+                self._step_spec_jit = jax.jit(
+                    self._step_spec_impl, static_argnames=("k",),
+                    donate_argnums=(1,),
+                )
+            self.caches, preds = self._step_spec_jit(
+                self.params, self.caches, jnp.asarray(toks),
+                jnp.asarray(self.positions), jnp.asarray(self.active),
+                self.block_table if self.paged else None, k=k,
+            )
+            preds_host = _np.asarray(preds)  # (B, k+1); ONE device read
         for slot, req in enumerate(list(self._slots)):
             if req is None:
                 continue

@@ -423,6 +423,51 @@ class TestSpeculativeDecoding:
         # generated 12 tokens; if nothing accepted it would take 12 steps
         assert s["steps"] < 12 or s["spec_accepted"] > 0
 
+    def test_model_draft_matches_plain_greedy(self):
+        """Model-drafted speculation (fused on-device draft+verify) must be
+        token-exact vs plain greedy decoding, any draft quality."""
+        params, cfg = _model()
+        dcfg = llama.LlamaConfig(
+            vocab_size=128, dim=32, n_layers=1, n_heads=2, n_kv_heads=1,
+            ffn_dim=64, tie_embeddings=True, dtype=jnp.float32,
+        )
+        dparams = llama.init_params(jax.random.PRNGKey(3), dcfg)
+        prompts = [[5, 9, 5, 9, 5], [3, 17, 42, 9]]
+        refs = [_ref_generate(params, cfg, p, 10) for p in prompts]
+        eng = Engine(
+            params, cfg,
+            ServeConfig(max_batch=2, max_seq=64, prefill_buckets=(8,),
+                        spec_draft=3),
+            draft_params=dparams, draft_cfg=dcfg)
+        for p in prompts:
+            eng.submit(p, 10)
+        outs = {r.uid: r.generated for r in eng.run()}
+        for uid, ref in enumerate(refs):
+            assert outs[uid] == ref, (uid, outs[uid], ref)
+        assert eng.stats()["spec_drafted"] > 0
+
+    def test_model_draft_self_speculation_accepts(self):
+        """Draft == target ⇒ near-total acceptance ⇒ far fewer device
+        steps than tokens."""
+        params, cfg = _model()
+        eng = Engine(
+            params, cfg,
+            ServeConfig(max_batch=1, max_seq=64, prefill_buckets=(8,),
+                        spec_draft=3),
+            draft_params=params, draft_cfg=cfg)
+        eng.submit([3, 17, 42, 9], 12)
+        out = eng.run()[0]
+        assert len(out.generated) == 12
+        s = eng.stats()
+        assert s["spec_accept_rate"] > 0.5
+        assert s["steps"] < 11
+
+    def test_model_draft_requires_spec_draft(self):
+        params, cfg = _model()
+        with pytest.raises(ValueError, match="spec_draft"):
+            Engine(params, cfg, ServeConfig(max_batch=1),
+                   draft_params=params, draft_cfg=cfg)
+
     def test_spec_config_validation(self):
         params, cfg = _model()
         with pytest.raises(ValueError, match="greedy-only"):
