@@ -1,0 +1,81 @@
+"""Speculative decoding end-to-end: tok/s + acceptance vs plain decode.
+
+``python benchmarks/spec_bench.py`` on a real TPU. Configuration is the
+classic deployable one: bf16 target + the SAME model int4-WO-quantized as
+the draft (quantization rarely flips a greedy argmax, so acceptance is
+high and the draft chain reads 4x fewer weight bytes per token).
+
+(ref analog: gpt-fast's speculative-decoding demo around the reference's
+int4 models — torchao README's generate.py flags. Here both loops are the
+framework's own: `generate` and `generate_speculative`, each ONE jitted
+program.)
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import ao_tpu
+from ao_tpu.models import llama
+from ao_tpu.serving.decode import generate, generate_speculative
+from ao_tpu.utils.timing import device_time_us
+
+
+def main():
+    cfg = llama.LlamaConfig(
+        vocab_size=128256, dim=4096, n_layers=8, n_heads=32, n_kv_heads=8,
+        ffn_dim=14336, tie_embeddings=False,
+    )
+    batch, prompt_len, max_seq, k, rounds = 8, 128, 512, 4, 16
+    if os.environ.get("AO_SPEC_TINY"):  # CPU smoke
+        cfg = llama.LlamaConfig(vocab_size=512, dim=128, n_layers=2,
+                                n_heads=4, n_kv_heads=2, ffn_dim=256,
+                                tie_embeddings=True)
+        batch, prompt_len, max_seq, rounds = 2, 8, 128, 4
+
+    key = jax.random.PRNGKey(0)
+    params = llama.init_params(key, cfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    draft = ao_tpu.quantize_(params, ao_tpu.Int4WeightOnlyConfig(group_size=128))
+    prompt = jax.random.randint(key, (batch, prompt_len), 0, cfg.vocab_size)
+
+    def mutate(args, i):
+        pr = (args[2] + i + 1) % cfg.vocab_size
+        return args[:2] + (pr,) + args[3:]
+
+    # plain greedy decode, same token budget as the spec run's ceiling
+    steps = rounds * (k + 1) + 1
+    us_plain = max(device_time_us(
+        lambda p_, _unused, pr: generate(p_, pr, cfg, steps, max_seq),
+        params, draft, prompt, iters=3, mutate=mutate), 1e-3)
+    plain_tok_s = batch * steps / (us_plain / 1e6)
+    print(json.dumps({"config": "plain_greedy",
+                      "tok_s": round(plain_tok_s, 1), "speedup": 1.0}),
+          flush=True)
+
+    us_spec = max(device_time_us(
+        lambda p_, d_, pr: generate_speculative(
+            p_, d_, pr, cfg, cfg, rounds, max_seq, k=k),
+        params, draft, prompt, iters=3, mutate=mutate), 1e-3)
+    toks, n_valid = generate_speculative(
+        params, draft, prompt, cfg, cfg, rounds, max_seq, k=k)
+    n_tok = float(np.mean(np.asarray(n_valid)))
+    accept = (n_tok - 1 - rounds) / (rounds * k)  # drafts accepted / drafted
+    spec_tok_s = batch * n_tok / (us_spec / 1e6)
+    print(json.dumps({
+        "config": f"spec_int4_draft_k{k}",
+        "tok_s": round(spec_tok_s, 1),
+        "speedup": round(spec_tok_s / plain_tok_s, 3),
+        "accept_rate": round(max(accept, 0.0), 3),
+        "tokens_per_round": round(n_tok / rounds, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
