@@ -1,0 +1,99 @@
+"""Decode-attention %-of-speed-of-light across KV-cache dtypes.
+
+Run on a real TPU: ``python benchmarks/attn_sol.py``. One JSON line per
+(kv dtype, context length): measured µs, KV-stream roofline µs, %SoL, and
+the XLA dequant+sdpa reference time.
+
+Single-query decode attention is pure KV-streaming: the roofline is
+(K+V bytes + scales) / HBM bandwidth. int8/fp8 caches halve the stream,
+which is why `kv_quant` pays exactly when contexts get long
+(`benchmarks/decode_suite.py` long4k rows are the e2e view).
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from ao_tpu.utils.roofline import detect_tpu_spec
+from ao_tpu.utils.timing import device_time_us
+
+N_CACHES = 4  # distinct caches per measurement (defeats memoization)
+B, H, HKV, D = 8, 32, 8, 128
+
+
+def _mk_cache(key, t, dtype_name):
+    k1, k2 = jax.random.split(key)
+    hp = jax.random.normal(k1, (B, t, HKV, D), jnp.float32)
+    if dtype_name == "bf16":
+        return hp.astype(jnp.bfloat16), None
+    from ao_tpu.serving.kvcache import QuantKVCache
+
+    c = QuantKVCache.create(B, t, HKV, D, dtype_name)
+    q, s = c.quantize_values(hp)
+    return q, s
+
+
+def _xla_ref(q, kd, ks, vd, vs, lengths):
+    k = kd.astype(jnp.float32) * (1.0 if ks is None else ks)
+    v = vd.astype(jnp.float32) * (1.0 if vs is None else vs)
+    k = jnp.repeat(k, H // HKV, axis=2)
+    v = jnp.repeat(v, H // HKV, axis=2)
+    s = jnp.einsum("bhd,bthd->bht", q.astype(jnp.float32), k) * D ** -0.5
+    mask = jnp.arange(k.shape[1])[None, None] < lengths[:, None, None]
+    s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bht,bthd->bhd", p, v)
+
+
+def main():
+    from ao_tpu.ops.pallas.decode_attention import decode_attention
+
+    spec = detect_tpu_spec()
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, D), jnp.bfloat16)
+
+    for t in (512, 2048, 4096):
+        lengths = jnp.full((B,), t, jnp.int32)
+        for dt, bpe in (("bf16", 2.0), ("int8", 1.0),
+                        ("float8_e4m3fn", 1.0)):
+            caches = [
+                (_mk_cache(jax.random.PRNGKey(100 + 2 * i), t, dt),
+                 _mk_cache(jax.random.PRNGKey(101 + 2 * i), t, dt))
+                for i in range(N_CACHES)
+            ]
+
+            def run(q, *flat):
+                out = 0.0
+                for i in range(N_CACHES):
+                    (kd, ks), (vd, vs) = flat[2 * i], flat[2 * i + 1]
+                    out = out + decode_attention(
+                        q, kd, vd, lengths, k_scale=ks, v_scale=vs)
+                return out
+
+            f = jax.jit(run)
+            us = device_time_us(f, q, *[c for pair in caches for c in pair],
+                                iters=10) / N_CACHES
+
+            scale_bytes = 0 if dt == "bf16" else 2 * B * t * HKV * 4
+            kv_bytes = 2 * B * t * HKV * D * bpe + scale_bytes
+            roof_us = kv_bytes / (spec.hbm_gbps * 1e9) * 1e6
+
+            (kd, ks), (vd, vs) = caches[0]
+            fx = jax.jit(lambda q, kd, ks, vd, vs: _xla_ref(
+                q, kd, ks, vd, vs, lengths))
+            us_xla = device_time_us(fx, q, kd, ks, vd, vs, iters=10)
+
+            print(json.dumps({
+                "kv": dt, "T": t, "us": round(us, 2),
+                "roofline_us": round(roof_us, 2),
+                "pct_sol": round(100 * roof_us / max(us, 1e-9), 1),
+                "xla_ref_us": round(us_xla, 2),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
