@@ -20,8 +20,10 @@ from ao_tpu.core.config import AOBaseConfig
 from ao_tpu.quantization import primitives as P
 from ao_tpu.quantization.configs import (
     Int4WeightOnlyConfig,
+    Int8DynamicActivationInt4WeightConfig,
     Int8WeightOnlyConfig,
 )
+from ao_tpu.quantization.qarrays.common import ActQuantSpec
 from ao_tpu.quantization.granularity import PerGroup, PerRow
 from ao_tpu.quantization.qarrays.base import QuantizedArray
 from ao_tpu.quantization.qarrays.int4 import Int4Array
@@ -30,19 +32,30 @@ from ao_tpu.quantization.quantize import default_filter, path_to_fqn
 from ao_tpu.utils import native
 
 
-def _int4_host(w: np.ndarray, config: Int4WeightOnlyConfig) -> Int4Array:
+def _int4_host(w: np.ndarray, config, act_quant=None) -> Int4Array:
     g = config.group_size
+    k = w.shape[0]
     packed, scale, zp = native.quantize_int4_tinygemm_host(w, g)
+    # repack (still on host) into the layout from_hp would pick, so the
+    # loaded model hits the same fused kernels as device-side quantize_
+    if (act_quant is not None and k % 8 == 0 and (k // g) % 2 == 0
+            and g % 8 == 0):
+        qdata, layout = native.repack_int4_magic8_host(packed, g), "magic8"
+    elif (k // g) % 4 == 0:
+        qdata, layout = native.repack_int4_magic_host(packed, g), "magic"
+    else:
+        qdata, layout = packed, "halves"
     return Int4Array(
-        qdata=jnp.asarray(packed),
+        qdata=jnp.asarray(qdata),
         scale=jnp.asarray(scale).astype(jnp.bfloat16),
         zero_point=jnp.asarray(zp).astype(jnp.bfloat16),
         act_pre_scale=None,
         block_size=(g, 1),
         zero_point_domain=P.ZeroPointDomain.FLOAT,
-        act_quant=None,
+        act_quant=act_quant,
         _shape=tuple(w.shape),
         _dequant_dtype="bfloat16",
+        _layout=layout,
     )
 
 
@@ -95,6 +108,13 @@ def quantize_on_load(
             if w.shape[0] % config.group_size:
                 return leaf
             out = _int4_host(w, config)
+        elif isinstance(config, Int8DynamicActivationInt4WeightConfig):
+            if w.shape[0] % config.group_size:
+                return leaf
+            out = _int4_host(
+                w, config,
+                act_quant=ActQuantSpec(dtype="int8", granularity="per_token",
+                                       symmetric=True))
         elif isinstance(config, Int8WeightOnlyConfig):
             out = _int8_host(w, config)
         else:

@@ -189,6 +189,60 @@ def quantize_int4_tinygemm_host(w: np.ndarray, group_size: int):
     return pack_int4_host(u, g), scale, zp
 
 
+def _unpack_halves_np(ph: np.ndarray, g: int) -> np.ndarray:
+    kp, n = ph.shape
+    gh = g // 2
+    pb = ph.reshape(kp // gh, gh, n)
+    return np.concatenate([pb & 0xF, pb >> 4], axis=1).reshape(kp * 2, n)
+
+
+def repack_int4_magic_host(ph: np.ndarray, group_size: int) -> np.ndarray:
+    """Split-half packed (K/2, N) uint8 → "magic" int32 words (K/8, N)
+    (the bf16 weight-only kernel's layout; see qarrays/int4.py)."""
+    ph = np.ascontiguousarray(ph, dtype=np.uint8)
+    kp, n = ph.shape
+    k, g = kp * 2, group_size
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty((k // 8, n), np.int32)
+        lib.repack_int4_magic(
+            _ptr(ph, ctypes.c_uint8), _ptr(out, ctypes.c_int32),
+            ctypes.c_int64(k), ctypes.c_int64(n), ctypes.c_int64(g),
+        )
+        return out
+    u = _unpack_halves_np(ph, g)
+    ug = u.reshape(k // (4 * g), 4, g // 2, 2, n).astype(np.int32)
+    word = np.zeros((k // (4 * g), g // 2, n), np.int32)
+    for j in range(4):
+        for h in range(2):
+            word |= ug[:, j, :, h] << (4 * j + 16 * h)
+    return word.reshape(k // 8, n)
+
+
+def repack_int4_magic8_host(ph: np.ndarray, group_size: int) -> np.ndarray:
+    """Split-half packed (K/2, N) uint8 → 2-plane "magic8" int32 words
+    (K/8, N) (the W4A8 int8-MXU kernel's layout)."""
+    ph = np.ascontiguousarray(ph, dtype=np.uint8)
+    kp, n = ph.shape
+    k, g = kp * 2, group_size
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty((k // 8, n), np.int32)
+        lib.repack_int4_magic8(
+            _ptr(ph, ctypes.c_uint8), _ptr(out, ctypes.c_int32),
+            ctypes.c_int64(k), ctypes.c_int64(n), ctypes.c_int64(g),
+        )
+        return out
+    u = _unpack_halves_np(ph, g)
+    pair = u.reshape(k // (2 * g), 2, g, n)
+    a = pair[:, 0].reshape(k // 8, 4, n).astype(np.int32)
+    b = pair[:, 1].reshape(k // 8, 4, n).astype(np.int32)
+    word = np.zeros((k // 8, n), np.int32)
+    for byte in range(4):
+        word |= (a[:, byte] << (8 * byte)) | (b[:, byte] << (8 * byte + 4))
+    return word
+
+
 def quantize_int8_symmetric_host(w: np.ndarray, group_size: int):
     """Returns (q int8 (K, N), scale (K/g, N) f32)."""
     w = np.ascontiguousarray(w, dtype=np.float32)

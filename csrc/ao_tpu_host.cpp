@@ -214,6 +214,76 @@ void quantize_nf4(const float* w, const float* codebook, uint8_t* codes,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Repack split-half int4 into the device kernels' int32-word layouts
+// (matches ao_tpu/quantization/qarrays/int4.py pack_int4_magic /
+// pack_int4_magic8). Runs at load time so quantize_on_load ships the
+// FAST layout to the device — one pass over the split-half bytes, word-
+// row-major with the column loop innermost (contiguous stores).
+//
+//   "magic"  (bf16 weight-only kernel): word row (g/2)*t + r' holds, at
+//   bits [4j + 16h : +4), the nibble of logical row (4t+j)*g + 2r' + h.
+//   Requires (K/g) % 4 == 0.
+//
+//   "magic8" (W4A8 int8-MXU kernel): plane A = even groups concatenated,
+//   plane B = odd; word row r byte b = plane row 4r+b, A in the low
+//   nibble, B in the high. Requires K % 8 == 0, (K/g) % 2 == 0, g % 8 == 0.
+// ---------------------------------------------------------------------------
+
+void repack_int4_magic(const uint8_t* ph, int32_t* out,
+                       int64_t k, int64_t n, int64_t g) {
+  const int64_t gh = g / 2, words = k / 8;
+  for (int64_t wr = 0; wr < words; ++wr) {
+    const int64_t t = wr / gh, rp = wr % gh;
+    const uint8_t* src[8];
+    int in_shift[8], out_shift[8];
+    int idx = 0;
+    for (int j = 0; j < 4; ++j) {
+      for (int h = 0; h < 2; ++h, ++idx) {
+        const int64_t row = (4 * t + j) * g + 2 * rp + h;  // logical K row
+        const int64_t grp = row / g, w = row % g;
+        src[idx] = ph + (grp * gh + (w % gh)) * n;
+        in_shift[idx] = (w < gh) ? 0 : 4;
+        out_shift[idx] = 4 * j + 16 * h;
+      }
+    }
+    int32_t* orow = out + wr * n;
+    for (int64_t c = 0; c < n; ++c) {
+      int32_t v = 0;
+      for (int s = 0; s < 8; ++s)
+        v |= (int32_t)((src[s][c] >> in_shift[s]) & 0xF) << out_shift[s];
+      orow[c] = v;
+    }
+  }
+}
+
+void repack_int4_magic8(const uint8_t* ph, int32_t* out,
+                        int64_t k, int64_t n, int64_t g) {
+  const int64_t gh = g / 2, words = k / 8;
+  for (int64_t wr = 0; wr < words; ++wr) {
+    const uint8_t* src[8];
+    int in_shift[8], out_shift[8];
+    int idx = 0;
+    for (int b = 0; b < 4; ++b) {
+      const int64_t p = 4 * wr + b;        // plane row in [0, K/2)
+      const int64_t pi = p / g, w = p % g;  // group pair, row within group
+      for (int plane = 0; plane < 2; ++plane, ++idx) {
+        const int64_t grp = 2 * pi + plane;
+        src[idx] = ph + (grp * gh + (w % gh)) * n;
+        in_shift[idx] = (w < gh) ? 0 : 4;
+        out_shift[idx] = 8 * b + 4 * plane;
+      }
+    }
+    int32_t* orow = out + wr * n;
+    for (int64_t c = 0; c < n; ++c) {
+      int32_t v = 0;
+      for (int s = 0; s < 8; ++s)
+        v |= (int32_t)((src[s][c] >> in_shift[s]) & 0xF) << out_shift[s];
+      orow[c] = v;
+    }
+  }
+}
+
 int ao_tpu_host_abi_version(void) { return 1; }
 
 }  // extern "C"

@@ -26,6 +26,8 @@ void quantize_int4_tinygemm(const float*, uint8_t*, float*, float*, int64_t,
 void quantize_int8_symmetric(const float*, int8_t*, float*, int64_t, int64_t,
                              int64_t);
 void quantize_nf4(const float*, const float*, uint8_t*, int64_t);
+void repack_int4_magic(const uint8_t*, int32_t*, int64_t, int64_t, int64_t);
+void repack_int4_magic8(const uint8_t*, int32_t*, int64_t, int64_t, int64_t);
 int ao_tpu_host_abi_version(void);
 }
 
@@ -110,6 +112,40 @@ static void test_quantize_int4_tinygemm() {
   }
 }
 
+static void test_repack_int4_magic() {
+  // repack split-half -> int32-word layouts; verify each word nibble
+  // against the documented bit formulas applied to the raw nibbles
+  const int64_t k = 256, n = 24, g = 32;
+  std::vector<uint8_t> u(k * n), packed(k / 2 * n);
+  for (auto& v : u) v = rng() % 16;
+  pack_int4_splithalf(u.data(), packed.data(), k, n, g);
+
+  std::vector<int32_t> magic(k / 8 * n), magic8(k / 8 * n);
+  repack_int4_magic(packed.data(), magic.data(), k, n, g);
+  repack_int4_magic8(packed.data(), magic8.data(), k, n, g);
+
+  const int64_t gh = g / 2;
+  for (int64_t wr = 0; wr < k / 8; ++wr) {
+    const int64_t t = wr / gh, rp = wr % gh;
+    for (int64_t c = 0; c < n; ++c) {
+      int32_t expA = 0, expB = 0;
+      for (int j = 0; j < 4; ++j)
+        for (int h = 0; h < 2; ++h) {
+          const int64_t row = (4 * t + j) * g + 2 * rp + h;
+          expA |= (int32_t)u[row * n + c] << (4 * j + 16 * h);
+        }
+      for (int b = 0; b < 4; ++b)
+        for (int plane = 0; plane < 2; ++plane) {
+          const int64_t p = 4 * wr + b;
+          const int64_t row = (2 * (p / g) + plane) * g + (p % g);
+          expB |= (int32_t)u[row * n + c] << (8 * b + 4 * plane);
+        }
+      CHECK(magic[wr * n + c] == expA);
+      CHECK(magic8[wr * n + c] == expB);
+    }
+  }
+}
+
 static void test_quantize_nf4() {
   // nearest-code assignment against a sorted 16-entry codebook
   const float cb[16] = {-1.0f, -0.6962f, -0.5251f, -0.3949f, -0.2844f,
@@ -135,6 +171,7 @@ int main() {
   test_pack_bits_roundtrip();
   test_quantize_int8_symmetric();
   test_quantize_int4_tinygemm();
+  test_repack_int4_magic();
   test_quantize_nf4();
   if (g_failures) {
     std::fprintf(stderr, "%d native test failures\n", g_failures);

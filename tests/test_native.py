@@ -76,6 +76,42 @@ class TestPacking:
         np.testing.assert_allclose(z1, z2, rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(b1, b2)
 
+    @pytest.mark.parametrize("g", [32, 64])
+    def test_repack_magic_matches_device(self, g):
+        from ao_tpu.quantization.qarrays.int4 import (
+            pack_int4_magic,
+            pack_int4_magic8,
+        )
+
+        rng = np.random.default_rng(7)
+        u = rng.integers(0, 16, (256, 40), dtype=np.uint8)
+        ph = native.pack_int4_host(u, g)
+        np.testing.assert_array_equal(
+            native.repack_int4_magic_host(ph, g),
+            np.asarray(pack_int4_magic(jnp.asarray(u), g)),
+        )
+        np.testing.assert_array_equal(
+            native.repack_int4_magic8_host(ph, g),
+            np.asarray(pack_int4_magic8(jnp.asarray(u), g)),
+        )
+
+    @requires_native
+    def test_repack_native_matches_fallback(self):
+        rng = np.random.default_rng(8)
+        u = rng.integers(0, 16, (512, 24), dtype=np.uint8)
+        ph = native.pack_int4_host(u, 64)
+        lib = native._LIB
+        try:
+            a1 = native.repack_int4_magic_host(ph, 64)
+            b1 = native.repack_int4_magic8_host(ph, 64)
+            native._LIB = None
+            a2 = native.repack_int4_magic_host(ph, 64)
+            b2 = native.repack_int4_magic8_host(ph, 64)
+        finally:
+            native._LIB = lib
+        np.testing.assert_array_equal(a1, a2)
+        np.testing.assert_array_equal(b1, b2)
+
     def test_nf4_codes(self):
         cb = np.sort(np.random.default_rng(3).standard_normal(16)).astype(
             np.float32
@@ -102,6 +138,31 @@ class TestQuantizeOnLoad:
         # same scheme: outputs agree tightly (not bit-identical: host f32
         # rounding vs device)
         assert ao_tpu.compute_error(y_dev, y_host) > 35
+
+    def test_int4_load_ships_fast_layouts(self):
+        """quantize_on_load must produce the same qdata layout from_hp's
+        AUTO would pick, so loaded checkpoints hit the fused kernels."""
+        from ao_tpu.integrations.loader import quantize_on_load
+        from ao_tpu.ops import linear
+
+        w = jax.random.normal(jax.random.PRNGKey(5), (256, 64), jnp.float32)
+        wo = quantize_on_load({"kernel": w}, ao_tpu.Int4WeightOnlyConfig(group_size=32))
+        assert wo["kernel"].layout == "magic"
+        da = quantize_on_load(
+            {"kernel": w},
+            ao_tpu.Int8DynamicActivationInt4WeightConfig(group_size=32),
+        )
+        assert da["kernel"].layout == "magic8"
+        assert da["kernel"].act_quant is not None
+        # numerics survive the repack: both within tinygemm error of fp32
+        x = jax.random.normal(jax.random.PRNGKey(6), (4, 256), jnp.float32)
+        ref = x @ w
+        assert ao_tpu.compute_error(ref, linear(x, wo["kernel"])) > 20
+        assert ao_tpu.compute_error(ref, linear(x, da["kernel"])) > 20
+        # odd group-count falls back to split-half, still correct
+        w3 = jax.random.normal(jax.random.PRNGKey(7), (96, 64), jnp.float32)
+        h = quantize_on_load({"kernel": w3}, ao_tpu.Int4WeightOnlyConfig(group_size=32))
+        assert h["kernel"].layout == "halves"
 
     def test_int8_matches_device_quantize(self):
         from ao_tpu.integrations.loader import quantize_on_load
