@@ -1,0 +1,376 @@
+"""SAM-class promptable segmentation model, pure-functional JAX.
+
+(ref analog: the reference's segment-anything benchmark family — torchao
+quantizes/sparsifies SAM's ViT-det image encoder for its headline "SAM 1.1x
+inference / 1.3x training" rows, README.md:47,246 — plus the prompt-encoder/
+mask-decoder pipeline those benchmarks serve. TPU re-design: windowed
+attention is a pure reshape partition (static shapes, XLA-fusable), every
+matmul routes through ``ao_tpu.ops.linear`` and every conv through
+``ops.conv`` so quantize_/sparsify_ apply to the whole pipeline, and the
+two-way decoder is plain einsum attention — no hooks or module surgery.)
+
+Three pieces, mirroring the SAM call contract:
+- ``encode_image``: ViT-det encoder (patch conv, windowed + global blocks,
+  conv neck) → (N, H/16, W/16, neck_dim) embedding, computed once per image.
+- ``encode_points``: sparse prompt embeddings from (x, y, label) points.
+- ``decode_masks``: two-way transformer + upscaler + hypernetwork MLPs →
+  (N, n_masks, H/4, W/4) mask logits and (N, n_masks) IoU predictions.
+
+Params are a nested-dict pytree like models/vit.py; linear weights are
+stored (in_features, out_features).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ao_tpu.ops import linear
+from ao_tpu.ops.conv import conv2d, conv_transpose2d
+
+
+@dataclasses.dataclass(frozen=True)
+class SAMConfig:
+    image_size: int = 1024
+    patch_size: int = 16
+    in_channels: int = 3
+    # image encoder (ViT-det)
+    dim: int = 768
+    n_layers: int = 12
+    n_heads: int = 12
+    mlp_ratio: int = 4
+    window_size: int = 14
+    global_attn_layers: Tuple[int, ...] = (2, 5, 8, 11)
+    neck_dim: int = 256
+    # mask decoder
+    decoder_layers: int = 2
+    decoder_heads: int = 8
+    n_mask_tokens: int = 4
+    norm_eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+
+# TP rules beyond the built-in megatron set (pass to shard_params alongside
+# DEFAULT_TP_RULES): prompt/decoder embedding tables and the small decoder
+# convs live on every device; the encoder attn/mlp linears are covered by
+# the default wq/wk/wv/wo/w1/w2 rules.
+TP_RULES = (
+    (r"(^|\.)(pe_gaussian|point_embed|no_mask_embed|tokens)$", "replicate"),
+    # neck + upscaler convs and the whole two-way decoder are small next to
+    # the encoder; keep them replicated so the decoder needs no collectives
+    (r"(neck|up1|up2)\.(conv\d\.)?kernel$", "replicate"),
+)
+
+SAM_B = SAMConfig()
+SAM_L = SAMConfig(dim=1024, n_layers=24, n_heads=16,
+                  global_attn_layers=(5, 11, 17, 23))
+SAM_TINY = SAMConfig(image_size=64, patch_size=8, dim=64, n_layers=2,
+                     n_heads=4, window_size=4, global_attn_layers=(1,),
+                     neck_dim=32, decoder_heads=4, dtype=jnp.float32)
+
+
+def _dense(k, fan_in, fan_out, dtype):
+    w = jax.random.normal(k, (fan_in, fan_out), jnp.float32)
+    return (w * (fan_in ** -0.5)).astype(dtype)
+
+
+def _attn_params(key, dim, dtype):
+    ks = jax.random.split(key, 4)
+    return {"wq": _dense(ks[0], dim, dim, dtype),
+            "wk": _dense(ks[1], dim, dim, dtype),
+            "wv": _dense(ks[2], dim, dim, dtype),
+            "wo": _dense(ks[3], dim, dim, dtype)}
+
+
+def _cross_attn_params(key, q_dim, kv_dim, inner, dtype):
+    ks = jax.random.split(key, 4)
+    return {"wq": _dense(ks[0], q_dim, inner, dtype),
+            "wk": _dense(ks[1], kv_dim, inner, dtype),
+            "wv": _dense(ks[2], kv_dim, inner, dtype),
+            "wo": _dense(ks[3], inner, q_dim, dtype)}
+
+
+def _ln_params(dim, dtype):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def _mlp_params(key, dim, hidden, out, dtype):
+    k1, k2 = jax.random.split(key)
+    return {"w1": _dense(k1, dim, hidden, dtype),
+            "b1": jnp.zeros((hidden,), dtype),
+            "w2": _dense(k2, hidden, out, dtype),
+            "b2": jnp.zeros((out,), dtype)}
+
+
+def init_params(key: jax.Array, cfg: SAMConfig) -> Dict[str, Any]:
+    dt = cfg.dtype
+    keys = jax.random.split(key, cfg.n_layers + cfg.decoder_layers + 16)
+    d, nd = cfg.dim, cfg.neck_dim
+    p = cfg.patch_size
+
+    patch_k = jax.random.normal(
+        keys[0], (p, p, cfg.in_channels, d), jnp.float32
+    ) * ((p * p * cfg.in_channels) ** -0.5)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        ks = jax.random.split(keys[i + 1], 2)
+        layers.append({
+            "ln1": _ln_params(d, dt),
+            "attn": _attn_params(ks[0], d, dt),
+            "ln2": _ln_params(d, dt),
+            "mlp": _mlp_params(ks[1], d, cfg.mlp_ratio * d, d, dt),
+        })
+
+    ko = keys[cfg.n_layers + 1:]
+    decoder = []
+    for i in range(cfg.decoder_layers):
+        ks = jax.random.split(ko[i], 4)
+        decoder.append({
+            "self_attn": _attn_params(ks[0], nd, dt),
+            "ln1": _ln_params(nd, dt),
+            "cross_t2i": _cross_attn_params(ks[1], nd, nd, nd // 2, dt),
+            "ln2": _ln_params(nd, dt),
+            "mlp": _mlp_params(ks[2], nd, 4 * nd, nd, dt),
+            "ln3": _ln_params(nd, dt),
+            "cross_i2t": _cross_attn_params(ks[3], nd, nd, nd // 2, dt),
+            "ln4": _ln_params(nd, dt),
+        })
+    kd = ko[cfg.decoder_layers:]
+
+    n_tok = 1 + cfg.n_mask_tokens  # iou token + mask tokens
+    return {
+        "patch_embed": {"kernel": patch_k.astype(dt),
+                        "bias": jnp.zeros((d,), dt)},
+        "pos_embed": (jax.random.normal(
+            kd[0], (1, cfg.grid, cfg.grid, d), jnp.float32) * 0.02).astype(dt),
+        "layers": layers,
+        "neck": {
+            "conv1": {"kernel": _dense(kd[1], d, nd, dt).reshape(1, 1, d, nd)},
+            "ln1": _ln_params(nd, dt),
+            "conv2": {"kernel": (jax.random.normal(
+                kd[2], (3, 3, nd, nd), jnp.float32
+            ) * ((9 * nd) ** -0.5)).astype(dt)},
+            "ln2": _ln_params(nd, dt),
+        },
+        "prompt": {
+            # 2 label embeddings (fg/bg) + a not-a-point embedding
+            "point_embed": (jax.random.normal(
+                kd[3], (3, nd), jnp.float32) * 0.02).astype(dt),
+            # random-Fourier positional encoding matrix (frozen at init)
+            "pe_gaussian": (jax.random.normal(
+                kd[4], (2, nd // 2), jnp.float32)).astype(jnp.float32),
+            "no_mask_embed": (jax.random.normal(
+                kd[5], (1, nd), jnp.float32) * 0.02).astype(dt),
+        },
+        "decoder": {
+            "tokens": (jax.random.normal(
+                kd[6], (n_tok, nd), jnp.float32) * 0.02).astype(dt),
+            "layers": decoder,
+            "final_t2i": _cross_attn_params(kd[7], nd, nd, nd // 2, dt),
+            "ln_final": _ln_params(nd, dt),
+            "up1": {"kernel": (jax.random.normal(
+                kd[8], (2, 2, nd, nd // 4), jnp.float32
+            ) * ((4 * nd) ** -0.5)).astype(dt),
+                "bias": jnp.zeros((nd // 4,), dt)},
+            "up_ln": _ln_params(nd // 4, dt),
+            "up2": {"kernel": (jax.random.normal(
+                kd[9], (2, 2, nd // 4, nd // 8), jnp.float32
+            ) * (nd ** -0.5)).astype(dt),
+                "bias": jnp.zeros((nd // 8,), dt)},
+            "hyper_mlps": [
+                _mlp_params(kd[10 + i], nd, nd, nd // 8, dt)
+                for i in range(cfg.n_mask_tokens)
+            ],
+            "iou_head": _mlp_params(kd[10 + cfg.n_mask_tokens], nd, nd,
+                                    cfg.n_mask_tokens, dt),
+        },
+    }
+
+
+def _layernorm(x, p, eps):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"].astype(jnp.float32)
+            + p["bias"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _mha(p, q_in, kv_in, n_heads):
+    """Multi-head attention through quantizable linears; q_in (B, Q, Dq),
+    kv_in (B, K, Dkv)."""
+    b, tq, _ = q_in.shape
+    tk = kv_in.shape[1]
+    q = linear(q_in, p["wq"])
+    k = linear(kv_in, p["wk"])
+    v = linear(kv_in, p["wv"])
+    inner = q.shape[-1]
+    hd = inner // n_heads
+    q = q.reshape(b, tq, n_heads, hd)
+    k = k.reshape(b, tk, n_heads, hd)
+    v = v.reshape(b, tk, n_heads, hd)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+    a = jax.nn.softmax(s * (hd ** -0.5), axis=-1).astype(q_in.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(b, tq, inner)
+    return linear(o, p["wo"])
+
+
+def _window_partition(x, w):
+    """(B, H, W, C) → (B*nW, w*w, C) with H, W divisible by w (static)."""
+    b, h, wd, c = x.shape
+    x = x.reshape(b, h // w, w, wd // w, w, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, w * w, c)
+
+
+def _window_merge(x, w, b, h, wd):
+    c = x.shape[-1]
+    x = x.reshape(b, h // w, wd // w, w, w, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, wd, c)
+
+
+def encode_image(params: Dict[str, Any], images: jax.Array,
+                 cfg: SAMConfig) -> jax.Array:
+    """images (N, H, W, C) → image embedding (N, grid, grid, neck_dim)."""
+    pe = params["patch_embed"]
+    x = conv2d(images.astype(cfg.dtype), pe["kernel"],
+               stride=cfg.patch_size, padding="VALID", bias=pe["bias"])
+    x = x + params["pos_embed"].astype(x.dtype)
+    b, h, w, d = x.shape
+    ws = cfg.window_size
+    pad_h = (-h) % ws
+    pad_w = (-w) % ws
+    for i, lp in enumerate(params["layers"]):
+        shortcut = x
+        xa = _layernorm(x, lp["ln1"], cfg.norm_eps)
+        if i in cfg.global_attn_layers:
+            xa = xa.reshape(b, h * w, d)
+            xa = _mha(lp["attn"], xa, xa, cfg.n_heads)
+            xa = xa.reshape(b, h, w, d)
+        else:
+            if pad_h or pad_w:
+                xa = jnp.pad(xa, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+            hp, wp = h + pad_h, w + pad_w
+            win = _window_partition(xa, ws)
+            win = _mha(lp["attn"], win, win, cfg.n_heads)
+            xa = _window_merge(win, ws, b, hp, wp)[:, :h, :w]
+        x = shortcut + xa
+        hmid = _layernorm(x, lp["ln2"], cfg.norm_eps)
+        hmid = jax.nn.gelu(linear(hmid, lp["mlp"]["w1"]) + lp["mlp"]["b1"])
+        x = x + linear(hmid, lp["mlp"]["w2"]) + lp["mlp"]["b2"]
+    nk = params["neck"]
+    x = conv2d(x, nk["conv1"]["kernel"], stride=1, padding="SAME")
+    x = _layernorm(x, nk["ln1"], cfg.norm_eps)
+    x = conv2d(x, nk["conv2"]["kernel"], stride=1, padding="SAME")
+    return _layernorm(x, nk["ln2"], cfg.norm_eps)
+
+
+def _point_pe(prompt, coords, image_size):
+    """Random-Fourier positional encoding of normalized (x, y) coords."""
+    norm = coords.astype(jnp.float32) / image_size * 2.0 - 1.0  # [-1, 1]
+    proj = norm @ prompt["pe_gaussian"] * (2.0 * jnp.pi)
+    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+
+def encode_points(params: Dict[str, Any], coords: jax.Array,
+                  labels: jax.Array, cfg: SAMConfig) -> jax.Array:
+    """coords (N, P, 2) pixel xy; labels (N, P) in {-1 pad, 0 bg, 1 fg}
+    → sparse prompt embeddings (N, P, neck_dim)."""
+    prompt = params["prompt"]
+    pe = _point_pe(prompt, coords, cfg.image_size).astype(cfg.dtype)
+    emb = prompt["point_embed"].astype(cfg.dtype)[labels + 1]
+    # padding points keep only their label embedding (no position)
+    pe = jnp.where((labels == -1)[..., None], 0.0, pe)
+    return pe + emb
+
+
+def _grid_pe(params, cfg: SAMConfig):
+    g = cfg.grid
+    xs = (jnp.arange(g, dtype=jnp.float32) + 0.5) * cfg.patch_size
+    gx, gy = jnp.meshgrid(xs, xs, indexing="xy")
+    coords = jnp.stack([gx, gy], axis=-1).reshape(1, g * g, 2)
+    return _point_pe(params["prompt"], coords, cfg.image_size)
+
+
+def decode_masks(
+    params: Dict[str, Any],
+    image_embed: jax.Array,
+    sparse_prompt: jax.Array,
+    cfg: SAMConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-way transformer decode.
+
+    image_embed (N, g, g, nd); sparse_prompt (N, P, nd) →
+    (mask logits (N, n_mask_tokens, 4g, 4g), iou predictions (N, n_mask_tokens)).
+    """
+    dec = params["decoder"]
+    n, g, _, nd = image_embed.shape
+    base = dec["tokens"].astype(image_embed.dtype)
+    tokens = jnp.concatenate(
+        [jnp.broadcast_to(base[None], (n,) + base.shape), sparse_prompt],
+        axis=1,
+    )
+    src = image_embed.reshape(n, g * g, nd)
+    img_pe = _grid_pe(params, cfg).astype(src.dtype)
+
+    q = tokens
+    for lp in dec["layers"]:
+        q = _layernorm(q + _mha(lp["self_attn"], q, q, cfg.decoder_heads),
+                       lp["ln1"], cfg.norm_eps)
+        q = _layernorm(
+            q + _mha(lp["cross_t2i"], q, src + img_pe, cfg.decoder_heads),
+            lp["ln2"], cfg.norm_eps)
+        h = jax.nn.gelu(linear(q, lp["mlp"]["w1"]) + lp["mlp"]["b1"])
+        q = _layernorm(q + linear(h, lp["mlp"]["w2"]) + lp["mlp"]["b2"],
+                       lp["ln3"], cfg.norm_eps)
+        src = _layernorm(
+            src + _mha(lp["cross_i2t"], src + img_pe, q, cfg.decoder_heads),
+            lp["ln4"], cfg.norm_eps)
+
+    q = _layernorm(
+        q + _mha(dec["final_t2i"], q, src + img_pe, cfg.decoder_heads),
+        dec["ln_final"], cfg.norm_eps)
+
+    iou_tok = q[:, 0]
+    mask_toks = q[:, 1:1 + cfg.n_mask_tokens]
+
+    img = src.reshape(n, g, g, nd)
+    up = conv_transpose2d(img, dec["up1"]["kernel"], stride=2,
+                          bias=dec["up1"]["bias"])
+    up = jax.nn.gelu(_layernorm(up, dec["up_ln"], cfg.norm_eps))
+    up = jax.nn.gelu(conv_transpose2d(up, dec["up2"]["kernel"], stride=2,
+                                      bias=dec["up2"]["bias"]))
+
+    hyper = []
+    for i, mp in enumerate(dec["hyper_mlps"]):
+        t = mask_toks[:, i]
+        t = jax.nn.gelu(linear(t, mp["w1"]) + mp["b1"])
+        hyper.append(linear(t, mp["w2"]) + mp["b2"])
+    hyper_w = jnp.stack(hyper, axis=1)  # (N, n_masks, nd/8)
+    masks = jnp.einsum("nmc,nhwc->nmhw", hyper_w, up).astype(jnp.float32)
+
+    ih = dec["iou_head"]
+    iou = linear(jax.nn.gelu(linear(iou_tok, ih["w1"]) + ih["b1"]),
+                 ih["w2"]) + ih["b2"]
+    return masks, iou.astype(jnp.float32)
+
+
+def forward(params: Dict[str, Any], images: jax.Array, coords: jax.Array,
+            labels: jax.Array, cfg: SAMConfig) -> Tuple[jax.Array, jax.Array]:
+    """Full pipeline: images + point prompts → (mask logits, iou)."""
+    emb = encode_image(params, images, cfg)
+    sparse = encode_points(params, coords, labels, cfg)
+    return decode_masks(params, emb, sparse, cfg)

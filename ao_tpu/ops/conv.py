@@ -62,6 +62,32 @@ def conv3d(
     return y
 
 
+def conv_transpose2d(
+    x: jax.Array,
+    w,
+    stride: Union[int, Tuple[int, int]] = 2,
+    padding: Union[str, Sequence[Tuple[int, int]]] = "SAME",
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Transposed conv (upsampling); x (N, H, W, C_in), w (KH, KW, C_in, C_out).
+
+    (ref analog: the ConvTranspose2d upscaling stack in the reference's SAM
+    mask-decoder benchmark path, quantized with the same weight-only conv
+    configs.)
+    """
+    if isinstance(w, QuantizedArray):
+        w = w.dequantize(x.dtype)
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    y = jax.lax.conv_transpose(
+        x, w.astype(x.dtype), strides=stride, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
 def quantize_conv_weight(w: jax.Array, config) -> QuantizedArray:
     """Quantize an HWIO/DHWIO conv weight with per-out-channel scales.
 
