@@ -17,6 +17,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; honor it here so
+# `JAX_PLATFORMS=cpu python benchmarks/sam_bench.py` works for smokes
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 
 import ao_tpu
@@ -31,9 +37,10 @@ def bench(name, params, cfg, imgs, base_us=None):
         return (p, im * (1.0 + 1e-6 * (i + 1)))
     us = device_time_us(f, params, imgs, iters=6, mutate=mutate)
     n = imgs.shape[0]
-    rec = {"config": name, "images_per_s": round(n * 1e6 / us, 2),
+    rec = {"config": name,
+           "images_per_s": round(n * 1e6 / us, 2) if us > 0 else None,
            "ms_per_batch": round(us / 1e3, 2), "batch": n}
-    if base_us is not None:
+    if base_us is not None and us > 0:
         rec["speedup_vs_bf16"] = round(base_us / us, 3)
     print(json.dumps(rec))
     return us
@@ -43,7 +50,11 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     # SAM-B at half spatial resolution: fits v5e HBM alongside activations
     # while keeping the 1024-token-per-image compute-bound regime
-    cfg = sam.SAMConfig(image_size=512)
+    # (AO_TPU_SAM_BENCH_TINY=1 smokes the harness on CPU)
+    if os.environ.get("AO_TPU_SAM_BENCH_TINY"):
+        cfg = sam.SAM_TINY
+    else:
+        cfg = sam.SAMConfig(image_size=512)
     params = sam.init_params(jax.random.PRNGKey(0), cfg)
     imgs = jax.random.normal(
         jax.random.PRNGKey(1), (batch, cfg.image_size, cfg.image_size, 3),

@@ -29,6 +29,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; honor it here so
+# `JAX_PLATFORMS=cpu python benchmarks/train_bench.py` works for smokes
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -103,7 +109,7 @@ def bench_recipe(name, matmul, n_layers, tokens, base_ms=None):
     ms = us / 1e3
     rec = {"recipe": name, "ms_per_step": round(ms, 3),
            "tokens": tokens, "layers": n_layers}
-    if base_ms is not None:
+    if base_ms is not None and ms > 0:
         rec["speedup_vs_bf16"] = round(base_ms / ms, 3)
     print(json.dumps(rec))
     return ms
