@@ -104,6 +104,55 @@ class GGUFQuantizedArray(QuantizedArray):
         v = qb * s_eff[:, None, :] - m_eff[:, None, :]
         return v.reshape(k_dim, n).astype(out_dtype)
 
+    def to_int4(self, act_quant=None, scale_dtype=jnp.bfloat16):
+        """Collapse the double quantization into a flat per-32-group affine
+        ``Int4Array`` (FLOAT zero-point domain): the effective qparams
+        ``scale = d·sc[j]``, ``zp = −dmin·m[j]`` are representable exactly,
+        so with ``scale_dtype=float32`` the conversion is bit-exact. The
+        result lands in the magic/magic8 layouts and hits the fused decode
+        kernels that the GGUF container's dequant-linear cannot.
+
+        (ref analog: the reference converts GGUF tensors back through
+        Int4 tile layouts for its fast paths; on TPU this is the magic-
+        layout repack.)
+        """
+        from ao_tpu.quantization import primitives as P
+        from ao_tpu.quantization.qarrays.int4 import Int4Array
+
+        k_dim, n = self.shape
+        s_eff = self.d.repeat(N_SUB, axis=0) * self.sc.astype(jnp.float32)
+        zp = -(self.dmin.repeat(N_SUB, axis=0) * self.mc.astype(jnp.float32))
+        arr = Int4Array(
+            qdata=self.qdata,
+            scale=s_eff.astype(scale_dtype),
+            zero_point=zp.astype(scale_dtype),
+            act_pre_scale=None,
+            block_size=(SUB_BLOCK, 1),
+            zero_point_domain=P.ZeroPointDomain.FLOAT,
+            act_quant=act_quant,
+            _shape=(k_dim, n),
+            _dequant_dtype=self._dequant_dtype,
+            _layout="halves",
+        )
+        if (act_quant is not None and act_quant.dtype == "int8"
+                and act_quant.symmetric):
+            return arr.to_layout("magic8")
+        return arr.to_layout("magic")
+
+
+def fuse_gguf_int4(params, act_quant=None, scale_dtype=jnp.bfloat16):
+    """Tree-walk converting every ``GGUFQuantizedArray`` leaf to the fused
+    ``Int4Array`` form (see :meth:`GGUFQuantizedArray.to_int4`); other
+    leaves pass through untouched."""
+    def fuse(leaf):
+        if isinstance(leaf, GGUFQuantizedArray):
+            return leaf.to_int4(act_quant=act_quant, scale_dtype=scale_dtype)
+        return leaf
+
+    return jax.tree_util.tree_map(
+        fuse, params, is_leaf=lambda x: isinstance(x, GGUFQuantizedArray)
+    )
+
 
 @dataclasses.dataclass(frozen=True)
 class GGUFWeightOnlyConfig(AOBaseConfig):

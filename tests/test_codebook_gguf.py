@@ -123,3 +123,35 @@ class TestGGUF:
         w = jnp.zeros((100, 64), jnp.float32)  # K not /256
         qp = ao_tpu.quantize_({"kernel": w}, ao_tpu.GGUFWeightOnlyConfig())
         assert qp["kernel"] is w
+
+    def test_to_int4_exact(self):
+        """The double-quant collapse is bit-exact with fp32 scales: the
+        effective per-32-group affine params ARE d*sc / -dmin*m."""
+        w = jax.random.normal(jax.random.PRNGKey(4), (512, 64), jnp.float32)
+        qa = GGUFQuantizedArray.from_hp(w)
+        i4 = qa.to_int4(scale_dtype=jnp.float32)
+        assert i4.layout == "magic"
+        np.testing.assert_array_equal(
+            np.asarray(qa.dequantize(jnp.float32)),
+            np.asarray(i4.dequantize(jnp.float32)),
+        )
+
+    def test_fuse_tree_and_linear(self):
+        from ao_tpu.integrations.gguf import fuse_gguf_int4
+        from ao_tpu.quantization.qarrays.common import ActQuantSpec
+        from ao_tpu.quantization.qarrays.int4 import Int4Array
+
+        w = jax.random.normal(jax.random.PRNGKey(5), (256, 64), jnp.float32)
+        qp = ao_tpu.quantize_({"kernel": w, "bias": jnp.zeros((64,))},
+                              ao_tpu.GGUFWeightOnlyConfig())
+        fused = fuse_gguf_int4(qp)
+        assert isinstance(fused["kernel"], Int4Array)
+        x = jax.random.normal(jax.random.PRNGKey(6), (4, 256), jnp.float32)
+        y_gguf = linear(x, qp["kernel"])
+        y_int4 = linear(x, fused["kernel"])
+        # bf16 scale cast only: paths agree far above the scheme's noise
+        assert sqnr(y_gguf, y_int4) > 35
+        w4a8 = fuse_gguf_int4(qp, act_quant=ActQuantSpec(
+            dtype="int8", granularity="per_token", symmetric=True))
+        assert w4a8["kernel"].layout == "magic8"
+        assert sqnr(y_gguf, linear(x, w4a8["kernel"])) > 25
