@@ -89,9 +89,13 @@ def quantize_on_load(
     """quantize_ twin that runs qparam selection + packing on the HOST
     (native C++ when available) and ships only packed bytes to the device.
 
-    Supports Int4WeightOnlyConfig (tinygemm qparams) and
-    Int8WeightOnlyConfig (symmetric); other configs fall back to the
-    device-side ``quantize_``.
+    Supports Int4WeightOnlyConfig (tinygemm qparams),
+    Int8DynamicActivationInt4WeightConfig (same weights + int8 per-token
+    act spec, shipped in the W4A8 magic8 layout) and Int8WeightOnlyConfig
+    (symmetric); other configs fall back to the device-side ``quantize_``.
+    Int4 qdata is repacked on the host into the same magic/magic8 layout
+    ``from_hp``'s AUTO would pick, so loaded checkpoints hit the fused
+    kernels.
     """
     from ao_tpu.quantization.quantize import quantize_
 

@@ -66,10 +66,12 @@ class SAMConfig:
 # convs live on every device; the encoder attn/mlp linears are covered by
 # the default wq/wk/wv/wo/w1/w2 rules.
 TP_RULES = (
-    (r"(^|\.)(pe_gaussian|point_embed|no_mask_embed|tokens)$", "replicate"),
-    # neck + upscaler convs and the whole two-way decoder are small next to
-    # the encoder; keep them replicated so the decoder needs no collectives
-    (r"(neck|up1|up2)\.(conv\d\.)?kernel$", "replicate"),
+    (r"(^|\.)(pe_gaussian|point_embed|no_mask_embed)$", "replicate"),
+    # neck convs and the whole two-way decoder (incl. its linears, token
+    # table, upscaler convs, hypernet/iou heads) are small next to the
+    # encoder; replicate them so per-prompt decode needs no collectives
+    (r"(^|\.)decoder\.", "replicate"),
+    (r"neck\.conv\d\.kernel$", "replicate"),
 )
 
 SAM_B = SAMConfig()
@@ -115,7 +117,8 @@ def _mlp_params(key, dim, hidden, out, dtype):
 
 def init_params(key: jax.Array, cfg: SAMConfig) -> Dict[str, Any]:
     dt = cfg.dtype
-    keys = jax.random.split(key, cfg.n_layers + cfg.decoder_layers + 16)
+    keys = jax.random.split(
+        key, cfg.n_layers + cfg.decoder_layers + 12 + cfg.n_mask_tokens)
     d, nd = cfg.dim, cfg.neck_dim
     p = cfg.patch_size
 

@@ -189,13 +189,6 @@ def quantize_int4_tinygemm_host(w: np.ndarray, group_size: int):
     return pack_int4_host(u, g), scale, zp
 
 
-def _unpack_halves_np(ph: np.ndarray, g: int) -> np.ndarray:
-    kp, n = ph.shape
-    gh = g // 2
-    pb = ph.reshape(kp // gh, gh, n)
-    return np.concatenate([pb & 0xF, pb >> 4], axis=1).reshape(kp * 2, n)
-
-
 def repack_int4_magic_host(ph: np.ndarray, group_size: int) -> np.ndarray:
     """Split-half packed (K/2, N) uint8 → "magic" int32 words (K/8, N)
     (the bf16 weight-only kernel's layout; see qarrays/int4.py)."""
@@ -210,7 +203,7 @@ def repack_int4_magic_host(ph: np.ndarray, group_size: int) -> np.ndarray:
             ctypes.c_int64(k), ctypes.c_int64(n), ctypes.c_int64(g),
         )
         return out
-    u = _unpack_halves_np(ph, g)
+    u = unpack_int4_host(ph, g)
     ug = u.reshape(k // (4 * g), 4, g // 2, 2, n).astype(np.int32)
     word = np.zeros((k // (4 * g), g // 2, n), np.int32)
     for j in range(4):
@@ -233,7 +226,7 @@ def repack_int4_magic8_host(ph: np.ndarray, group_size: int) -> np.ndarray:
             ctypes.c_int64(k), ctypes.c_int64(n), ctypes.c_int64(g),
         )
         return out
-    u = _unpack_halves_np(ph, g)
+    u = unpack_int4_host(ph, g)
     pair = u.reshape(k // (2 * g), 2, g, n)
     a = pair[:, 0].reshape(k // 8, 4, n).astype(np.int32)
     b = pair[:, 1].reshape(k // 8, 4, n).astype(np.int32)

@@ -14,6 +14,13 @@ import sys
 import time
 
 import jax
+import os
+
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; honor it
+# explicitly so `JAX_PLATFORMS=cpu` smokes work
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -52,14 +52,14 @@ def main():
     # while keeping the 1024-token-per-image compute-bound regime
     # (AO_TPU_SAM_BENCH_TINY=1 smokes the harness on CPU)
     if os.environ.get("AO_TPU_SAM_BENCH_TINY"):
-        cfg = sam.SAM_TINY
+        cfg, model_name = sam.SAM_TINY, "SAM-TINY/64"
     else:
-        cfg = sam.SAMConfig(image_size=512)
+        cfg, model_name = sam.SAMConfig(image_size=512), "SAM-B/512"
     params = sam.init_params(jax.random.PRNGKey(0), cfg)
     imgs = jax.random.normal(
         jax.random.PRNGKey(1), (batch, cfg.image_size, cfg.image_size, 3),
         jnp.bfloat16)
-    print(json.dumps({"model": "SAM-B/512", "note": "encoder images/s"}))
+    print(json.dumps({"model": model_name, "note": "encoder images/s"}))
 
     base = bench("bf16", params, cfg, imgs)
     for name, config in [

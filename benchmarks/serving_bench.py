@@ -14,6 +14,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; honor it
+# explicitly so `JAX_PLATFORMS=cpu` smokes work
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 
 import ao_tpu

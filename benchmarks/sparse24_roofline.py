@@ -25,6 +25,11 @@ Run: python benchmarks/sparse24_roofline.py
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
+
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; honor it
+# explicitly so `JAX_PLATFORMS=cpu` smokes work
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from ao_tpu.utils.timing import device_time_us
