@@ -79,3 +79,215 @@ def import_hf_llama(
     if "lm_head.weight" in sd:
         params["lm_head"] = import_linear(sd["lm_head.weight"], dtype)
     return params
+
+
+def _conv(v, dtype):
+    """torch Conv2d weight (out, in, kh, kw) → HWIO."""
+    return jnp.asarray(_to_np(v).transpose(2, 3, 1, 0)).astype(dtype)
+
+
+def _convT(v, dtype):
+    """torch ConvTranspose2d weight (in, out, kh, kw) → the framework's
+    conv_transpose2d HWIO kernel (kh, kw, in, out). torch's transposed conv
+    equals a fractionally-strided conv with the SPATIALLY FLIPPED kernel
+    (verified exactly in tests/test_torch_import.py)."""
+    w = _to_np(v).transpose(2, 3, 0, 1)[::-1, ::-1]
+    return jnp.asarray(np.ascontiguousarray(w)).astype(dtype)
+
+
+def _vec(v, dtype):
+    return jnp.asarray(_to_np(v)).astype(dtype)
+
+
+def _ln(sd, name, dtype):
+    return {"scale": _vec(sd[name + ".weight"], dtype),
+            "bias": _vec(sd[name + ".bias"], dtype)}
+
+
+def _attn_from(sd, base, dtype, qkv_fused):
+    """Attention params from either a fused `qkv` (ViT-det encoder) or
+    separate `{q,k,v,out}_proj` (two-way decoder) torch layout."""
+    if qkv_fused:
+        w = _to_np(sd[base + ".qkv.weight"])  # (3d, d)
+        b = _to_np(sd[base + ".qkv.bias"])
+        d = w.shape[1]
+        out = {}
+        for i, nm in enumerate(("q", "k", "v")):
+            out["w" + nm] = jnp.asarray(w[i * d:(i + 1) * d].T).astype(dtype)
+            out["b" + nm] = jnp.asarray(b[i * d:(i + 1) * d]).astype(dtype)
+        out["wo"] = import_linear(sd[base + ".proj.weight"], dtype)
+        out["bo"] = _vec(sd[base + ".proj.bias"], dtype)
+        return out
+    out = {}
+    for nm, t in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                  ("o", "out_proj")):
+        out["w" + nm] = import_linear(sd[f"{base}.{t}.weight"], dtype)
+        out["b" + nm] = _vec(sd[f"{base}.{t}.bias"], dtype)
+    return out
+
+
+def _mlp_from(sd, base, dtype, names=("lin1", "lin2")):
+    return {"w1": import_linear(sd[f"{base}.{names[0]}.weight"], dtype),
+            "b1": _vec(sd[f"{base}.{names[0]}.bias"], dtype),
+            "w2": import_linear(sd[f"{base}.{names[1]}.weight"], dtype),
+            "b2": _vec(sd[f"{base}.{names[1]}.bias"], dtype)}
+
+
+def _mlp3_from(sd, base, dtype):
+    out = {}
+    for i in range(3):
+        out[f"w{i+1}"] = import_linear(sd[f"{base}.layers.{i}.weight"], dtype)
+        out[f"b{i+1}"] = _vec(sd[f"{base}.layers.{i}.bias"], dtype)
+    return out
+
+
+_SAM_HF_RENAMES = (
+    # HF transformers SamModel names → original segment-anything names
+    (r"^vision_encoder\.", "image_encoder."),
+    (r"^(image_encoder)\.layers\.(\d+)\.", r"\1.blocks.\2."),
+    (r"\.patch_embed\.projection\.", ".patch_embed.proj."),
+    (r"\.layer_norm_final_attn\.", ".norm_final_attn."),
+    (r"\.layer_norm(\d)\.", r".norm\1."),
+    (r"\.neck\.conv1\.", ".neck.0."),
+    (r"\.neck\.norm1\.", ".neck.1."),
+    (r"\.neck\.conv2\.", ".neck.2."),
+    (r"\.neck\.norm2\.", ".neck.3."),
+    (r"\.shared_embedding\.positional_embedding$",
+     ".pe_layer.positional_encoding_gaussian_matrix"),
+    (r"\.point_embed\.(\d+)\.", r".point_embeddings.\1."),
+    (r"\.upscale_conv1\.", ".output_upscaling.0."),
+    (r"\.upscale_layer_norm\.", ".output_upscaling.1."),
+    (r"\.upscale_conv2\.", ".output_upscaling.3."),
+    # SamFeedForward (depth 3): proj_in / layers.0 / proj_out → layers.0..2
+    # (the inner-hidden rename must run BEFORE proj_in claims "layers.0")
+    (r"(output_hypernetworks_mlps\.\d+|iou_prediction_head)\.layers\.0\.",
+     r"\1.layers.1."),
+    (r"(output_hypernetworks_mlps\.\d+|iou_prediction_head)\.proj_in\.",
+     r"\1.layers.0."),
+    (r"(output_hypernetworks_mlps\.\d+|iou_prediction_head)\.proj_out\.",
+     r"\1.layers.2."),
+)
+
+
+def _normalize_sam_keys(sd: Dict[str, Any]) -> Dict[str, Any]:
+    import re
+
+    out = {}
+    for k, v in sd.items():
+        nk = k
+        for pat, rep in _SAM_HF_RENAMES:
+            nk = re.sub(pat, rep, nk)
+        out[nk] = v
+    return out
+
+
+def import_hf_sam(
+    state_dict: Mapping[str, Any],
+    cfg,
+    dtype=jnp.bfloat16,
+) -> Dict[str, Any]:
+    """Segment-anything state_dict (original facebook sam_vit_* naming OR
+    HF ``transformers.SamModel`` naming) → ao_tpu.models.sam params pytree.
+
+    Covers the image encoder (fused-qkv ViT-det blocks, rel-pos tables,
+    conv neck), the point-prompt encoder (5-type embeddings, gaussian PE
+    matrix), and the two-way mask decoder (token-to-image / image-to-token
+    attention, upscaler, hypernetwork + IoU heads). The mask-prompt
+    downscaling convs are not imported (point/box prompts only).
+    Numerics validated against transformers.SamModel in
+    tests/test_torch_import.py.
+
+    ``cfg`` is the matching ``SAMConfig`` (e.g. ``sam.SAM_B``).
+    """
+    sd = dict(state_dict)
+    if any(k.startswith("vision_encoder.") for k in sd):
+        sd = _normalize_sam_keys(sd)
+    import numpy as _np
+
+    layers = []
+    for i in range(cfg.n_layers):
+        b = f"image_encoder.blocks.{i}"
+        lp = {
+            "ln1": _ln(sd, b + ".norm1", dtype),
+            "attn": _attn_from(sd, b + ".attn", dtype, qkv_fused=True),
+            "ln2": _ln(sd, b + ".norm2", dtype),
+            "mlp": _mlp_from(sd, b + ".mlp", dtype),
+        }
+        if cfg.use_rel_pos and b + ".attn.rel_pos_h" in sd:
+            lp["attn"]["rel_pos_h"] = _vec(sd[b + ".attn.rel_pos_h"], dtype)
+            lp["attn"]["rel_pos_w"] = _vec(sd[b + ".attn.rel_pos_w"], dtype)
+        layers.append(lp)
+
+    dec_layers = []
+    for i in range(cfg.decoder_layers):
+        b = f"mask_decoder.transformer.layers.{i}"
+        dec_layers.append({
+            "self_attn": _attn_from(sd, b + ".self_attn", dtype, False),
+            "ln1": _ln(sd, b + ".norm1", dtype),
+            "cross_t2i": _attn_from(
+                sd, b + ".cross_attn_token_to_image", dtype, False),
+            "ln2": _ln(sd, b + ".norm2", dtype),
+            "mlp": _mlp_from(sd, b + ".mlp", dtype),
+            "ln3": _ln(sd, b + ".norm3", dtype),
+            "cross_i2t": _attn_from(
+                sd, b + ".cross_attn_image_to_token", dtype, False),
+            "ln4": _ln(sd, b + ".norm4", dtype),
+        })
+
+    point_rows = _np.concatenate(
+        [_to_np(sd["prompt_encoder.not_a_point_embed.weight"])]
+        + [_to_np(sd[f"prompt_encoder.point_embeddings.{i}.weight"])
+           for i in range(4)],
+        axis=0,
+    )
+    tokens = _np.concatenate(
+        [_to_np(sd["mask_decoder.iou_token.weight"]),
+         _to_np(sd["mask_decoder.mask_tokens.weight"])], axis=0)
+
+    return {
+        "patch_embed": {
+            "kernel": _conv(sd["image_encoder.patch_embed.proj.weight"], dtype),
+            "bias": _vec(sd["image_encoder.patch_embed.proj.bias"], dtype),
+        },
+        "pos_embed": _vec(sd["image_encoder.pos_embed"], dtype),
+        "layers": layers,
+        "neck": {
+            "conv1": {"kernel": _conv(sd["image_encoder.neck.0.weight"], dtype)},
+            "ln1": _ln(sd, "image_encoder.neck.1", dtype),
+            "conv2": {"kernel": _conv(sd["image_encoder.neck.2.weight"], dtype)},
+            "ln2": _ln(sd, "image_encoder.neck.3", dtype),
+        },
+        "prompt": {
+            "point_embed": jnp.asarray(point_rows).astype(dtype),
+            "pe_gaussian": jnp.asarray(_to_np(
+                sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"]
+            )).astype(jnp.float32),
+            "no_mask_embed": _vec(sd["prompt_encoder.no_mask_embed.weight"],
+                                  dtype),
+        },
+        "decoder": {
+            "tokens": jnp.asarray(tokens).astype(dtype),
+            "layers": dec_layers,
+            "final_t2i": _attn_from(
+                sd, "mask_decoder.transformer.final_attn_token_to_image",
+                dtype, False),
+            "ln_final": _ln(sd, "mask_decoder.transformer.norm_final_attn",
+                            dtype),
+            "up1": {"kernel": _convT(sd["mask_decoder.output_upscaling.0.weight"],
+                                     dtype),
+                    "bias": _vec(sd["mask_decoder.output_upscaling.0.bias"],
+                                 dtype)},
+            "up_ln": _ln(sd, "mask_decoder.output_upscaling.1", dtype),
+            "up2": {"kernel": _convT(sd["mask_decoder.output_upscaling.3.weight"],
+                                     dtype),
+                    "bias": _vec(sd["mask_decoder.output_upscaling.3.bias"],
+                                 dtype)},
+            "hyper_mlps": [
+                _mlp3_from(sd, f"mask_decoder.output_hypernetworks_mlps.{i}",
+                           dtype)
+                for i in range(cfg.n_mask_tokens)
+            ],
+            "iou_head": _mlp3_from(sd, "mask_decoder.iou_prediction_head",
+                                   dtype),
+        },
+    }

@@ -4,15 +4,23 @@
 quantizes/sparsifies SAM's ViT-det image encoder for its headline "SAM 1.1x
 inference / 1.3x training" rows, README.md:47,246 — plus the prompt-encoder/
 mask-decoder pipeline those benchmarks serve. TPU re-design: windowed
-attention is a pure reshape partition (static shapes, XLA-fusable), every
-matmul routes through ``ao_tpu.ops.linear`` and every conv through
-``ops.conv`` so quantize_/sparsify_ apply to the whole pipeline, and the
-two-way decoder is plain einsum attention — no hooks or module surgery.)
+attention is a pure reshape partition (static shapes, XLA-fusable),
+decomposed relative-position terms are static-index einsums, every matmul
+routes through ``ao_tpu.ops.linear`` and every conv through ``ops.conv`` so
+quantize_/sparsify_ apply to the whole pipeline, and the two-way decoder is
+plain einsum attention — no hooks or module surgery.)
+
+The parameter structure mirrors the original SAM (facebook/sam-vit-*) so
+real checkpoints import via ``integrations.torch_import.import_hf_sam``:
+qkv/proj biases, per-layer decomposed rel-pos tables, 5-type point
+embeddings (pad / neg / pos / box-corner x2), query-PE re-added per decoder
+layer, 3-layer hypernetwork and IoU heads.
 
 Three pieces, mirroring the SAM call contract:
-- ``encode_image``: ViT-det encoder (patch conv, windowed + global blocks,
-  conv neck) → (N, H/16, W/16, neck_dim) embedding, computed once per image.
-- ``encode_points``: sparse prompt embeddings from (x, y, label) points.
+- ``encode_image``: ViT-det encoder (patch conv, windowed + global blocks
+  with decomposed rel-pos, conv neck) → (N, H/16, W/16, neck_dim)
+  embedding, computed once per image.
+- ``encode_points`` / ``encode_boxes``: sparse prompt embeddings.
 - ``decode_masks``: two-way transformer + upscaler + hypernetwork MLPs →
   (N, n_masks, H/4, W/4) mask logits and (N, n_masks) IoU predictions.
 
@@ -23,7 +31,7 @@ stored (in_features, out_features).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,10 +52,12 @@ class SAMConfig:
     mlp_ratio: int = 4
     window_size: int = 14
     global_attn_layers: Tuple[int, ...] = (2, 5, 8, 11)
+    use_rel_pos: bool = True
     neck_dim: int = 256
     # mask decoder
     decoder_layers: int = 2
     decoder_heads: int = 8
+    decoder_mlp_mult: int = 8
     n_mask_tokens: int = 4
     norm_eps: float = 1e-6
     dtype: Any = jnp.bfloat16
@@ -67,6 +77,7 @@ class SAMConfig:
 # the default wq/wk/wv/wo/w1/w2 rules.
 TP_RULES = (
     (r"(^|\.)(pe_gaussian|point_embed|no_mask_embed)$", "replicate"),
+    (r"(^|\.)(rel_pos_h|rel_pos_w)$", "replicate"),
     # neck convs and the whole two-way decoder (incl. its linears, token
     # table, upscaler convs, hypernet/iou heads) are small next to the
     # encoder; replicate them so per-prompt decode needs no collectives
@@ -90,17 +101,25 @@ def _dense(k, fan_in, fan_out, dtype):
 def _attn_params(key, dim, dtype):
     ks = jax.random.split(key, 4)
     return {"wq": _dense(ks[0], dim, dim, dtype),
+            "bq": jnp.zeros((dim,), dtype),
             "wk": _dense(ks[1], dim, dim, dtype),
+            "bk": jnp.zeros((dim,), dtype),
             "wv": _dense(ks[2], dim, dim, dtype),
-            "wo": _dense(ks[3], dim, dim, dtype)}
+            "bv": jnp.zeros((dim,), dtype),
+            "wo": _dense(ks[3], dim, dim, dtype),
+            "bo": jnp.zeros((dim,), dtype)}
 
 
 def _cross_attn_params(key, q_dim, kv_dim, inner, dtype):
     ks = jax.random.split(key, 4)
     return {"wq": _dense(ks[0], q_dim, inner, dtype),
+            "bq": jnp.zeros((inner,), dtype),
             "wk": _dense(ks[1], kv_dim, inner, dtype),
+            "bk": jnp.zeros((inner,), dtype),
             "wv": _dense(ks[2], kv_dim, inner, dtype),
-            "wo": _dense(ks[3], inner, q_dim, dtype)}
+            "bv": jnp.zeros((inner,), dtype),
+            "wo": _dense(ks[3], inner, q_dim, dtype),
+            "bo": jnp.zeros((q_dim,), dtype)}
 
 
 def _ln_params(dim, dtype):
@@ -113,6 +132,16 @@ def _mlp_params(key, dim, hidden, out, dtype):
             "b1": jnp.zeros((hidden,), dtype),
             "w2": _dense(k2, hidden, out, dtype),
             "b2": jnp.zeros((out,), dtype)}
+
+
+def _mlp3_params(key, dim, hidden, out, dtype):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {"w1": _dense(k1, dim, hidden, dtype),
+            "b1": jnp.zeros((hidden,), dtype),
+            "w2": _dense(k2, hidden, hidden, dtype),
+            "b2": jnp.zeros((hidden,), dtype),
+            "w3": _dense(k3, hidden, out, dtype),
+            "b3": jnp.zeros((out,), dtype)}
 
 
 def init_params(key: jax.Array, cfg: SAMConfig) -> Dict[str, Any]:
@@ -129,12 +158,21 @@ def init_params(key: jax.Array, cfg: SAMConfig) -> Dict[str, Any]:
     layers = []
     for i in range(cfg.n_layers):
         ks = jax.random.split(keys[i + 1], 2)
-        layers.append({
+        lp = {
             "ln1": _ln_params(d, dt),
             "attn": _attn_params(ks[0], d, dt),
             "ln2": _ln_params(d, dt),
             "mlp": _mlp_params(ks[1], d, cfg.mlp_ratio * d, d, dt),
-        })
+        }
+        if cfg.use_rel_pos:
+            # zero-init decomposed tables (the ViTDet default); size spans
+            # the layer's attention extent (window or full grid)
+            span = cfg.grid if i in cfg.global_attn_layers else cfg.window_size
+            lp["attn"]["rel_pos_h"] = jnp.zeros(
+                (2 * span - 1, cfg.head_dim), dt)
+            lp["attn"]["rel_pos_w"] = jnp.zeros(
+                (2 * span - 1, cfg.head_dim), dt)
+        layers.append(lp)
 
     ko = keys[cfg.n_layers + 1:]
     decoder = []
@@ -145,7 +183,7 @@ def init_params(key: jax.Array, cfg: SAMConfig) -> Dict[str, Any]:
             "ln1": _ln_params(nd, dt),
             "cross_t2i": _cross_attn_params(ks[1], nd, nd, nd // 2, dt),
             "ln2": _ln_params(nd, dt),
-            "mlp": _mlp_params(ks[2], nd, 4 * nd, nd, dt),
+            "mlp": _mlp_params(ks[2], nd, cfg.decoder_mlp_mult * nd, nd, dt),
             "ln3": _ln_params(nd, dt),
             "cross_i2t": _cross_attn_params(ks[3], nd, nd, nd // 2, dt),
             "ln4": _ln_params(nd, dt),
@@ -168,9 +206,10 @@ def init_params(key: jax.Array, cfg: SAMConfig) -> Dict[str, Any]:
             "ln2": _ln_params(nd, dt),
         },
         "prompt": {
-            # 2 label embeddings (fg/bg) + a not-a-point embedding
+            # 5 rows: [not-a-point, neg point, pos point, box TL, box BR]
+            # (the original's point_embeddings[0..3] + not_a_point_embed)
             "point_embed": (jax.random.normal(
-                kd[3], (3, nd), jnp.float32) * 0.02).astype(dt),
+                kd[3], (5, nd), jnp.float32) * 0.02).astype(dt),
             # random-Fourier positional encoding matrix (frozen at init)
             "pe_gaussian": (jax.random.normal(
                 kd[4], (2, nd // 2), jnp.float32)).astype(jnp.float32),
@@ -193,11 +232,11 @@ def init_params(key: jax.Array, cfg: SAMConfig) -> Dict[str, Any]:
             ) * (nd ** -0.5)).astype(dt),
                 "bias": jnp.zeros((nd // 8,), dt)},
             "hyper_mlps": [
-                _mlp_params(kd[10 + i], nd, nd, nd // 8, dt)
+                _mlp3_params(kd[10 + i], nd, nd, nd // 8, dt)
                 for i in range(cfg.n_mask_tokens)
             ],
-            "iou_head": _mlp_params(kd[10 + cfg.n_mask_tokens], nd, nd,
-                                    cfg.n_mask_tokens, dt),
+            "iou_head": _mlp3_params(kd[10 + cfg.n_mask_tokens], nd, nd,
+                                     cfg.n_mask_tokens, dt),
         },
     }
 
@@ -211,23 +250,53 @@ def _layernorm(x, p, eps):
             + p["bias"].astype(jnp.float32)).astype(x.dtype)
 
 
-def _mha(p, q_in, kv_in, n_heads):
+def _proj(x, p, w, b):
+    y = linear(x, p[w])
+    if b in p:
+        y = y + p[b].astype(y.dtype)
+    return y
+
+
+def _rel_pos_bias(q, attn, p, side, n_heads):
+    """Decomposed relative-position term (ViTDet): q (B, S*S, nh, hd),
+    attn (B, nh, S*S, S*S) logits over a side×side grid."""
+    b = q.shape[0]
+    hd = q.shape[-1]
+    # table row (side-1) + (qi - ki) — static gather: (side, side, hd)
+    idx = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
+    rh = jnp.take(p["rel_pos_h"].astype(jnp.float32), idx, axis=0)
+    rw = jnp.take(p["rel_pos_w"].astype(jnp.float32), idx, axis=0)
+    rq = q.astype(jnp.float32).reshape(b, side, side, -1, hd)
+    rel_h = jnp.einsum("byxnc,ykc->bnyxk", rq, rh)  # (B, nh, y, x, ky)
+    rel_w = jnp.einsum("byxnc,xkc->bnyxk", rq, rw)  # (B, nh, y, x, kx)
+    a = attn.reshape(b, -1, side, side, side, side)
+    a = a + rel_h[..., :, None] + rel_w[..., None, :]
+    return a.reshape(attn.shape)
+
+
+def _mha(p, q_in, k_in, n_heads, v_in=None, rel_side: Optional[int] = None):
     """Multi-head attention through quantizable linears; q_in (B, Q, Dq),
-    kv_in (B, K, Dkv)."""
+    k_in (B, K, Dkv), v defaults to k_in (pass v_in when keys carry a
+    positional term the values must not); optional decomposed rel-pos over
+    a square grid."""
+    if v_in is None:
+        v_in = k_in
     b, tq, _ = q_in.shape
-    tk = kv_in.shape[1]
-    q = linear(q_in, p["wq"])
-    k = linear(kv_in, p["wk"])
-    v = linear(kv_in, p["wv"])
+    tk = k_in.shape[1]
+    q = _proj(q_in, p, "wq", "bq")
+    k = _proj(k_in, p, "wk", "bk")
+    v = _proj(v_in, p, "wv", "bv")
     inner = q.shape[-1]
     hd = inner // n_heads
     q = q.reshape(b, tq, n_heads, hd)
     k = k.reshape(b, tk, n_heads, hd)
     v = v.reshape(b, tk, n_heads, hd)
-    s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
-    a = jax.nn.softmax(s * (hd ** -0.5), axis=-1).astype(q_in.dtype)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * (hd ** -0.5)
+    if rel_side is not None and "rel_pos_h" in p:
+        s = _rel_pos_bias(q, s, p, rel_side, n_heads)
+    a = jax.nn.softmax(s, axis=-1).astype(q_in.dtype)
     o = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(b, tq, inner)
-    return linear(o, p["wo"])
+    return _proj(o, p, "wo", "bo")
 
 
 def _window_partition(x, w):
@@ -261,14 +330,14 @@ def encode_image(params: Dict[str, Any], images: jax.Array,
         xa = _layernorm(x, lp["ln1"], cfg.norm_eps)
         if i in cfg.global_attn_layers:
             xa = xa.reshape(b, h * w, d)
-            xa = _mha(lp["attn"], xa, xa, cfg.n_heads)
+            xa = _mha(lp["attn"], xa, xa, cfg.n_heads, rel_side=h)
             xa = xa.reshape(b, h, w, d)
         else:
             if pad_h or pad_w:
                 xa = jnp.pad(xa, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
             hp, wp = h + pad_h, w + pad_w
             win = _window_partition(xa, ws)
-            win = _mha(lp["attn"], win, win, cfg.n_heads)
+            win = _mha(lp["attn"], win, win, cfg.n_heads, rel_side=ws)
             xa = _window_merge(win, ws, b, hp, wp)[:, :h, :w]
         x = shortcut + xa
         hmid = _layernorm(x, lp["ln2"], cfg.norm_eps)
@@ -282,16 +351,17 @@ def encode_image(params: Dict[str, Any], images: jax.Array,
 
 
 def _point_pe(prompt, coords, image_size):
-    """Random-Fourier positional encoding of normalized (x, y) coords."""
-    norm = coords.astype(jnp.float32) / image_size * 2.0 - 1.0  # [-1, 1]
+    """Random-Fourier positional encoding of (x, y) pixel coords (shifted
+    to pixel centers, the original's convention)."""
+    norm = (coords.astype(jnp.float32) + 0.5) / image_size * 2.0 - 1.0
     proj = norm @ prompt["pe_gaussian"] * (2.0 * jnp.pi)
     return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
 
 
 def encode_points(params: Dict[str, Any], coords: jax.Array,
                   labels: jax.Array, cfg: SAMConfig) -> jax.Array:
-    """coords (N, P, 2) pixel xy; labels (N, P) in {-1 pad, 0 bg, 1 fg}
-    → sparse prompt embeddings (N, P, neck_dim)."""
+    """coords (N, P, 2) pixel xy; labels (N, P) in {-1 pad, 0 neg, 1 pos,
+    2 box-TL, 3 box-BR} → sparse prompt embeddings (N, P, neck_dim)."""
     prompt = params["prompt"]
     pe = _point_pe(prompt, coords, cfg.image_size).astype(cfg.dtype)
     emb = prompt["point_embed"].astype(cfg.dtype)[labels + 1]
@@ -300,9 +370,21 @@ def encode_points(params: Dict[str, Any], coords: jax.Array,
     return pe + emb
 
 
+def encode_boxes(params: Dict[str, Any], boxes: jax.Array,
+                 cfg: SAMConfig) -> jax.Array:
+    """boxes (N, B, 4) pixel (x1, y1, x2, y2) → embeddings (N, 2B, nd):
+    each box becomes its two corner points with the TL/BR label types."""
+    n, nb, _ = boxes.shape
+    corners = boxes.reshape(n, nb * 2, 2)
+    labels = jnp.tile(jnp.array([2, 3], jnp.int32), (n, nb))
+    return encode_points(params, corners, labels, cfg)
+
+
 def _grid_pe(params, cfg: SAMConfig):
     g = cfg.grid
-    xs = (jnp.arange(g, dtype=jnp.float32) + 0.5) * cfg.patch_size
+    # patch centers; -0.5 cancels _point_pe's pixel-center shift (the grid
+    # PE normalizes (i+0.5)/grid exactly, per the original)
+    xs = (jnp.arange(g, dtype=jnp.float32) + 0.5) * cfg.patch_size - 0.5
     gx, gy = jnp.meshgrid(xs, xs, indexing="xy")
     coords = jnp.stack([gx, gy], axis=-1).reshape(1, g * g, 2)
     return _point_pe(params["prompt"], coords, cfg.image_size)
@@ -320,31 +402,46 @@ def decode_masks(
     (mask logits (N, n_mask_tokens, 4g, 4g), iou predictions (N, n_mask_tokens)).
     """
     dec = params["decoder"]
+    prompt = params["prompt"]
     n, g, _, nd = image_embed.shape
     base = dec["tokens"].astype(image_embed.dtype)
     tokens = jnp.concatenate(
         [jnp.broadcast_to(base[None], (n,) + base.shape), sparse_prompt],
         axis=1,
     )
+    # dense prompt: with no mask input, the learned no-mask embedding is
+    # added to every image-embedding position (original prompt encoder)
     src = image_embed.reshape(n, g * g, nd)
+    src = src + prompt["no_mask_embed"].astype(src.dtype)
     img_pe = _grid_pe(params, cfg).astype(src.dtype)
 
     q = tokens
-    for lp in dec["layers"]:
-        q = _layernorm(q + _mha(lp["self_attn"], q, q, cfg.decoder_heads),
-                       lp["ln1"], cfg.norm_eps)
+    qpe = tokens  # query PE = the initial token embeddings, re-added per layer
+    for li, lp in enumerate(dec["layers"]):
+        if li == 0:
+            # first layer: self-attention REPLACES the queries (the
+            # original's skip_first_layer_pe branch — q, k, v all the raw
+            # tokens, no residual)
+            q = _mha(lp["self_attn"], q, q, cfg.decoder_heads)
+        else:
+            sq = q + qpe
+            q = q + _mha(lp["self_attn"], sq, sq, cfg.decoder_heads, v_in=q)
+        q = _layernorm(q, lp["ln1"], cfg.norm_eps)
         q = _layernorm(
-            q + _mha(lp["cross_t2i"], q, src + img_pe, cfg.decoder_heads),
+            q + _mha(lp["cross_t2i"], q + qpe, src + img_pe,
+                     cfg.decoder_heads, v_in=src),
             lp["ln2"], cfg.norm_eps)
-        h = jax.nn.gelu(linear(q, lp["mlp"]["w1"]) + lp["mlp"]["b1"])
+        h = jax.nn.relu(linear(q, lp["mlp"]["w1"]) + lp["mlp"]["b1"])
         q = _layernorm(q + linear(h, lp["mlp"]["w2"]) + lp["mlp"]["b2"],
                        lp["ln3"], cfg.norm_eps)
         src = _layernorm(
-            src + _mha(lp["cross_i2t"], src + img_pe, q, cfg.decoder_heads),
+            src + _mha(lp["cross_i2t"], src + img_pe, q + qpe,
+                       cfg.decoder_heads, v_in=q),
             lp["ln4"], cfg.norm_eps)
 
     q = _layernorm(
-        q + _mha(dec["final_t2i"], q, src + img_pe, cfg.decoder_heads),
+        q + _mha(dec["final_t2i"], q + qpe, src + img_pe, cfg.decoder_heads,
+                 v_in=src),
         dec["ln_final"], cfg.norm_eps)
 
     iou_tok = q[:, 0]
@@ -357,17 +454,18 @@ def decode_masks(
     up = jax.nn.gelu(conv_transpose2d(up, dec["up2"]["kernel"], stride=2,
                                       bias=dec["up2"]["bias"]))
 
-    hyper = []
-    for i, mp in enumerate(dec["hyper_mlps"]):
-        t = mask_toks[:, i]
-        t = jax.nn.gelu(linear(t, mp["w1"]) + mp["b1"])
-        hyper.append(linear(t, mp["w2"]) + mp["b2"])
+    def mlp3(t, mp):
+        # the original's output MLPs use ReLU (encoder/upscaler use GELU)
+        t = jax.nn.relu(linear(t, mp["w1"]) + mp["b1"])
+        t = jax.nn.relu(linear(t, mp["w2"]) + mp["b2"])
+        return linear(t, mp["w3"]) + mp["b3"]
+
+    hyper = [mlp3(mask_toks[:, i], mp)
+             for i, mp in enumerate(dec["hyper_mlps"])]
     hyper_w = jnp.stack(hyper, axis=1)  # (N, n_masks, nd/8)
     masks = jnp.einsum("nmc,nhwc->nmhw", hyper_w, up).astype(jnp.float32)
 
-    ih = dec["iou_head"]
-    iou = linear(jax.nn.gelu(linear(iou_tok, ih["w1"]) + ih["b1"]),
-                 ih["w2"]) + ih["b2"]
+    iou = mlp3(iou_tok, dec["iou_head"])
     return masks, iou.astype(jnp.float32)
 
 

@@ -215,10 +215,14 @@ def shard_params(params: Any, mesh: Mesh, tp_axis: str = "tp",
             return leaf
         bs = getattr(leaf, "block_size", None)
         if bs and len(bs) >= 2:
+            fqn = path_to_fqn(path)
+            # only K-sharded ("row") leaves need group-aligned shard
+            # boundaries; replicated / col-sharded leaves keep K whole
+            if _match_rule(fqn, rules) != "row":
+                return leaf
             g = bs[-2]
             k = leaf.shape[-2]
             if (k // g) % tp != 0 and k % (g * tp) != 0:
-                fqn = path_to_fqn(path)
                 raise ValueError(
                     f"{fqn}: K={k} with group={g} cannot shard onto tp={tp} "
                     f"at group-aligned boundaries"
@@ -227,14 +231,9 @@ def shard_params(params: Any, mesh: Mesh, tp_axis: str = "tp",
             # "magic", a pair for "magic8"): a row-parallel K shard must
             # hold whole blocks, else repack to the split-half layout
             # (slower kernel, same numerics)
-            fqn = path_to_fqn(path)
             layout = getattr(leaf, "layout", None)
             blocked = {"magic": 4, "magic8": 2}.get(layout)
-            if (
-                blocked is not None
-                and _match_rule(fqn, rules) == "row"
-                and (k // g) % (blocked * tp) != 0
-            ):
+            if blocked is not None and (k // g) % (blocked * tp) != 0:
                 import warnings
 
                 warnings.warn(

@@ -78,3 +78,134 @@ class TestTorchImport:
         sd["lm_head.weight"] = torch.randn(cfg.vocab_size, cfg.dim) * 0.02
         params = import_hf_llama(sd, cfg.n_layers, dtype=jnp.float32)
         assert params["lm_head"].shape == (32, 64)
+
+
+def _tiny_hf_sam():
+    from transformers import (
+        SamConfig,
+        SamMaskDecoderConfig,
+        SamModel,
+        SamPromptEncoderConfig,
+        SamVisionConfig,
+    )
+
+    vc = SamVisionConfig(
+        image_size=64, patch_size=8, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, mlp_dim=64, output_channels=16, window_size=4,
+        global_attn_indexes=[1], use_rel_pos=True, num_pos_feats=8)
+    pc = SamPromptEncoderConfig(image_size=64, patch_size=8, hidden_size=16)
+    mc = SamMaskDecoderConfig(
+        hidden_size=16, num_hidden_layers=2, num_attention_heads=2,
+        mlp_dim=128, iou_head_depth=3, iou_head_hidden_dim=16)
+    cfg = SamConfig(vision_config=vc.to_dict(),
+                    prompt_encoder_config=pc.to_dict(),
+                    mask_decoder_config=mc.to_dict())
+    torch.manual_seed(0)
+    m = SamModel(cfg).eval()
+    # HF's default init collapses to ~0 outputs; load non-degenerate weights
+    g = torch.Generator().manual_seed(42)
+    new = {}
+    for k, v in m.state_dict().items():
+        if v.ndim == 0:
+            new[k] = v
+        elif "norm" in k and k.endswith("weight") and v.ndim == 1:
+            new[k] = 1.0 + 0.1 * torch.randn(v.shape, generator=g)
+        elif v.ndim == 1:
+            new[k] = 0.05 * torch.randn(v.shape, generator=g)
+        else:
+            fan = v.shape[-1] if v.ndim == 2 else int(np.prod(v.shape[1:]))
+            new[k] = torch.randn(v.shape, generator=g) * (
+                0.6 / np.sqrt(max(fan, 1)))
+    m.load_state_dict(new)
+    return m, g
+
+
+class TestSamImport:
+    def test_conv_transpose_matches_torch(self):
+        """The framework's conv_transpose2d + _convT import = torch's
+        ConvTranspose2d exactly (spatial kernel flip)."""
+        from ao_tpu.integrations.torch_import import _convT
+        from ao_tpu.ops.conv import conv_transpose2d
+
+        torch.manual_seed(1)
+        ct = torch.nn.ConvTranspose2d(6, 4, 2, stride=2)
+        x = torch.randn(2, 6, 5, 5)
+        with torch.no_grad():
+            ref = ct(x).permute(0, 2, 3, 1).numpy()
+        y = conv_transpose2d(
+            jnp.asarray(x.permute(0, 2, 3, 1).numpy()),
+            _convT(ct.weight, jnp.float32),
+            stride=2,
+            bias=jnp.asarray(ct.bias.detach().numpy()),
+        )
+        np.testing.assert_allclose(np.asarray(y), ref, atol=1e-5)
+
+    def test_sam_matches_transformers_ground_truth(self):
+        """import_hf_sam + our forward reproduces transformers.SamModel:
+        encoder embedding, point- and box-prompted masks, IoU scores."""
+        from ao_tpu.integrations.torch_import import import_hf_sam
+        from ao_tpu.models import sam
+
+        m, g = _tiny_hf_sam()
+        cfg = sam.SAMConfig(
+            image_size=64, patch_size=8, dim=32, n_layers=2, n_heads=4,
+            mlp_ratio=2, window_size=4, global_attn_layers=(1,), neck_dim=16,
+            decoder_layers=2, decoder_heads=2, decoder_mlp_mult=8,
+            n_mask_tokens=4, dtype=jnp.float32)
+        params = import_hf_sam(m.state_dict(), cfg, dtype=jnp.float32)
+
+        img = torch.randn(1, 3, 64, 64, generator=g)
+        jimg = jnp.asarray(img.permute(0, 2, 3, 1).numpy())
+        with torch.no_grad():
+            hf_emb = m.vision_encoder(img)[0].numpy()
+        emb = sam.encode_image(params, jimg, cfg)
+        np.testing.assert_allclose(
+            np.asarray(emb).transpose(0, 3, 1, 2), hf_emb, atol=2e-3)
+
+        # point prompts (HF appends a pad point when no boxes are given)
+        points = torch.tensor([[[[10.0, 20.0], [40.0, 50.0]]]])
+        labels = torch.tensor([[[1, 0]]])
+        with torch.no_grad():
+            out = m(pixel_values=img, input_points=points,
+                    input_labels=labels, multimask_output=True)
+        sparse = sam.encode_points(
+            params, jnp.array([[[10.0, 20.0], [40.0, 50.0], [0.0, 0.0]]]),
+            jnp.array([[1, 0, -1]]), cfg)
+        masks, iou = sam.decode_masks(params, emb, sparse, cfg)
+        np.testing.assert_allclose(
+            np.asarray(masks)[:, 1:], out.pred_masks.numpy()[:, 0], atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(iou)[:, 1:], out.iou_scores.numpy()[:, 0], atol=1e-4)
+
+        # box prompt
+        boxes = torch.tensor([[[8.0, 8.0, 40.0, 48.0]]])
+        with torch.no_grad():
+            outb = m(pixel_values=img, input_boxes=boxes,
+                     multimask_output=True)
+        sparse_b = sam.encode_boxes(
+            params, jnp.array([[[8.0, 8.0, 40.0, 48.0]]]), cfg)
+        mb, _ = sam.decode_masks(params, emb, sparse_b, cfg)
+        np.testing.assert_allclose(
+            np.asarray(mb)[:, 1:], outb.pred_masks.numpy()[:, 0], atol=2e-3)
+
+    def test_sam_import_then_quantize(self):
+        """Imported checkpoints flow straight into quantize_ and keep mask
+        fidelity (the reference's SAM quantization story)."""
+        from ao_tpu.integrations.torch_import import import_hf_sam
+        from ao_tpu.models import sam
+
+        m, g = _tiny_hf_sam()
+        cfg = sam.SAMConfig(
+            image_size=64, patch_size=8, dim=32, n_layers=2, n_heads=4,
+            mlp_ratio=2, window_size=4, global_attn_layers=(1,), neck_dim=16,
+            decoder_layers=2, decoder_heads=2, decoder_mlp_mult=8,
+            n_mask_tokens=4, dtype=jnp.float32)
+        params = import_hf_sam(m.state_dict(), cfg, dtype=jnp.float32)
+        img = jnp.asarray(
+            torch.randn(1, 3, 64, 64, generator=g).permute(0, 2, 3, 1).numpy())
+        coords = jnp.array([[[10.0, 20.0]]])
+        labels = jnp.array([[1]])
+        ref_m, _ = sam.forward(params, img, coords, labels, cfg)
+        qp = ao_tpu.quantize_(params, ao_tpu.Int8DynamicActivationInt8WeightConfig())
+        qm, _ = sam.forward(qp, img, coords, labels, cfg)
+        assert ao_tpu.compute_error(ref_m, qm) > 20
