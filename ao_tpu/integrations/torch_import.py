@@ -291,3 +291,68 @@ def import_hf_sam(
                                    dtype),
         },
     }
+
+
+def import_hf_vit(
+    state_dict: Mapping[str, Any],
+    cfg,
+    dtype=jnp.bfloat16,
+) -> Dict[str, Any]:
+    """HF ``transformers.ViTForImageClassification`` (or ViTModel, prefixed
+    ``vit.``) state_dict → ao_tpu.models.vit params pytree. Numerics
+    validated against transformers in tests/test_torch_import.py.
+
+    ``cfg`` is the matching ``ViTConfig`` (e.g. ``vit.VIT_B16``).
+    """
+    sd = dict(state_dict)
+    if not any(k.startswith("vit.") for k in sd):
+        sd = {"vit." + k if not k.startswith("classifier") else k: v
+              for k, v in sd.items()}
+
+    def ln(name):
+        return {"scale": _vec(sd[name + ".weight"], dtype),
+                "bias": _vec(sd[name + ".bias"], dtype)}
+
+    layers = []
+    for i in range(cfg.n_layers):
+        b = f"vit.encoder.layer.{i}"
+        att = f"{b}.attention.attention"
+        attn = {}
+        for nm, t in (("q", "query"), ("k", "key"), ("v", "value")):
+            attn["w" + nm] = import_linear(sd[f"{att}.{t}.weight"], dtype)
+            attn["b" + nm] = _vec(sd[f"{att}.{t}.bias"], dtype)
+        attn["wo"] = import_linear(sd[f"{b}.attention.output.dense.weight"],
+                                   dtype)
+        attn["bo"] = _vec(sd[f"{b}.attention.output.dense.bias"], dtype)
+        layers.append({
+            "ln1": ln(b + ".layernorm_before"),
+            "attn": attn,
+            "ln2": ln(b + ".layernorm_after"),
+            "mlp": {
+                "w1": import_linear(sd[f"{b}.intermediate.dense.weight"], dtype),
+                "b1": _vec(sd[f"{b}.intermediate.dense.bias"], dtype),
+                "w2": import_linear(sd[f"{b}.output.dense.weight"], dtype),
+                "b2": _vec(sd[f"{b}.output.dense.bias"], dtype),
+            },
+        })
+
+    params = {
+        "patch_embed": {
+            "kernel": _conv(
+                sd["vit.embeddings.patch_embeddings.projection.weight"], dtype),
+            "bias": _vec(
+                sd["vit.embeddings.patch_embeddings.projection.bias"], dtype),
+        },
+        "cls_token": _vec(sd["vit.embeddings.cls_token"], dtype),
+        "pos_embed": _vec(sd["vit.embeddings.position_embeddings"], dtype),
+        "layers": layers,
+        "ln_f": ln("vit.layernorm"),
+    }
+    if "classifier.weight" in sd:
+        params["head"] = {"proj": import_linear(sd["classifier.weight"], dtype),
+                          "bias": _vec(sd["classifier.bias"], dtype)}
+    else:  # bare ViTModel: identity head placeholder
+        import numpy as _np
+
+        params["head"] = {"proj": jnp.eye(cfg.dim, cfg.n_classes, dtype=dtype)}
+    return params

@@ -109,16 +109,23 @@ def _layernorm(x, p, eps):
             + p["bias"].astype(jnp.float32)).astype(x.dtype)
 
 
+def _proj(x, p, w, b):
+    y = linear(x, p[w])
+    if b in p:  # biases present when imported from HF checkpoints
+        y = y + p[b].astype(y.dtype)
+    return y
+
+
 def _attention(p, x, cfg: ViTConfig):
     b, t, d = x.shape
     h, hd = cfg.n_heads, cfg.head_dim
-    q = linear(x, p["wq"]).reshape(b, t, h, hd)
-    k = linear(x, p["wk"]).reshape(b, t, h, hd)
-    v = linear(x, p["wv"]).reshape(b, t, h, hd)
+    q = _proj(x, p, "wq", "bq").reshape(b, t, h, hd)
+    k = _proj(x, p, "wk", "bk").reshape(b, t, h, hd)
+    v = _proj(x, p, "wv", "bv").reshape(b, t, h, hd)
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
     a = jax.nn.softmax(s * (hd ** -0.5), axis=-1).astype(x.dtype)
     o = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(b, t, d)
-    return linear(o, p["wo"])
+    return _proj(o, p, "wo", "bo")
 
 
 def forward(params: Dict[str, Any], images: jax.Array,
@@ -139,4 +146,4 @@ def forward(params: Dict[str, Any], images: jax.Array,
         h = jax.nn.gelu(linear(h, lp["mlp"]["w1"]) + lp["mlp"]["b1"])
         x = x + linear(h, lp["mlp"]["w2"]) + lp["mlp"]["b2"]
     x = _layernorm(x, params["ln_f"], cfg.norm_eps)
-    return linear(x[:, 0], params["head"]["proj"]).astype(jnp.float32)
+    return _proj(x[:, 0], params["head"], "proj", "bias").astype(jnp.float32)

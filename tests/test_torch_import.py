@@ -209,3 +209,51 @@ class TestSamImport:
         qp = ao_tpu.quantize_(params, ao_tpu.Int8DynamicActivationInt8WeightConfig())
         qm, _ = sam.forward(qp, img, coords, labels, cfg)
         assert ao_tpu.compute_error(ref_m, qm) > 20
+
+
+class TestViTImport:
+    def test_vit_matches_transformers_ground_truth(self):
+        from transformers import ViTConfig as HFViTConfig
+        from transformers import ViTForImageClassification
+
+        from ao_tpu.integrations.torch_import import import_hf_vit
+        from ao_tpu.models import vit
+
+        hf_cfg = HFViTConfig(
+            image_size=32, patch_size=8, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=64, num_labels=10)
+        torch.manual_seed(0)
+        m = ViTForImageClassification(hf_cfg).eval()
+        cfg = vit.ViTConfig(image_size=32, patch_size=8, dim=32, n_layers=2,
+                            n_heads=4, mlp_dim=64, n_classes=10,
+                            dtype=jnp.float32)
+        params = import_hf_vit(m.state_dict(), cfg, dtype=jnp.float32)
+
+        img = torch.randn(2, 3, 32, 32)
+        with torch.no_grad():
+            ref = m(pixel_values=img).logits.numpy()
+        y = vit.forward(params, jnp.asarray(img.permute(0, 2, 3, 1).numpy()),
+                        cfg)
+        np.testing.assert_allclose(np.asarray(y), ref, atol=2e-4)
+
+    def test_vit_import_then_quantize(self):
+        from transformers import ViTConfig as HFViTConfig
+        from transformers import ViTForImageClassification
+
+        from ao_tpu.integrations.torch_import import import_hf_vit
+        from ao_tpu.models import vit
+
+        hf_cfg = HFViTConfig(
+            image_size=32, patch_size=8, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=64, num_labels=10)
+        torch.manual_seed(1)
+        m = ViTForImageClassification(hf_cfg).eval()
+        cfg = vit.ViTConfig(image_size=32, patch_size=8, dim=32, n_layers=2,
+                            n_heads=4, mlp_dim=64, n_classes=10,
+                            dtype=jnp.float32)
+        params = import_hf_vit(m.state_dict(), cfg, dtype=jnp.float32)
+        img = jnp.asarray(torch.randn(2, 3, 32, 32).permute(0, 2, 3, 1).numpy())
+        ref = vit.forward(params, img, cfg)
+        qp = ao_tpu.quantize_(params, ao_tpu.Int8WeightOnlyConfig())
+        y = vit.forward(qp, img, cfg)
+        assert ao_tpu.compute_error(ref, y) > 25
