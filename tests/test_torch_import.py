@@ -257,3 +257,32 @@ class TestViTImport:
         qp = ao_tpu.quantize_(params, ao_tpu.Int8WeightOnlyConfig())
         y = vit.forward(qp, img, cfg)
         assert ao_tpu.compute_error(ref, y) > 25
+
+
+class TestLlamaGroundTruth:
+    def test_llama_matches_transformers(self):
+        """import_hf_llama + models.llama.forward reproduces
+        transformers.LlamaForCausalLM logits exactly in fp32 (RoPE, GQA,
+        rms-norm, SwiGLU conventions all line up)."""
+        from transformers import LlamaConfig as HFLlamaConfig
+        from transformers import LlamaForCausalLM
+
+        hf = HFLlamaConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rms_norm_eps=1e-5,
+            rope_theta=10000.0, tie_word_embeddings=False)
+        torch.manual_seed(0)
+        m = LlamaForCausalLM(hf).eval()
+        params = import_hf_llama(m.state_dict(), n_layers=2, dtype=jnp.float32)
+        cfg = llama.LlamaConfig(
+            vocab_size=256, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+            ffn_dim=128, norm_eps=1e-5, rope_theta=10000.0,
+            tie_embeddings=False, dtype=jnp.float32)
+        toks = torch.randint(0, 256, (2, 16))
+        with torch.no_grad():
+            ref = m(toks).logits.numpy()
+        out = llama.forward(params, jnp.asarray(toks.numpy()), cfg)
+        logits = out[0] if isinstance(out, tuple) else out
+        np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
+                                   atol=5e-6)
