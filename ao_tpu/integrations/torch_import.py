@@ -356,3 +356,18 @@ def import_hf_vit(
 
         params["head"] = {"proj": jnp.eye(cfg.dim, cfg.n_classes, dtype=dtype)}
     return params
+
+
+def import_hf_gemma(
+    state_dict: Mapping[str, Any],
+    n_layers: int,
+    dtype=jnp.bfloat16,
+) -> Dict[str, Any]:
+    """HF GemmaForCausalLM state_dict → ao_tpu.models.gemma params pytree.
+
+    Gemma shares the Llama key layout (q/k/v/o_proj, gate/up/down_proj,
+    input/post_attention_layernorm) and HF stores its zero-centered
+    rms-norm weights directly, so the mapping is the Llama one; logits
+    parity vs transformers is tested in tests/test_torch_import.py.
+    """
+    return import_hf_llama(state_dict, n_layers, dtype)

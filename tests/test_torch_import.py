@@ -286,3 +286,35 @@ class TestLlamaGroundTruth:
         logits = out[0] if isinstance(out, tuple) else out
         np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
                                    atol=5e-6)
+
+
+class TestGemmaGroundTruth:
+    def test_gemma_matches_transformers(self):
+        """import_hf_gemma + models.gemma.forward reproduces
+        transformers.GemmaForCausalLM logits exactly in fp32 (embed
+        scaling, (1+w) norm, GeGLU, decoupled head_dim)."""
+        from transformers import GemmaConfig as HFGemmaConfig
+        from transformers import GemmaForCausalLM
+
+        from ao_tpu.integrations.torch_import import import_hf_gemma
+        from ao_tpu.models import gemma
+
+        hf = HFGemmaConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=1,
+            head_dim=32, max_position_embeddings=128, rms_norm_eps=1e-6,
+            rope_theta=10000.0)
+        torch.manual_seed(0)
+        m = GemmaForCausalLM(hf).eval()
+        params = import_hf_gemma(m.state_dict(), n_layers=2, dtype=jnp.float32)
+        cfg = gemma.GemmaConfig(
+            vocab_size=256, dim=64, n_layers=2, n_heads=4, n_kv_heads=1,
+            head_dim=32, ffn_dim=128, norm_eps=1e-6, rope_theta=10000.0,
+            final_logit_softcap=None, dtype=jnp.float32)
+        toks = torch.randint(0, 256, (2, 12))
+        with torch.no_grad():
+            ref = m(toks).logits.numpy()
+        out = gemma.forward(params, jnp.asarray(toks.numpy()), cfg)
+        logits = out[0] if isinstance(out, tuple) else out
+        np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
+                                   atol=5e-6)
