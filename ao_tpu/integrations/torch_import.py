@@ -50,16 +50,25 @@ def import_hf_llama(
     def get(name):
         return sd[prefix + name] if prefix + name in sd else sd[name]
 
+    def has(name):
+        return prefix + name in sd or name in sd
+
     layers = []
     for i in range(n_layers):
         p = f"layers.{i}."
+        attn = {
+            "wq": import_linear(get(p + "self_attn.q_proj.weight"), dtype),
+            "wk": import_linear(get(p + "self_attn.k_proj.weight"), dtype),
+            "wv": import_linear(get(p + "self_attn.v_proj.weight"), dtype),
+            "wo": import_linear(get(p + "self_attn.o_proj.weight"), dtype),
+        }
+        # Qwen2-style q/k/v biases (set qkv_bias=True in LlamaConfig)
+        for nm, t in (("bq", "q_proj"), ("bk", "k_proj"), ("bv", "v_proj")):
+            if has(p + f"self_attn.{t}.bias"):
+                attn[nm] = jnp.asarray(
+                    _to_np(get(p + f"self_attn.{t}.bias"))).astype(dtype)
         layers.append({
-            "attn": {
-                "wq": import_linear(get(p + "self_attn.q_proj.weight"), dtype),
-                "wk": import_linear(get(p + "self_attn.k_proj.weight"), dtype),
-                "wv": import_linear(get(p + "self_attn.v_proj.weight"), dtype),
-                "wo": import_linear(get(p + "self_attn.o_proj.weight"), dtype),
-            },
+            "attn": attn,
             "mlp": {
                 "w1": import_linear(get(p + "mlp.gate_proj.weight"), dtype),
                 "w3": import_linear(get(p + "mlp.up_proj.weight"), dtype),

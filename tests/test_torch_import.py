@@ -318,3 +318,36 @@ class TestGemmaGroundTruth:
         logits = out[0] if isinstance(out, tuple) else out
         np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
                                    atol=5e-6)
+
+
+class TestQwen2GroundTruth:
+    def test_qwen2_matches_transformers(self):
+        """Qwen2 = Llama layout + q/k/v biases; import_hf_llama picks the
+        biases up and the qkv_bias=True forward matches transformers
+        exactly in fp32."""
+        from transformers import Qwen2Config, Qwen2ForCausalLM
+
+        hf = Qwen2Config(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rms_norm_eps=1e-5,
+            rope_theta=10000.0, tie_word_embeddings=False)
+        torch.manual_seed(0)
+        m = Qwen2ForCausalLM(hf).eval()
+        with torch.no_grad():  # default qkv-bias init is zeros
+            for n, p in m.named_parameters():
+                if "proj.bias" in n:
+                    p.copy_(0.1 * torch.randn(p.shape))
+        params = import_hf_llama(m.state_dict(), n_layers=2, dtype=jnp.float32)
+        assert "bq" in params["layers"][0]["attn"]
+        cfg = llama.LlamaConfig(
+            vocab_size=256, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+            ffn_dim=128, norm_eps=1e-5, rope_theta=10000.0,
+            tie_embeddings=False, qkv_bias=True, dtype=jnp.float32)
+        toks = torch.randint(0, 256, (2, 12))
+        with torch.no_grad():
+            ref = m(toks).logits.numpy()
+        out = llama.forward(params, jnp.asarray(toks.numpy()), cfg)
+        logits = out[0] if isinstance(out, tuple) else out
+        np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
+                                   atol=5e-6)
