@@ -33,6 +33,25 @@ def import_linear(v, dtype=jnp.bfloat16):
     return jnp.asarray(_to_np(v).T).astype(dtype)
 
 
+def _moe_from(sd, p, dtype):
+    """Mixtral ``block_sparse_moe`` → the framework's MoE dict: router
+    (D, E) + stacked expert weights (E, K, N) for ragged_dot dispatch."""
+    b = p + "block_sparse_moe."
+    n_experts = 0
+    while b + f"experts.{n_experts}.w1.weight" in sd:
+        n_experts += 1
+    stack = lambda nm: jnp.stack([
+        import_linear(sd[b + f"experts.{j}.{nm}.weight"], dtype)
+        for j in range(n_experts)
+    ])
+    return {
+        "router": import_linear(sd[b + "gate.weight"], jnp.float32),
+        "w_gate": stack("w1"),   # Mixtral w1 = gate (silu)
+        "w_up": stack("w3"),     # w3 = up
+        "w_down": stack("w2"),   # w2 = down
+    }
+
+
 def import_hf_llama(
     state_dict: Mapping[str, Any],
     n_layers: int,
@@ -69,7 +88,9 @@ def import_hf_llama(
                     _to_np(get(p + f"self_attn.{t}.bias"))).astype(dtype)
         layers.append({
             "attn": attn,
-            "mlp": {
+            "mlp": _moe_from(sd, prefix + p, dtype)
+            if has(p + "block_sparse_moe.gate.weight")
+            else {
                 "w1": import_linear(get(p + "mlp.gate_proj.weight"), dtype),
                 "w3": import_linear(get(p + "mlp.up_proj.weight"), dtype),
                 "w2": import_linear(get(p + "mlp.down_proj.weight"), dtype),

@@ -351,3 +351,34 @@ class TestQwen2GroundTruth:
         logits = out[0] if isinstance(out, tuple) else out
         np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
                                    atol=5e-6)
+
+
+class TestMixtralGroundTruth:
+    def test_mixtral_matches_transformers(self):
+        """Mixtral MoE: import_hf_llama maps block_sparse_moe into the
+        ragged_dot expert dict; router softmax/top-k/renorm + grouped FFN
+        match transformers exactly in fp32."""
+        from transformers import MixtralConfig, MixtralForCausalLM
+
+        hf = MixtralConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rms_norm_eps=1e-5,
+            rope_theta=10000.0, num_local_experts=4, num_experts_per_tok=2,
+            tie_word_embeddings=False)
+        torch.manual_seed(0)
+        m = MixtralForCausalLM(hf).eval()
+        params = import_hf_llama(m.state_dict(), n_layers=2, dtype=jnp.float32)
+        assert "router" in params["layers"][0]["mlp"]
+        cfg = llama.LlamaConfig(
+            vocab_size=256, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+            ffn_dim=128, norm_eps=1e-5, rope_theta=10000.0,
+            tie_embeddings=False, n_experts=4, top_k_experts=2,
+            dtype=jnp.float32)
+        toks = torch.randint(0, 256, (2, 12))
+        with torch.no_grad():
+            ref = m(toks).logits.numpy()
+        out = llama.forward(params, jnp.asarray(toks.numpy()), cfg)
+        logits = out[0] if isinstance(out, tuple) else out
+        np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
+                                   atol=5e-6)
