@@ -382,3 +382,45 @@ class TestMixtralGroundTruth:
         logits = out[0] if isinstance(out, tuple) else out
         np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
                                    atol=5e-6)
+
+
+class TestAutoImport:
+    def test_auto_llama_and_mixtral(self):
+        from transformers import LlamaConfig as HFLlamaConfig
+        from transformers import LlamaForCausalLM
+
+        from ao_tpu.integrations.auto import import_from_hf
+
+        hf = HFLlamaConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False)
+        torch.manual_seed(0)
+        m = LlamaForCausalLM(hf).eval()
+        params, cfg = import_from_hf(m.state_dict(), hf.to_dict(),
+                                     dtype=jnp.float32)
+        assert cfg.dim == 64 and cfg.n_kv_heads == 2 and not cfg.qkv_bias
+        toks = torch.randint(0, 256, (1, 8))
+        with torch.no_grad():
+            ref = m(toks).logits.numpy()
+        out = llama.forward(params, jnp.asarray(toks.numpy()), cfg)
+        logits = out[0] if isinstance(out, tuple) else out
+        np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
+                                   atol=5e-6)
+
+    def test_auto_rejects_unknown(self):
+        from ao_tpu.integrations.auto import config_from_hf
+
+        with pytest.raises(ValueError, match="unsupported"):
+            config_from_hf({"model_type": "mamba"})
+
+    def test_auto_vit_config(self):
+        from transformers import ViTConfig as HFViTConfig
+
+        from ao_tpu.integrations.auto import config_from_hf
+
+        hf = HFViTConfig(image_size=32, patch_size=8, hidden_size=32,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         intermediate_size=64, num_labels=10)
+        cfg = config_from_hf(hf.to_dict())
+        assert cfg.dim == 32 and cfg.n_classes == 10 and cfg.mlp_dim == 64
