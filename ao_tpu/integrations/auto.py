@@ -127,3 +127,35 @@ def import_from_hf(
     else:  # unreachable: config_from_hf already raised
         raise ValueError(mt)
     return params, cfg
+
+
+def load_hf_checkpoint(
+    path: str,
+    dtype: Any = jnp.bfloat16,
+) -> Tuple[Dict[str, Any], Any]:
+    """Load an HF checkpoint directory (``config.json`` + ``*.safetensors``,
+    single file or sharded) into (params, config) — no torch needed.
+
+    (ref analog: the reference's safetensors serialization support,
+    torchao/prototype/safetensors — here it is the INPUT side of the
+    migration: the same files transformers' ``save_pretrained`` writes.)
+    """
+    import json
+    import os
+
+    from safetensors import numpy as st_numpy
+
+    with open(os.path.join(path, "config.json")) as f:
+        hf_cfg = json.load(f)
+
+    index = os.path.join(path, "model.safetensors.index.json")
+    state: Dict[str, Any] = {}
+    if os.path.exists(index):
+        with open(index) as f:
+            weight_map = json.load(f)["weight_map"]
+        for shard in sorted(set(weight_map.values())):
+            state.update(st_numpy.load_file(os.path.join(path, shard)))
+    else:
+        single = os.path.join(path, "model.safetensors")
+        state = st_numpy.load_file(single)
+    return import_from_hf(state, hf_cfg, dtype)

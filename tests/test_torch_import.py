@@ -424,3 +424,35 @@ class TestAutoImport:
                          intermediate_size=64, num_labels=10)
         cfg = config_from_hf(hf.to_dict())
         assert cfg.dim == 32 and cfg.n_classes == 10 and cfg.mlp_dim == 64
+
+
+class TestLoadHFCheckpoint:
+    def test_load_from_save_pretrained_dir(self, tmp_path):
+        """End-to-end: transformers save_pretrained → load_hf_checkpoint
+        (config.json + safetensors, no torch on the load path) → logits
+        parity."""
+        from transformers import LlamaConfig as HFLlamaConfig
+        from transformers import LlamaForCausalLM
+
+        from ao_tpu.integrations.auto import load_hf_checkpoint
+
+        hf = HFLlamaConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False)
+        torch.manual_seed(0)
+        m = LlamaForCausalLM(hf).eval()
+        m.save_pretrained(str(tmp_path), safe_serialization=True)
+        params, cfg = load_hf_checkpoint(str(tmp_path), dtype=jnp.float32)
+        toks = torch.randint(0, 256, (1, 8))
+        with torch.no_grad():
+            ref = m(toks).logits.numpy()
+        out = llama.forward(params, jnp.asarray(toks.numpy()), cfg)
+        logits = out[0] if isinstance(out, tuple) else out
+        np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
+                                   atol=5e-6)
+        # flows straight into quantize_on_load (fast host path)
+        from ao_tpu.integrations.loader import quantize_on_load
+
+        qp = quantize_on_load(params, ao_tpu.Int4WeightOnlyConfig(group_size=16))
+        assert qp["layers"][0]["attn"]["wq"].layout in ("magic", "magic8")
