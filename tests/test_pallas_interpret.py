@@ -1,0 +1,149 @@
+"""Pallas kernel logic tests on CPU via TPU-interpret mode.
+
+``pltpu.force_tpu_interpret_mode()`` executes the TPU kernels' dataflow on
+CPU, so the fused GEMMs' bit-surgery (magic/magic8/fp4-magic layouts) is
+guarded by the normal CPU suite even when no chip is attached. Numerics
+must match the emulated (dequant+dot) dispatch within each scheme's
+rounding level — the same contract the real-TPU suite
+(tests/test_pallas_tpu.py) enforces on hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+import ao_tpu
+from ao_tpu.ops import kernels, linear
+from ao_tpu.quantization.primitives import compute_error
+
+
+M, K, N = 8, 256, 128
+
+
+@pytest.fixture(scope="module")
+def xw():
+    x = jax.random.normal(jax.random.PRNGKey(0), (M, K), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (K, N), jnp.float32) * 0.02
+    return x, w
+
+
+def _pallas_vs_emulated(x, qa, min_db):
+    ref = linear(x, qa).astype(jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        with kernels.backend("pallas"):
+            y = linear(x, qa).astype(jnp.float32)
+    err = compute_error(ref, y)
+    assert err > min_db, float(err)
+    return err
+
+
+class TestInterpretKernels:
+    def test_int4_wo_magic(self, xw):
+        from ao_tpu.quantization.qarrays.int4 import Int4Array
+
+        x, w = xw
+        qa = Int4Array.from_hp(w, group_size=32)
+        assert qa.layout == "magic"
+        # bf16 in-kernel weight construction: ~50dB vs the f32 emulated path
+        _pallas_vs_emulated(x, qa, 45)
+
+    def test_int4_w4a8_magic8(self, xw):
+        from ao_tpu.quantization.qarrays.common import ActQuantSpec
+        from ao_tpu.quantization.qarrays.int4 import Int4Array
+
+        x, w = xw
+        qa = Int4Array.from_hp(
+            w, group_size=32,
+            act_quant=ActQuantSpec(dtype="int8", granularity="per_token",
+                                   symmetric=True))
+        assert qa.layout == "magic8"
+        # agreement at the bf16 scale-rounding level (the kernel's int8
+        # dots are exact; the emulated path rounds through bf16)
+        _pallas_vs_emulated(x, qa, 45)
+
+    def test_int4_wo_halves(self, xw):
+        from ao_tpu.quantization.qarrays.int4 import Int4Array
+
+        x, w = xw
+        qa = Int4Array.from_hp(w, group_size=32, layout="halves")
+        _pallas_vs_emulated(x, qa, 45)
+
+    def test_int8_wo(self, xw):
+        from ao_tpu.quantization.qarrays.int8 import Int8Array
+
+        x, w = xw
+        qa = Int8Array.from_hp(w, (K, 1))
+        _pallas_vs_emulated(x, qa, 45)
+
+    def test_mxfp4(self, xw):
+        from ao_tpu.quantization.qarrays.mx import MXArray
+
+        x, w = xw
+        qa = MXArray.from_hp(w, elem_dtype="float4_e2m1fn")
+        if qa.layout != "magic":
+            pytest.skip("mx fp4 did not pick the magic layout")
+        # integer exponent-add construction is bit-exact vs emulated
+        _pallas_vs_emulated(x, qa, 60)
+
+    def test_nvfp4(self, xw):
+        from ao_tpu.quantization.qarrays.nvfp4 import NVFP4Array
+
+        x, w = xw
+        qa = NVFP4Array.from_hp(w)
+        if getattr(qa, "layout", None) != "magic":
+            pytest.skip("nvfp4 did not pick the magic layout")
+        _pallas_vs_emulated(x, qa, 35)
+
+
+class TestInterpretDecodeAttention:
+    def _reference(self, q, k, v, lengths, sm_scale):
+        b, h, d = q.shape
+        t, hkv = k.shape[1], k.shape[2]
+        rep = h // hkv
+        kf = jnp.repeat(k.astype(jnp.float32), rep, axis=2)  # (B, T, H, D)
+        vf = jnp.repeat(v.astype(jnp.float32), rep, axis=2)
+        s = jnp.einsum("bhd,bthd->bht", q.astype(jnp.float32), kf) * sm_scale
+        mask = jnp.arange(t)[None, None, :] < lengths[:, None, None]
+        s = jnp.where(mask, s, -1e30)
+        a = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bht,bthd->bhd", a, vf)
+
+    def test_bf16_cache(self):
+        from ao_tpu.ops.pallas.decode_attention import decode_attention
+
+        b, t, h, hkv, d = 2, 128, 4, 2, 128
+        kq = jax.random.split(jax.random.PRNGKey(2), 3)
+        q = jax.random.normal(kq[0], (b, h, d), jnp.bfloat16)
+        k = jax.random.normal(kq[1], (b, t, hkv, d), jnp.bfloat16)
+        v = jax.random.normal(kq[2], (b, t, hkv, d), jnp.bfloat16)
+        lengths = jnp.array([100, 37], jnp.int32)
+        ref = self._reference(q, k, v, lengths, d ** -0.5)
+        with pltpu.force_tpu_interpret_mode():
+            y = decode_attention(q, k, v, lengths, sm_scale=d ** -0.5,
+                                 block_t=128)
+        assert compute_error(ref, y.astype(jnp.float32)) > 30
+
+    def test_int8_cache(self):
+        from ao_tpu.ops.pallas.decode_attention import decode_attention
+
+        b, t, h, hkv, d = 2, 128, 4, 2, 128
+        kq = jax.random.split(jax.random.PRNGKey(3), 3)
+        q = jax.random.normal(kq[0], (b, h, d), jnp.bfloat16)
+        k = jax.random.normal(kq[1], (b, t, hkv, d), jnp.float32)
+        v = jax.random.normal(kq[2], (b, t, hkv, d), jnp.float32)
+        ks = jnp.max(jnp.abs(k), axis=-1, keepdims=True) / 127.0
+        vs = jnp.max(jnp.abs(v), axis=-1, keepdims=True) / 127.0
+        kq8 = jnp.clip(jnp.round(k / ks), -127, 127).astype(jnp.int8)
+        vq8 = jnp.clip(jnp.round(v / vs), -127, 127).astype(jnp.int8)
+        lengths = jnp.array([128, 64], jnp.int32)
+        ref = self._reference(q, (kq8 * ks).astype(jnp.bfloat16),
+                              (vq8 * vs).astype(jnp.bfloat16), lengths,
+                              d ** -0.5)
+        with pltpu.force_tpu_interpret_mode():
+            y = decode_attention(q, kq8, vq8, lengths,
+                                 k_scale=ks.astype(jnp.float32),
+                                 v_scale=vs.astype(jnp.float32),
+                                 sm_scale=d ** -0.5, block_t=128)
+        assert compute_error(ref, y.astype(jnp.float32)) > 25
