@@ -147,3 +147,67 @@ class TestInterpretDecodeAttention:
                                  v_scale=vs.astype(jnp.float32),
                                  sm_scale=d ** -0.5, block_t=128)
         assert compute_error(ref, y.astype(jnp.float32)) > 25
+
+
+class TestInterpretFlashAttention:
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_flash_vs_reference(self, causal):
+        from ao_tpu.ops.pallas.flash_attention import flash_attention
+
+        b, h, s, d = 1, 2, 128, 128
+        ks = jax.random.split(jax.random.PRNGKey(4), 3)
+        q = jax.random.normal(ks[0], (b, h, s, d), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (b, h, s, d), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (b, h, s, d), jnp.bfloat16)
+        sc = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * (d ** -0.5)
+        if causal:
+            mask = jnp.tril(jnp.ones((s, s), bool))
+            sc = jnp.where(mask, sc, -1e30)
+        ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(sc, -1),
+                         v.astype(jnp.float32))
+        with pltpu.force_tpu_interpret_mode():
+            y = flash_attention(q, k, v, causal=causal)
+        assert compute_error(ref, y.astype(jnp.float32)) > 30
+
+
+class TestInterpretPagedAttention:
+    @pytest.mark.parametrize("dtype_name", ["bf16", "int8"])
+    def test_paged_vs_reference(self, dtype_name):
+        from ao_tpu.ops.pallas.paged_attention import paged_decode_attention
+        from ao_tpu.serving.paged import (
+            PagedKVPool,
+            paged_decode_attention_reference,
+        )
+
+        b, h, hkv, d, ps, n_pages = 2, 4, 2, 128, 128, 6
+        kp = PagedKVPool.create(n_pages, ps, hkv, d, dtype_name)
+        vp = PagedKVPool.create(n_pages, ps, hkv, d, dtype_name)
+        ks = jax.random.split(jax.random.PRNGKey(5), 3)
+        # fill pools with random content (quantized pools keep random scales)
+        kdata = jax.random.normal(ks[0], kp.pages.shape, jnp.float32)
+        vdata = jax.random.normal(ks[1], vp.pages.shape, jnp.float32)
+        import dataclasses as dc
+
+        def rep(pool, **kw):
+            return dc.replace(pool, **kw)
+
+        if dtype_name == "int8":
+            ksc = jnp.max(jnp.abs(kdata), -1, keepdims=True) / 127.0
+            vsc = jnp.max(jnp.abs(vdata), -1, keepdims=True) / 127.0
+            kp = rep(kp, pages=jnp.round(kdata / ksc).astype(jnp.int8),
+                     scale=ksc)
+            vp = rep(vp, pages=jnp.round(vdata / vsc).astype(jnp.int8),
+                     scale=vsc)
+        else:
+            kp = rep(kp, pages=kdata.astype(jnp.bfloat16))
+            vp = rep(vp, pages=vdata.astype(jnp.bfloat16))
+        q = jax.random.normal(ks[2], (b, h, d), jnp.bfloat16)
+        block_table = jnp.array([[0, 2, 4], [1, 3, 5]], jnp.int32)
+        lengths = jnp.array([300, 150], jnp.int32)
+        ref = paged_decode_attention_reference(q, kp, vp, block_table, lengths)
+        with pltpu.force_tpu_interpret_mode():
+            y = paged_decode_attention(q, kp, vp, block_table, lengths,
+                                       pages_per_chunk=1)
+        assert compute_error(ref.astype(jnp.float32),
+                             y.astype(jnp.float32)) > 25
