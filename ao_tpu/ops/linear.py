@@ -270,8 +270,23 @@ def _intx_linear(x: jax.Array, w: IntxArray, b):
 
 @implements("linear", NF4Array)
 def _nf4_linear(x: jax.Array, w: NF4Array, b):
-    """(ref: LinearNF4 nf4_tensor.py:1063 — dequant + hp matmul)"""
+    """(ref: LinearNF4 nf4_tensor.py:1063 dequant + hp matmul; on TPU the
+    magic-layout codes instead feed the fused 16-entry-LUT kernel so the
+    4-bit checkpoint keeps its HBM-bandwidth win.)"""
     x2, lead = _flatten_batch(x)
+    if w.layout == "magic" and kernels._use_pallas():
+        from ao_tpu.ops.pallas import UnsupportedShape
+
+        try:
+            from ao_tpu.ops.pallas.lut4_matmul import lut4_wo_magic_pallas
+            from ao_tpu.quantization.qarrays.nf4 import NF4_CODEBOOK
+
+            y = lut4_wo_magic_pallas(
+                x2, w.qdata, w._scalers(), NF4_CODEBOOK, w.block_size[0]
+            )
+            return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
+        except (ImportError, UnsupportedShape):
+            pass
     y = jnp.matmul(x2, w.dequantize(x2.dtype))
     return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
 

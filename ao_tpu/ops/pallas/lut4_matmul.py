@@ -1,0 +1,198 @@
+"""Fused 16-entry-LUT dequant × bf16 matmul — NF4 / shared-codebook 4-bit.
+
+(ref analog: the reference's NF4 `LinearNF4` and codebook linears run
+dequantize-then-mm on CUDA, nf4_tensor.py:1063; on a memory-bound TPU
+decode step that throws away the 4-bit bandwidth win. This kernel keeps
+the packed codes in HBM and builds the bf16 codebook VALUES in-register
+with a 4-level masked select tree — no gather, no int→float convert.)
+
+Layout: the int4 "magic" word layout (qarrays/int4.py pack_int4_magic) —
+plane j of word block t covers quantization group 4t+j; extracting plane
+nibbles of the (g/2, tn) word slice gives TWO code halfwords per i32.
+
+LUT construction (per plane slice, ~49 integer lane-ops per 2 weights):
+    masks  m_i = halfword-expanded bit i of each nibble      (4 x 3 ops)
+    leaves v_h = C(2h) ^ (m_0 & (C(2h) ^ C(2h+1)))           (8 x 2 ops)
+    tree   v   = a ^ (m_i & (a ^ b))  over bits 1..3         (7 x 3 ops)
+where C(t) is the bf16 bit pattern of codebook[t] duplicated into both
+16-bit halves — compile-time scalars. One pltpu.bitcast i32→bf16 then
+yields the decoded weight rows in natural group order.
+
+Per-group scalers (K/g, N) multiply the f32 partial dots exactly like the
+int4 magic kernel; there is no affine bias (the codebook carries sign).
+
+The VPU cost (~25 lane-ops/weight vs int4's ~3) makes this slower than
+the int4 kernel but far faster than the dequantize+matmul fallback
+(which streams the full bf16 weight through HBM); measure with
+benchmarks/gemm_sol.py on hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ao_tpu.ops.pallas import UnsupportedShape
+
+
+def lut_words(codebook) -> tuple:
+    """16 float values → 16 i32 constants: bf16 bit pattern of each value
+    duplicated into both 16-bit halves."""
+    cb = np.asarray(codebook, np.float32)
+    if cb.shape != (16,):
+        raise ValueError("codebook must have exactly 16 entries")
+    out = []
+    for v in cb:
+        bits = struct.unpack("<I", struct.pack("<f", float(v)))[0]
+        # f32 → bf16 round-to-nearest-even
+        bf = (bits + 0x7FFF + ((bits >> 16) & 1)) >> 16
+        word = bf | (bf << 16)
+        # keep the python int in signed-i32 range for jnp.int32 constants
+        if word >= 2 ** 31:
+            word -= 2 ** 32
+        out.append(word)
+    return tuple(out)
+
+
+def _i32(v: int):
+    return jnp.int32(v)
+
+
+def _decode_lut(ow, lut):
+    """ow: i32 (rows, tn) with one code nibble in each 16-bit half →
+    i32 bf16-pattern pairs via the masked select tree."""
+    masks = []
+    for i in range(4):
+        bi = (ow >> i) & 0x00010001
+        masks.append((bi << 16) - bi)
+    # leaves over code bit 0
+    vals = []
+    for h in range(8):
+        c0, c1 = lut[2 * h], lut[2 * h + 1]
+        x = c0 ^ c1
+        if x == 0:
+            vals.append(jnp.broadcast_to(_i32(c0), ow.shape))
+        else:
+            vals.append((masks[0] & _i32(x)) ^ _i32(c0))
+    # tree over bits 1..3
+    for level in range(1, 4):
+        m = masks[level]
+        vals = [a ^ (m & (a ^ b)) for a, b in zip(vals[0::2], vals[1::2])]
+    return vals[0]
+
+
+def _lut4_kernel(x0, x1, x2, x3, w_ref, s_ref, out_ref, acc_ref, *,
+                 group_size: int, lut: tuple, out_dtype):
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    w = w_ref[:]
+    tkw, _ = w.shape
+    g = group_size
+    nt = 8 * tkw // (4 * g)
+    xr = (x0, x1, x2, x3)
+    s = s_ref[:].astype(jnp.float32)
+    for j in range(4):
+        shifted = w if j == 0 else (w >> (4 * j))
+        for t in range(nt):
+            wr0, wr1 = t * g // 2, (t + 1) * g // 2
+            ow = shifted[wr0:wr1] & 0x000F000F
+            c = pltpu.bitcast(_decode_lut(ow, lut), jnp.bfloat16)
+            r0 = t * g
+            pg = jnp.dot(xr[j][:, r0:r0 + g], c,
+                         preferred_element_type=jnp.float32)
+            acc_ref[:] += s[4 * t + j][None, :] * pg
+    out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _pick_tn(m, k, n, group_size):
+    tm = m if m <= 256 else 256
+    ngf = k // group_size
+
+    def vmem_bytes(tn):
+        return (
+            4 * tm * (k // 4) * 2
+            + 2 * (k // 8) * tn * 4
+            + 2 * ngf * tn * 4
+            + tm * tn * 6
+        )
+
+    budget = int(15.5 * 1024 * 1024)
+    for tn in (1024, 512, 256, 128):
+        if n % tn == 0 and vmem_bytes(tn) <= budget:
+            return tn
+    raise UnsupportedShape(f"no VMEM-feasible N tile for m={m} k={k} n={n}")
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "lut", "out_dtype"))
+def _lut4_impl(x, word, s, *, group_size, lut, out_dtype):
+    m, k = x.shape
+    kw, n = word.shape
+    g = group_size
+    ngf = k // g
+    tn = _pick_tn(m, k, n, g)
+
+    xg = x.reshape(m, ngf // 4, 4, g)
+    xs4 = [xg[:, :, j].reshape(m, k // 4) for j in range(4)]
+
+    tm = m if m <= 256 else 256
+    pad_m = (-m) % tm
+    if pad_m:
+        xs4 = [jnp.pad(xj, ((0, pad_m), (0, 0))) for xj in xs4]
+    mp = m + pad_m
+
+    grid = (mp // tm, n // tn, 1)
+    cost = pl.CostEstimate(
+        flops=2 * mp * k * n,
+        bytes_accessed=mp * k * 2 + kw * n * 4 + ngf * n * 4 + mp * n * 2,
+        transcendentals=0,
+    )
+    out = pl.pallas_call(
+        functools.partial(_lut4_kernel, group_size=g, lut=lut,
+                          out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            *[pl.BlockSpec((tm, k // 4), lambda i, j, kk: (i, 0),
+                           memory_space=pltpu.VMEM) for _ in range(4)],
+            pl.BlockSpec((kw, tn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ngf, tn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+    )(*xs4, word, s)
+    return out[:m] if pad_m else out
+
+
+def lut4_wo_magic_pallas(x, word, scalers, codebook, group_size):
+    """x (M, K) hp; word i32 (K/8, N) magic layout (pack_int4_magic over
+    the CODE nibbles); scalers (K/g, N) f32; codebook 16 floats.
+    Returns (M, N) bf16 = x @ (codebook[codes] * scalers)."""
+    if x.ndim != 2 or word.ndim != 2:
+        raise UnsupportedShape("kernel handles 2-D only")
+    m, k = x.shape
+    kw, n = word.shape
+    g = group_size
+    if k != kw * 8 or k % g or (k // g) % 4:
+        raise UnsupportedShape(
+            f"K={k} incompatible with magic layout (g={g})")
+    if n % 128 or k % 128:
+        raise UnsupportedShape(f"K={k}/N={n} not lane-aligned")
+    if m > 256 and m % 256:
+        raise UnsupportedShape(f"M={m} > 256 must be a multiple of 256")
+    lut = lut_words(codebook)
+    return _lut4_impl(
+        x.astype(jnp.bfloat16), word, scalers.astype(jnp.float32),
+        group_size=g, lut=lut, out_dtype=jnp.bfloat16,
+    )

@@ -20,7 +20,12 @@ import jax.numpy as jnp
 
 from ao_tpu.quantization import primitives as P
 from ao_tpu.quantization.qarrays.base import QuantizedArray, meta, qarray_dataclass
-from ao_tpu.quantization.qarrays.int4 import pack_int4, unpack_int4
+from ao_tpu.quantization.qarrays.int4 import (
+    pack_int4,
+    pack_int4_magic,
+    unpack_int4,
+    unpack_int4_magic,
+)
 
 # QLoRA NF4 codebook (public constants; ref nf4_tensor.py nf4 table)
 NF4_CODEBOOK = jnp.array(
@@ -46,7 +51,10 @@ def _nearest_code(xn: jax.Array) -> jax.Array:
 
 @qarray_dataclass
 class NF4Array(QuantizedArray):
-    qdata: jax.Array  # packed codes uint8 (K/2, N)
+    # packed codes: uint8 (K/2, N) split-half, OR int32 (K/8, N) "magic"
+    # layout (pack_int4_magic over the code nibbles) feeding the fused
+    # 16-entry-LUT kernel (ops/pallas/lut4_matmul.py)
+    qdata: jax.Array
     quantized_scalers: jax.Array  # int8 (K/bs, N)
     quantization_factor: jax.Array  # f32 (K/(bs*sbs_rows)...) per scaler block
     scaler_mean: jax.Array  # f32 scalar ()
@@ -54,6 +62,10 @@ class NF4Array(QuantizedArray):
     scaler_block_size: int = meta(default=256)
     _shape: Tuple[int, ...] = meta(default=())
     _dequant_dtype: str = meta(default="bfloat16")
+
+    @property
+    def layout(self) -> str:
+        return "magic" if self.qdata.dtype == jnp.int32 else "halves"
 
     @classmethod
     def from_hp(
@@ -100,8 +112,14 @@ class NF4Array(QuantizedArray):
         xn = P.apply_blockwise(w, bs_tuple, _norm, dq_scaler)
         codes = _nearest_code(jnp.clip(xn, -1.0, 1.0))
 
+        # the magic layout feeds the fused LUT kernel; fall back to
+        # split-half when the group count is incompatible
+        if nblocks % 4 == 0 and k % 128 == 0:
+            qdata = pack_int4_magic(codes, block_size)
+        else:
+            qdata = pack_int4(codes, block_size, axis=-2)
         return cls(
-            qdata=pack_int4(codes, block_size, axis=-2),
+            qdata=qdata,
             quantized_scalers=qs,
             quantization_factor=qfac,
             scaler_mean=mean,
@@ -117,9 +135,15 @@ class NF4Array(QuantizedArray):
         dq = self.quantized_scalers.astype(jnp.float32) * self.quantization_factor
         return dq.reshape(-1)[: nblocks * n].reshape(nblocks, n) + self.scaler_mean
 
+    def unpack(self) -> jax.Array:
+        """uint8 code values 0..15, logical (K, N)."""
+        if self.layout == "magic":
+            return unpack_int4_magic(self.qdata, self.block_size[0])
+        return unpack_int4(self.qdata, self.block_size[0], axis=-2)
+
     def dequantize(self, output_dtype=None) -> jax.Array:
         out_dtype = output_dtype or self.dtype
-        codes = unpack_int4(self.qdata, self.block_size[0], axis=-2)
+        codes = self.unpack()
         vals = jnp.take(NF4_CODEBOOK, codes.astype(jnp.int32), axis=0)
         out = P.apply_blockwise(
             vals, self.block_size, lambda v, s: v * s, self._scalers()

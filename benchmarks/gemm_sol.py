@@ -141,6 +141,13 @@ def main():
             m, k, n, 4, 16)
         bench_scheme(
             "nvfp4_wo", lambda w: NVFP4Array.from_hp(w), m, k, n, 4, 16)
+        from ao_tpu.quantization.qarrays.nf4 import NF4Array
+
+        # ~4.5 bits/weight incl. double-quantized scalers; the fused LUT
+        # kernel (lut4_matmul.py) vs the dequant fallback
+        bench_scheme(
+            "nf4_wo", lambda w: NF4Array.from_hp(w, block_size=64),
+            m, k, n, 5, 16)
         dma_floor(m, k, n)
 
 

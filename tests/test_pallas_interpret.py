@@ -211,3 +211,28 @@ class TestInterpretPagedAttention:
                                        pages_per_chunk=1)
         assert compute_error(ref.astype(jnp.float32),
                              y.astype(jnp.float32)) > 25
+
+
+class TestInterpretLut4:
+    def test_nf4_magic_kernel(self, xw):
+        """NF4's fused LUT kernel: magic-layout codes + masked select tree
+        must match the dequant+matmul dispatch."""
+        from ao_tpu.quantization.qarrays.nf4 import NF4Array
+
+        x, w = xw
+        qa = NF4Array.from_hp(w, block_size=64)
+        assert qa.layout == "magic"
+        _pallas_vs_emulated(x, qa, 40)
+
+    def test_nf4_halves_fallback_unchanged(self, xw):
+        from ao_tpu.quantization.qarrays.nf4 import NF4Array
+
+        x, w = xw
+        qa = NF4Array.from_hp(w[:96], block_size=32)  # 3 blocks: no magic
+        assert qa.layout == "halves"
+        ref = linear(x[:, :96], qa)
+        with pltpu.force_tpu_interpret_mode():
+            with kernels.backend("pallas"):
+                y = linear(x[:, :96], qa)
+        np.testing.assert_allclose(np.asarray(ref, np.float32),
+                                   np.asarray(y, np.float32), atol=1e-3)
