@@ -103,6 +103,12 @@ class CodebookArray(QuantizedArray):
         if lut_block is None:
             codebook = fit_kmeans(normed, 2 ** bits, iters=kmeans_iters)
             codes = quantize_codebook(normed, codebook)
+            # 4-bit shared-LUT codes pack into the int4 magic layout: half
+            # the bytes AND the fused LUT kernel (ops/pallas/lut4_matmul)
+            if bits == 4 and (k_dim // g) % 4 == 0 and k_dim % 128 == 0:
+                from ao_tpu.quantization.qarrays.int4 import pack_int4_magic
+
+                codes = pack_int4_magic(codes.astype(jnp.uint8), g)
         else:
             if k_dim % lut_block:
                 raise ValueError(
@@ -123,6 +129,17 @@ class CodebookArray(QuantizedArray):
             _dequant_dtype=dequant_dtype,
         )
 
+    @property
+    def layout(self) -> str:
+        return "magic" if self.codes.dtype == jnp.int32 else "flat"
+
+    def unpacked_codes(self) -> jax.Array:
+        if self.layout == "magic":
+            from ao_tpu.quantization.qarrays.int4 import unpack_int4_magic
+
+            return unpack_int4_magic(self.codes, self.block_size[0])
+        return self.codes
+
     def dequantize(self, output_dtype=None) -> jax.Array:
         out_dtype = output_dtype or self.dtype
         k_dim, n = self.shape
@@ -134,7 +151,8 @@ class CodebookArray(QuantizedArray):
                 self.codebook, cg.astype(jnp.int32), axis=1
             ).astype(jnp.float32).reshape(k_dim, n)
         else:
-            v = dequantize_codebook(self.codes, self.codebook, jnp.float32)
+            v = dequantize_codebook(self.unpacked_codes(), self.codebook,
+                                    jnp.float32)
         v = v.reshape(k_dim // g, g, n) * self.scale[:, None, :]
         return v.reshape(k_dim, n).astype(out_dtype)
 
@@ -171,6 +189,23 @@ from ao_tpu.ops.dispatch import implements  # noqa: E402
 def _codebook_linear(x: jax.Array, w: CodebookArray, b: Optional[jax.Array]):
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
+    if w.layout == "magic" and w.codebook.ndim == 1:
+        from ao_tpu.ops import kernels
+
+        if kernels._use_pallas():
+            from ao_tpu.ops.pallas import UnsupportedShape
+
+            try:
+                from ao_tpu.ops.pallas.lut4_matmul import lut4_wo_magic_pallas
+
+                y = lut4_wo_magic_pallas(
+                    x2, w.codes, w.scale, w.codebook, w.block_size[0]
+                )
+                if b is not None:
+                    y = y + b.astype(y.dtype)
+                return y.astype(x.dtype).reshape(*lead, y.shape[-1])
+            except (ImportError, UnsupportedShape):
+                pass
     y = jnp.matmul(x2, w.dequantize(x2.dtype))
     if b is not None:
         y = y + b.astype(y.dtype)

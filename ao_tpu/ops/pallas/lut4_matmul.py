@@ -15,8 +15,9 @@ LUT construction (per plane slice, ~49 integer lane-ops per 2 weights):
     leaves v_h = C(2h) ^ (m_0 & (C(2h) ^ C(2h+1)))           (8 x 2 ops)
     tree   v   = a ^ (m_i & (a ^ b))  over bits 1..3         (7 x 3 ops)
 where C(t) is the bf16 bit pattern of codebook[t] duplicated into both
-16-bit halves — compile-time scalars. One pltpu.bitcast i32→bf16 then
-yields the decoded weight rows in natural group order.
+16-bit halves — 16 scalar SMEM loads per kernel instance, so RUNTIME
+codebooks (k-means LUTs) work without recompilation. One pltpu.bitcast
+i32→bf16 then yields the decoded weight rows in natural group order.
 
 Per-group scalers (K/g, N) multiply the f32 partial dots exactly like the
 int4 magic kernel; there is no affine bias (the codebook carries sign).
@@ -30,56 +31,40 @@ benchmarks/gemm_sol.py on hardware.
 from __future__ import annotations
 
 import functools
-import struct
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ao_tpu.ops.pallas import UnsupportedShape
 
 
-def lut_words(codebook) -> tuple:
-    """16 float values → 16 i32 constants: bf16 bit pattern of each value
-    duplicated into both 16-bit halves."""
-    cb = np.asarray(codebook, np.float32)
+def lut_words_arr(codebook: jax.Array) -> jax.Array:
+    """(16,) float codebook → (1, 128) i32 (first 16 lanes used): the bf16
+    bit pattern of each value duplicated into both 16-bit halves. Traceable
+    (runtime codebooks — k-means LUTs — work under jit)."""
+    cb = codebook.reshape(-1).astype(jnp.bfloat16)
     if cb.shape != (16,):
         raise ValueError("codebook must have exactly 16 entries")
-    out = []
-    for v in cb:
-        bits = struct.unpack("<I", struct.pack("<f", float(v)))[0]
-        # f32 → bf16 round-to-nearest-even
-        bf = (bits + 0x7FFF + ((bits >> 16) & 1)) >> 16
-        word = bf | (bf << 16)
-        # keep the python int in signed-i32 range for jnp.int32 constants
-        if word >= 2 ** 31:
-            word -= 2 ** 32
-        out.append(word)
-    return tuple(out)
+    u16 = jax.lax.bitcast_convert_type(cb, jnp.uint16).astype(jnp.uint32)
+    words = (u16 | (u16 << 16)).astype(jnp.int32)
+    return jnp.pad(words, (0, 112)).reshape(1, 128)
 
 
-def _i32(v: int):
-    return jnp.int32(v)
-
-
-def _decode_lut(ow, lut):
+def _decode_lut(ow, cvals):
     """ow: i32 (rows, tn) with one code nibble in each 16-bit half →
-    i32 bf16-pattern pairs via the masked select tree."""
+    i32 bf16-pattern pairs via the masked select tree. ``cvals`` are 16
+    scalar i32 bf16-pattern pairs (SMEM loads)."""
     masks = []
     for i in range(4):
         bi = (ow >> i) & 0x00010001
         masks.append((bi << 16) - bi)
-    # leaves over code bit 0
-    vals = []
-    for h in range(8):
-        c0, c1 = lut[2 * h], lut[2 * h + 1]
-        x = c0 ^ c1
-        if x == 0:
-            vals.append(jnp.broadcast_to(_i32(c0), ow.shape))
-        else:
-            vals.append((masks[0] & _i32(x)) ^ _i32(c0))
+    # leaves over code bit 0 (the xors are scalar-scalar — negligible)
+    vals = [
+        (masks[0] & (cvals[2 * h] ^ cvals[2 * h + 1])) ^ cvals[2 * h]
+        for h in range(8)
+    ]
     # tree over bits 1..3
     for level in range(1, 4):
         m = masks[level]
@@ -87,8 +72,8 @@ def _decode_lut(ow, lut):
     return vals[0]
 
 
-def _lut4_kernel(x0, x1, x2, x3, w_ref, s_ref, out_ref, acc_ref, *,
-                 group_size: int, lut: tuple, out_dtype):
+def _lut4_kernel(x0, x1, x2, x3, w_ref, s_ref, lut_ref, out_ref, acc_ref, *,
+                 group_size: int, out_dtype):
     acc_ref[:] = jnp.zeros_like(acc_ref)
     w = w_ref[:]
     tkw, _ = w.shape
@@ -96,12 +81,13 @@ def _lut4_kernel(x0, x1, x2, x3, w_ref, s_ref, out_ref, acc_ref, *,
     nt = 8 * tkw // (4 * g)
     xr = (x0, x1, x2, x3)
     s = s_ref[:].astype(jnp.float32)
+    cvals = [lut_ref[0, t] for t in range(16)]
     for j in range(4):
         shifted = w if j == 0 else (w >> (4 * j))
         for t in range(nt):
             wr0, wr1 = t * g // 2, (t + 1) * g // 2
             ow = shifted[wr0:wr1] & 0x000F000F
-            c = pltpu.bitcast(_decode_lut(ow, lut), jnp.bfloat16)
+            c = pltpu.bitcast(_decode_lut(ow, cvals), jnp.bfloat16)
             r0 = t * g
             pg = jnp.dot(xr[j][:, r0:r0 + g], c,
                          preferred_element_type=jnp.float32)
@@ -128,8 +114,8 @@ def _pick_tn(m, k, n, group_size):
     raise UnsupportedShape(f"no VMEM-feasible N tile for m={m} k={k} n={n}")
 
 
-@functools.partial(jax.jit, static_argnames=("group_size", "lut", "out_dtype"))
-def _lut4_impl(x, word, s, *, group_size, lut, out_dtype):
+@functools.partial(jax.jit, static_argnames=("group_size", "out_dtype"))
+def _lut4_impl(x, word, s, lutw, *, group_size, out_dtype):
     m, k = x.shape
     kw, n = word.shape
     g = group_size
@@ -152,8 +138,7 @@ def _lut4_impl(x, word, s, *, group_size, lut, out_dtype):
         transcendentals=0,
     )
     out = pl.pallas_call(
-        functools.partial(_lut4_kernel, group_size=g, lut=lut,
-                          out_dtype=out_dtype),
+        functools.partial(_lut4_kernel, group_size=g, out_dtype=out_dtype),
         grid=grid,
         in_specs=[
             *[pl.BlockSpec((tm, k // 4), lambda i, j, kk: (i, 0),
@@ -162,6 +147,8 @@ def _lut4_impl(x, word, s, *, group_size, lut, out_dtype):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ngf, tn), lambda i, j, kk: (0, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i, j, kk: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
@@ -171,13 +158,14 @@ def _lut4_impl(x, word, s, *, group_size, lut, out_dtype):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=cost,
-    )(*xs4, word, s)
+    )(*xs4, word, s, lutw)
     return out[:m] if pad_m else out
 
 
 def lut4_wo_magic_pallas(x, word, scalers, codebook, group_size):
     """x (M, K) hp; word i32 (K/8, N) magic layout (pack_int4_magic over
-    the CODE nibbles); scalers (K/g, N) f32; codebook 16 floats.
+    the CODE nibbles); scalers (K/g, N) f32; codebook (16,) floats (may be
+    a traced array — k-means LUTs work under jit).
     Returns (M, N) bf16 = x @ (codebook[codes] * scalers)."""
     if x.ndim != 2 or word.ndim != 2:
         raise UnsupportedShape("kernel handles 2-D only")
@@ -191,8 +179,8 @@ def lut4_wo_magic_pallas(x, word, scalers, codebook, group_size):
         raise UnsupportedShape(f"K={k}/N={n} not lane-aligned")
     if m > 256 and m % 256:
         raise UnsupportedShape(f"M={m} > 256 must be a multiple of 256")
-    lut = lut_words(codebook)
+    lutw = lut_words_arr(jnp.asarray(codebook))
     return _lut4_impl(
-        x.astype(jnp.bfloat16), word, scalers.astype(jnp.float32),
-        group_size=g, lut=lut, out_dtype=jnp.bfloat16,
+        x.astype(jnp.bfloat16), word, scalers.astype(jnp.float32), lutw,
+        group_size=g, out_dtype=jnp.bfloat16,
     )

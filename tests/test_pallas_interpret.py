@@ -236,3 +236,15 @@ class TestInterpretLut4:
                 y = linear(x[:, :96], qa)
         np.testing.assert_allclose(np.asarray(ref, np.float32),
                                    np.asarray(y, np.float32), atol=1e-3)
+
+    def test_codebook_magic_kernel(self, xw):
+        """Shared-LUT 4-bit codebook: packed magic codes + runtime k-means
+        codebook through the same LUT kernel."""
+        from ao_tpu.algorithms.codebook import CodebookArray
+
+        x, w = xw
+        qa = CodebookArray.from_hp(w, bits=4, scale_block=64)
+        assert qa.layout == "magic"
+        # storage actually halved: int32 (K/8, N) vs uint8 (K, N)
+        assert qa.codes.size * 4 == w.shape[0] * w.shape[1] // 2
+        _pallas_vs_emulated(x, qa, 40)
