@@ -62,6 +62,9 @@ def main():
         ("fp8_dyn", ao_tpu.Float8DynamicActivationFloat8WeightConfig(), None),
         ("int4_wo+int8kv", ao_tpu.Int4WeightOnlyConfig(group_size=128),
          "int8"),
+        # QLoRA-style NF4 decode: the fused LUT kernel vs its old
+        # dequantize-the-world fallback is the row to watch here
+        ("nf4_wo", ao_tpu.NF4WeightOnlyConfig(), None),
     ]
     for name, qcfg, kv in suites:
         qp = ao_tpu.quantize_(params, qcfg)
