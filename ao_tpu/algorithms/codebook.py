@@ -103,9 +103,10 @@ class CodebookArray(QuantizedArray):
         if lut_block is None:
             codebook = fit_kmeans(normed, 2 ** bits, iters=kmeans_iters)
             codes = quantize_codebook(normed, codebook)
-            # 4-bit shared-LUT codes pack into the int4 magic layout: half
-            # the bytes AND the fused LUT kernel (ops/pallas/lut4_matmul)
-            if bits == 4 and (k_dim // g) % 4 == 0 and k_dim % 128 == 0:
+            # ≤4-bit shared-LUT codes pack into the int4 magic layout: half
+            # the bytes (or better vs unpacked uint8) AND the fused LUT
+            # kernel (ops/pallas/lut4_matmul; 2/3-bit LUTs pad to 16)
+            if bits <= 4 and (k_dim // g) % 4 == 0 and k_dim % 128 == 0:
                 from ao_tpu.quantization.qarrays.int4 import pack_int4_magic
 
                 codes = pack_int4_magic(codes.astype(jnp.uint8), g)
@@ -198,8 +199,11 @@ def _codebook_linear(x: jax.Array, w: CodebookArray, b: Optional[jax.Array]):
             try:
                 from ao_tpu.ops.pallas.lut4_matmul import lut4_wo_magic_pallas
 
+                cb = w.codebook
+                if cb.shape[0] < 16:  # 2/3-bit LUTs: codes never reach pad
+                    cb = jnp.pad(cb, (0, 16 - cb.shape[0]))
                 y = lut4_wo_magic_pallas(
-                    x2, w.codes, w.scale, w.codebook, w.block_size[0]
+                    x2, w.codes, w.scale, cb, w.block_size[0]
                 )
                 if b is not None:
                     y = y + b.astype(y.dtype)

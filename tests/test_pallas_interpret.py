@@ -248,3 +248,12 @@ class TestInterpretLut4:
         # storage actually halved: int32 (K/8, N) vs uint8 (K, N)
         assert qa.codes.size * 4 == w.shape[0] * w.shape[1] // 2
         _pallas_vs_emulated(x, qa, 40)
+
+    def test_codebook_3bit_magic_kernel(self, xw):
+        """2/3-bit shared LUTs ride the same kernel with a padded table."""
+        from ao_tpu.algorithms.codebook import CodebookArray
+
+        x, w = xw
+        qa = CodebookArray.from_hp(w, bits=3, scale_block=64)
+        assert qa.layout == "magic"
+        _pallas_vs_emulated(x, qa, 40)
