@@ -120,6 +120,11 @@ class CodebookArray(QuantizedArray):
             )(groups)  # (L, 2^bits)
             codes = jax.vmap(quantize_codebook)(groups, codebook)
             codes = codes.reshape(k_dim, n)
+            if (bits <= 4 and (k_dim // g) % 4 == 0 and k_dim % 128 == 0
+                    and lut_block % g == 0):
+                from ao_tpu.quantization.qarrays.int4 import pack_int4_magic
+
+                codes = pack_int4_magic(codes.astype(jnp.uint8), g)
         return cls(
             codes=codes,
             codebook=codebook,
@@ -147,7 +152,7 @@ class CodebookArray(QuantizedArray):
         g = self.block_size[0]
         if self.codebook.ndim == 2:  # per-group LUTs
             lb = k_dim // self.codebook.shape[0]
-            cg = self.codes.reshape(k_dim // lb, lb * n)
+            cg = self.unpacked_codes().reshape(k_dim // lb, lb * n)
             v = jnp.take_along_axis(
                 self.codebook, cg.astype(jnp.int32), axis=1
             ).astype(jnp.float32).reshape(k_dim, n)
@@ -190,7 +195,7 @@ from ao_tpu.ops.dispatch import implements  # noqa: E402
 def _codebook_linear(x: jax.Array, w: CodebookArray, b: Optional[jax.Array]):
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    if w.layout == "magic" and w.codebook.ndim == 1:
+    if w.layout == "magic":
         from ao_tpu.ops import kernels
 
         if kernels._use_pallas():
@@ -200,8 +205,10 @@ def _codebook_linear(x: jax.Array, w: CodebookArray, b: Optional[jax.Array]):
                 from ao_tpu.ops.pallas.lut4_matmul import lut4_wo_magic_pallas
 
                 cb = w.codebook
-                if cb.shape[0] < 16:  # 2/3-bit LUTs: codes never reach pad
-                    cb = jnp.pad(cb, (0, 16 - cb.shape[0]))
+                if cb.shape[-1] < 16:  # 2/3-bit LUTs: codes never reach pad
+                    cb = jnp.pad(
+                        cb, [(0, 0)] * (cb.ndim - 1) + [(0, 16 - cb.shape[-1])]
+                    )
                 y = lut4_wo_magic_pallas(
                     x2, w.codes, w.scale, cb, w.block_size[0]
                 )

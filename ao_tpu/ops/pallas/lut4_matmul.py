@@ -41,15 +41,16 @@ from ao_tpu.ops.pallas import UnsupportedShape
 
 
 def lut_words_arr(codebook: jax.Array) -> jax.Array:
-    """(16,) float codebook → (1, 128) i32 (first 16 lanes used): the bf16
-    bit pattern of each value duplicated into both 16-bit halves. Traceable
-    (runtime codebooks — k-means LUTs — work under jit)."""
+    """Flat float codebook(s), 16 entries each → (1, ceil/128*128) i32: the
+    bf16 bit pattern of each value duplicated into both 16-bit halves.
+    Traceable (runtime codebooks — k-means LUTs — work under jit)."""
     cb = codebook.reshape(-1).astype(jnp.bfloat16)
-    if cb.shape != (16,):
-        raise ValueError("codebook must have exactly 16 entries")
+    if cb.shape[0] % 16:
+        raise ValueError("codebook size must be a multiple of 16")
     u16 = jax.lax.bitcast_convert_type(cb, jnp.uint16).astype(jnp.uint32)
     words = (u16 | (u16 << 16)).astype(jnp.int32)
-    return jnp.pad(words, (0, 112)).reshape(1, 128)
+    pad = (-words.shape[0]) % 128
+    return jnp.pad(words, (0, pad)).reshape(1, -1)
 
 
 def _decode_lut(ow, cvals):
@@ -73,7 +74,11 @@ def _decode_lut(ow, cvals):
 
 
 def _lut4_kernel(x0, x1, x2, x3, w_ref, s_ref, lut_ref, out_ref, acc_ref, *,
-                 group_size: int, out_dtype):
+                 group_size: int, groups_per_lut: int, out_dtype):
+    """groups_per_lut == 0: one shared 16-entry LUT. Otherwise LUT
+    ``(4t+j) // groups_per_lut`` decodes group 4t+j — the SMEM offsets are
+    static per python-loop iteration, so per-group tables cost only the
+    scalar reloads."""
     acc_ref[:] = jnp.zeros_like(acc_ref)
     w = w_ref[:]
     tkw, _ = w.shape
@@ -81,17 +86,23 @@ def _lut4_kernel(x0, x1, x2, x3, w_ref, s_ref, lut_ref, out_ref, acc_ref, *,
     nt = 8 * tkw // (4 * g)
     xr = (x0, x1, x2, x3)
     s = s_ref[:].astype(jnp.float32)
-    cvals = [lut_ref[0, t] for t in range(16)]
+    shared = [lut_ref[0, t] for t in range(16)] if groups_per_lut == 0 else None
     for j in range(4):
         shifted = w if j == 0 else (w >> (4 * j))
         for t in range(nt):
+            gi = 4 * t + j
+            if shared is not None:
+                cvals = shared
+            else:
+                base = (gi // groups_per_lut) * 16
+                cvals = [lut_ref[0, base + i] for i in range(16)]
             wr0, wr1 = t * g // 2, (t + 1) * g // 2
             ow = shifted[wr0:wr1] & 0x000F000F
             c = pltpu.bitcast(_decode_lut(ow, cvals), jnp.bfloat16)
             r0 = t * g
             pg = jnp.dot(xr[j][:, r0:r0 + g], c,
                          preferred_element_type=jnp.float32)
-            acc_ref[:] += s[4 * t + j][None, :] * pg
+            acc_ref[:] += s[gi][None, :] * pg
     out_ref[:] = acc_ref[:].astype(out_dtype)
 
 
@@ -114,8 +125,9 @@ def _pick_tn(m, k, n, group_size):
     raise UnsupportedShape(f"no VMEM-feasible N tile for m={m} k={k} n={n}")
 
 
-@functools.partial(jax.jit, static_argnames=("group_size", "out_dtype"))
-def _lut4_impl(x, word, s, lutw, *, group_size, out_dtype):
+@functools.partial(jax.jit, static_argnames=("group_size", "groups_per_lut",
+                                             "out_dtype"))
+def _lut4_impl(x, word, s, lutw, *, group_size, groups_per_lut, out_dtype):
     m, k = x.shape
     kw, n = word.shape
     g = group_size
@@ -138,7 +150,8 @@ def _lut4_impl(x, word, s, lutw, *, group_size, out_dtype):
         transcendentals=0,
     )
     out = pl.pallas_call(
-        functools.partial(_lut4_kernel, group_size=g, out_dtype=out_dtype),
+        functools.partial(_lut4_kernel, group_size=g,
+                          groups_per_lut=groups_per_lut, out_dtype=out_dtype),
         grid=grid,
         in_specs=[
             *[pl.BlockSpec((tm, k // 4), lambda i, j, kk: (i, 0),
@@ -147,7 +160,7 @@ def _lut4_impl(x, word, s, lutw, *, group_size, out_dtype):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ngf, tn), lambda i, j, kk: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i, j, kk: (0, 0),
+            pl.BlockSpec(lutw.shape, lambda i, j, kk: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
@@ -164,8 +177,9 @@ def _lut4_impl(x, word, s, lutw, *, group_size, out_dtype):
 
 def lut4_wo_magic_pallas(x, word, scalers, codebook, group_size):
     """x (M, K) hp; word i32 (K/8, N) magic layout (pack_int4_magic over
-    the CODE nibbles); scalers (K/g, N) f32; codebook (16,) floats (may be
-    a traced array — k-means LUTs work under jit).
+    the CODE nibbles); scalers (K/g, N) f32; codebook (16,) floats shared,
+    or (L, 16) per-row-block LUTs with K/L a multiple of group_size (may be
+    traced arrays — k-means LUTs work under jit).
     Returns (M, N) bf16 = x @ (codebook[codes] * scalers)."""
     if x.ndim != 2 or word.ndim != 2:
         raise UnsupportedShape("kernel handles 2-D only")
@@ -179,8 +193,18 @@ def lut4_wo_magic_pallas(x, word, scalers, codebook, group_size):
         raise UnsupportedShape(f"K={k}/N={n} not lane-aligned")
     if m > 256 and m % 256:
         raise UnsupportedShape(f"M={m} > 256 must be a multiple of 256")
-    lutw = lut_words_arr(jnp.asarray(codebook))
+    codebook = jnp.asarray(codebook)
+    if codebook.ndim == 2:
+        n_luts = codebook.shape[0]
+        rows_per_lut = k // n_luts
+        if k % n_luts or rows_per_lut % g:
+            raise UnsupportedShape(
+                f"{n_luts} LUTs over K={k} don't align with group {g}")
+        groups_per_lut = rows_per_lut // g
+    else:
+        groups_per_lut = 0
+    lutw = lut_words_arr(codebook)
     return _lut4_impl(
         x.astype(jnp.bfloat16), word, scalers.astype(jnp.float32), lutw,
-        group_size=g, out_dtype=jnp.bfloat16,
+        group_size=g, groups_per_lut=groups_per_lut, out_dtype=jnp.bfloat16,
     )

@@ -257,3 +257,12 @@ class TestInterpretLut4:
         qa = CodebookArray.from_hp(w, bits=3, scale_block=64)
         assert qa.layout == "magic"
         _pallas_vs_emulated(x, qa, 40)
+
+    def test_codebook_groupwise_lut_kernel(self, xw):
+        """Per-row-block LUTs: static SMEM offsets per group iteration."""
+        from ao_tpu.algorithms.codebook import CodebookArray
+
+        x, w = xw
+        qa = CodebookArray.from_hp(w, bits=4, scale_block=64, lut_block=128)
+        assert qa.layout == "magic" and qa.codebook.ndim == 2
+        _pallas_vs_emulated(x, qa, 40)
