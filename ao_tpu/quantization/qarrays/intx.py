@@ -132,3 +132,45 @@ class IntxArray(QuantizedArray):
             self._unpacked_q(), self.block_size, self.scale, self.zero_point,
             output_dtype=out_dtype,
         )
+
+    def to_int4(self, act_quant=None, scale_dtype=jnp.float32):
+        """Collapse a ≤4-bit affine container onto ``Int4Array``'s FLOAT
+        zero-point domain exactly: u = q + 8, zp' = -(8 + zp)·scale — so
+        2/3/4-bit weights get the packed magic/magic8 layouts and the fused
+        decode kernels instead of int8-unpacked storage + dequant linear.
+        Matches the affine dequant to one f32 ulp with float32 scales;
+        2-D weights only."""
+        from ao_tpu.quantization.qarrays.int4 import Int4Array
+
+        if self.bits > 4 or len(self._shape) != 2:
+            raise ValueError("to_int4 needs bits <= 4 and 2-D weights")
+        q = self._unpacked_q().astype(jnp.int32)
+        u = (q + 8).astype(jnp.uint8)
+        scale = self.scale.astype(jnp.float32)
+        zp_int = (self.zero_point.astype(jnp.float32)
+                  if self.zero_point is not None else 0.0)
+        zp = (-(8.0 + zp_int) * scale).astype(scale_dtype)
+        arr = Int4Array(
+            qdata=u,  # placeholder; repacked below via from layout helpers
+            scale=scale.astype(scale_dtype),
+            zero_point=zp,
+            act_pre_scale=None,
+            block_size=self.block_size,
+            zero_point_domain=P.ZeroPointDomain.FLOAT,
+            act_quant=act_quant if act_quant is not None else self.act_quant,
+            _shape=self._shape,
+            _dequant_dtype=self._dequant_dtype,
+            _layout="halves",
+        )
+        from ao_tpu.quantization.qarrays.int4 import pack_int4
+
+        k = self._shape[0]
+        g = self.block_size[-2]
+        arr = arr.replace(qdata=pack_int4(u, g, axis=-2))
+        aq = arr.act_quant
+        if (aq is not None and aq.dtype == "int8" and aq.symmetric
+                and k % 8 == 0 and (k // g) % 2 == 0 and g % 8 == 0):
+            return arr.to_layout("magic8")
+        if (k // g) % 4 == 0:
+            return arr.to_layout("magic")
+        return arr

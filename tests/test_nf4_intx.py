@@ -122,3 +122,39 @@ class TestQuantizedEmbedding:
         assert p["embed"].scale.shape == (1000, 1)
         out = embedding(p["embed"], jnp.array([1, 2, 3]))
         assert out.shape == (3, 64)
+
+
+class TestIntxToInt4:
+    @pytest.mark.parametrize("bits", [2, 3, 4])
+    def test_exact_collapse(self, bits):
+        """u = q + 8, zp' = -(8+zp)*scale reproduces the affine dequant to
+        one f32 ulp (op-order rounding); lands in the magic layout."""
+        from ao_tpu.quantization.qarrays.intx import IntxArray
+
+        w = jax.random.normal(jax.random.PRNGKey(bits), (256, 64),
+                              jnp.float32) * 0.02
+        qa = IntxArray.from_hp(w, bits=bits, group_size=32)
+        i4 = qa.to_int4(scale_dtype=jnp.float32)
+        assert i4.layout == "magic"
+        np.testing.assert_allclose(
+            np.asarray(qa.dequantize(jnp.float32)),
+            np.asarray(i4.dequantize(jnp.float32)), rtol=2e-6, atol=1e-7,
+        )
+
+    def test_asymmetric_and_linear(self):
+        from ao_tpu.quantization import primitives as P
+        from ao_tpu.quantization.qarrays.intx import IntxArray
+        from ao_tpu.ops import linear
+
+        w = jax.random.normal(jax.random.PRNGKey(9), (256, 64), jnp.float32)
+        qa = IntxArray.from_hp(w, bits=3, group_size=32,
+                               mapping_type=P.MappingType.ASYMMETRIC)
+        i4 = qa.to_int4(scale_dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(qa.dequantize(jnp.float32)),
+            np.asarray(i4.dequantize(jnp.float32)), rtol=2e-6, atol=1e-6,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(10), (4, 256), jnp.float32)
+        import ao_tpu
+
+        assert ao_tpu.compute_error(linear(x, qa), linear(x, i4)) > 40
