@@ -106,7 +106,8 @@ class CodebookArray(QuantizedArray):
             # ≤4-bit shared-LUT codes pack into the int4 magic layout: half
             # the bytes (or better vs unpacked uint8) AND the fused LUT
             # kernel (ops/pallas/lut4_matmul; 2/3-bit LUTs pad to 16)
-            if bits <= 4 and (k_dim // g) % 4 == 0 and k_dim % 128 == 0:
+            if (bits <= 4 and g % 2 == 0 and (k_dim // g) % 4 == 0
+                    and k_dim % 128 == 0):
                 from ao_tpu.quantization.qarrays.int4 import pack_int4_magic
 
                 codes = pack_int4_magic(codes.astype(jnp.uint8), g)
@@ -120,8 +121,8 @@ class CodebookArray(QuantizedArray):
             )(groups)  # (L, 2^bits)
             codes = jax.vmap(quantize_codebook)(groups, codebook)
             codes = codes.reshape(k_dim, n)
-            if (bits <= 4 and (k_dim // g) % 4 == 0 and k_dim % 128 == 0
-                    and lut_block % g == 0):
+            if (bits <= 4 and g % 2 == 0 and (k_dim // g) % 4 == 0
+                    and k_dim % 128 == 0 and lut_block % g == 0):
                 from ao_tpu.quantization.qarrays.int4 import pack_int4_magic
 
                 codes = pack_int4_magic(codes.astype(jnp.uint8), g)
@@ -138,6 +139,23 @@ class CodebookArray(QuantizedArray):
     @property
     def layout(self) -> str:
         return "magic" if self.codes.dtype == jnp.int32 else "flat"
+
+    def to_layout(self, layout: str) -> "CodebookArray":
+        """Repack between flat uint8 codes and the magic layout ("halves"
+        is accepted as an alias for flat — the sharding layer's repack
+        target name)."""
+        if layout in ("flat", "halves"):
+            if self.layout == "flat":
+                return self
+            return self.replace(codes=self.unpacked_codes())
+        if layout == "magic":
+            if self.layout == "magic":
+                return self
+            from ao_tpu.quantization.qarrays.int4 import pack_int4_magic
+
+            return self.replace(codes=pack_int4_magic(
+                self.codes.astype(jnp.uint8), self.block_size[0]))
+        raise ValueError(layout)
 
     def unpacked_codes(self) -> jax.Array:
         if self.layout == "magic":
@@ -196,27 +214,14 @@ def _codebook_linear(x: jax.Array, w: CodebookArray, b: Optional[jax.Array]):
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     if w.layout == "magic":
-        from ao_tpu.ops import kernels
+        from ao_tpu.ops.linear import try_lut4_linear
 
-        if kernels._use_pallas():
-            from ao_tpu.ops.pallas import UnsupportedShape
-
-            try:
-                from ao_tpu.ops.pallas.lut4_matmul import lut4_wo_magic_pallas
-
-                cb = w.codebook
-                if cb.shape[-1] < 16:  # 2/3-bit LUTs: codes never reach pad
-                    cb = jnp.pad(
-                        cb, [(0, 0)] * (cb.ndim - 1) + [(0, 16 - cb.shape[-1])]
-                    )
-                y = lut4_wo_magic_pallas(
-                    x2, w.codes, w.scale, cb, w.block_size[0]
-                )
-                if b is not None:
-                    y = y + b.astype(y.dtype)
-                return y.astype(x.dtype).reshape(*lead, y.shape[-1])
-            except (ImportError, UnsupportedShape):
-                pass
+        y = try_lut4_linear(x2, w.codes, w.scale, w.codebook,
+                            w.block_size[0])
+        if y is not None:
+            if b is not None:
+                y = y + b.astype(y.dtype)
+            return y.astype(x.dtype).reshape(*lead, y.shape[-1])
     y = jnp.matmul(x2, w.dequantize(x2.dtype))
     if b is not None:
         y = y + b.astype(y.dtype)

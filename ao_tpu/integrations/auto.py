@@ -22,13 +22,27 @@ import jax.numpy as jnp
 def config_from_hf(hf_cfg: Mapping[str, Any], dtype: Any = jnp.bfloat16):
     """HF config dict → the matching ao_tpu model config.
 
-    Supported ``model_type``: llama, qwen2, qwen3, mistral (Llama layout),
+    Supported ``model_type``: llama, qwen2, mistral (Llama layout),
     mixtral (MoE), gemma, vit, sam.
     """
     mt = hf_cfg.get("model_type", "")
-    if mt in ("llama", "qwen2", "qwen3", "mistral", "mixtral"):
+    if mt == "qwen3":
+        # Qwen3 adds per-head QK-RMSNorm and a decoupled head_dim that the
+        # Llama family here does not model — refuse rather than silently
+        # produce wrong logits
+        raise ValueError(
+            "qwen3 checkpoints need QK-norm support; import manually once "
+            "the model family grows it")
+    if mt in ("llama", "qwen2", "mistral", "mixtral"):
         from ao_tpu.models.llama import LlamaConfig
 
+        if hf_cfg.get("sliding_window"):
+            import warnings
+
+            warnings.warn(
+                f"{mt}: sliding_window={hf_cfg['sliding_window']} is not "
+                "modeled (full causal attention); outputs diverge from "
+                "transformers beyond that context length")
         return LlamaConfig(
             vocab_size=hf_cfg["vocab_size"],
             dim=hf_cfg["hidden_size"],
@@ -40,6 +54,10 @@ def config_from_hf(hf_cfg: Mapping[str, Any], dtype: Any = jnp.bfloat16):
             norm_eps=hf_cfg.get("rms_norm_eps", 1e-5),
             rope_theta=hf_cfg.get("rope_theta", 10000.0),
             tie_embeddings=bool(hf_cfg.get("tie_word_embeddings", False)),
+            rope_scaling=tuple(sorted(
+                (str(k), v) for k, v in hf_cfg["rope_scaling"].items()
+                if not isinstance(v, (dict, list))
+            )) if hf_cfg.get("rope_scaling") else None,
             qkv_bias=bool(hf_cfg.get("attention_bias", False)
                           or mt == "qwen2"),
             n_experts=hf_cfg.get("num_local_experts", 0),
@@ -118,7 +136,7 @@ def import_from_hf(
 
     cfg = config_from_hf(hf_cfg, dtype)
     mt = hf_cfg.get("model_type", "")
-    if mt in ("llama", "qwen2", "qwen3", "mistral", "mixtral", "gemma"):
+    if mt in ("llama", "qwen2", "mistral", "mixtral", "gemma"):
         params = ti.import_hf_llama(state_dict, cfg.n_layers, dtype)
     elif mt == "vit":
         params = ti.import_hf_vit(state_dict, cfg, dtype)

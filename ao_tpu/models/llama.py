@@ -32,6 +32,11 @@ class LlamaConfig:
     ffn_dim: int = 14336
     norm_eps: float = 1e-5
     rope_theta: float = 500000.0
+    # HF-style rope_scaling as a hashable tuple of (key, value) pairs
+    # (cfg is a jit static arg); only the "llama3" rope_type is modeled
+    # (Llama-3.1/3.2 long-context frequency rescale). A plain dict also
+    # works when the config never crosses a static-arg boundary.
+    rope_scaling: Optional[Tuple[Tuple[str, Any], ...]] = None
     tie_embeddings: bool = False
     dtype: Any = jnp.bfloat16
     # attention compute dtype: "bf16" | "int8" | "float8_e4m3fn"
@@ -122,7 +127,28 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
 
 def rope_freqs(cfg: LlamaConfig) -> jax.Array:
     hd = cfg.head_dim
-    return 1.0 / (cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    freqs = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
+    )
+    rs = dict(cfg.rope_scaling) if cfg.rope_scaling else None
+    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+        # Llama-3.1 frequency-dependent scaling (ref: transformers
+        # ROPE_INIT_FUNCTIONS["llama3"]): long wavelengths divide by
+        # `factor`, short ones stay, the band between interpolates
+        factor = rs["factor"]
+        low = rs.get("low_freq_factor", 1.0)
+        high = rs.get("high_freq_factor", 4.0)
+        orig = rs.get("original_max_position_embeddings", 8192)
+        wavelen = 2.0 * jnp.pi / freqs
+        low_wl = orig / low
+        high_wl = orig / high
+        smooth = (orig / wavelen - low) / (high - low)
+        interp = (1 - smooth) * freqs / factor + smooth * freqs
+        freqs = jnp.where(
+            wavelen > low_wl, freqs / factor,
+            jnp.where(wavelen < high_wl, freqs, interp),
+        )
+    return freqs
 
 
 def apply_rope(x: jax.Array, positions: jax.Array, freqs: jax.Array) -> jax.Array:

@@ -268,25 +268,40 @@ def _intx_linear(x: jax.Array, w: IntxArray, b):
     return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
 
 
+def try_lut4_linear(x2, word, scalers, codebook, group_size):
+    """Shared fused-LUT dispatch for the magic-layout 16-entry-codebook
+    containers (NF4, shared/groupwise codebooks). Returns the (M, N) bf16
+    product, or None if the pallas backend is off or the shape is
+    unsupported (callers fall back to dequant+matmul)."""
+    if not kernels._use_pallas():
+        return None
+    from ao_tpu.ops.pallas import UnsupportedShape
+
+    try:
+        from ao_tpu.ops.pallas.lut4_matmul import lut4_wo_magic_pallas
+
+        cb = jnp.asarray(codebook)
+        if cb.shape[-1] < 16:  # 2/3-bit LUTs: codes never reach the pad
+            cb = jnp.pad(cb, [(0, 0)] * (cb.ndim - 1)
+                         + [(0, 16 - cb.shape[-1])])
+        return lut4_wo_magic_pallas(x2, word, scalers, cb, group_size)
+    except (ImportError, UnsupportedShape):
+        return None
+
+
 @implements("linear", NF4Array)
 def _nf4_linear(x: jax.Array, w: NF4Array, b):
     """(ref: LinearNF4 nf4_tensor.py:1063 dequant + hp matmul; on TPU the
     magic-layout codes instead feed the fused 16-entry-LUT kernel so the
     4-bit checkpoint keeps its HBM-bandwidth win.)"""
     x2, lead = _flatten_batch(x)
-    if w.layout == "magic" and kernels._use_pallas():
-        from ao_tpu.ops.pallas import UnsupportedShape
+    if w.layout == "magic":
+        from ao_tpu.quantization.qarrays.nf4 import NF4_CODEBOOK
 
-        try:
-            from ao_tpu.ops.pallas.lut4_matmul import lut4_wo_magic_pallas
-            from ao_tpu.quantization.qarrays.nf4 import NF4_CODEBOOK
-
-            y = lut4_wo_magic_pallas(
-                x2, w.qdata, w._scalers(), NF4_CODEBOOK, w.block_size[0]
-            )
+        y = try_lut4_linear(x2, w.qdata, w._scalers(), NF4_CODEBOOK,
+                            w.block_size[0])
+        if y is not None:
             return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
-        except (ImportError, UnsupportedShape):
-            pass
     y = jnp.matmul(x2, w.dequantize(x2.dtype))
     return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
 

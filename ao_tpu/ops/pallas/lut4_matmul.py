@@ -191,8 +191,6 @@ def lut4_wo_magic_pallas(x, word, scalers, codebook, group_size):
             f"K={k} incompatible with magic layout (g={g})")
     if n % 128 or k % 128:
         raise UnsupportedShape(f"K={k}/N={n} not lane-aligned")
-    if m > 256 and m % 256:
-        raise UnsupportedShape(f"M={m} > 256 must be a multiple of 256")
     codebook = jnp.asarray(codebook)
     if codebook.ndim == 2:
         n_luts = codebook.shape[0]

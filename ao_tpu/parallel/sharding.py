@@ -234,6 +234,13 @@ def shard_params(params: Any, mesh: Mesh, tp_axis: str = "tp",
             layout = getattr(leaf, "layout", None)
             blocked = {"magic": 4, "magic8": 2}.get(layout)
             if blocked is not None and (k // g) % (blocked * tp) != 0:
+                if not hasattr(leaf, "to_layout"):
+                    raise ValueError(
+                        f"{fqn}: {type(leaf).__name__} with layout "
+                        f"'{layout}' cannot K-shard onto tp={tp} and has "
+                        "no to_layout repack — quantize with a shard-"
+                        "aligned group count or add to_layout"
+                    )
                 import warnings
 
                 warnings.warn(

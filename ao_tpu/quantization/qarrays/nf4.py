@@ -67,6 +67,21 @@ class NF4Array(QuantizedArray):
     def layout(self) -> str:
         return "magic" if self.qdata.dtype == jnp.int32 else "halves"
 
+    def to_layout(self, layout: str) -> "NF4Array":
+        """Repack codes between the split-half and magic layouts (the
+        sharding layer repacks to "halves" when a K-shard would split a
+        magic word block)."""
+        if layout == self.layout:
+            return self
+        codes = self.unpack()
+        if layout == "halves":
+            return self.replace(
+                qdata=pack_int4(codes, self.block_size[0], axis=-2))
+        if layout == "magic":
+            return self.replace(
+                qdata=pack_int4_magic(codes, self.block_size[0]))
+        raise ValueError(layout)
+
     @classmethod
     def from_hp(
         cls,

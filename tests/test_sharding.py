@@ -133,3 +133,31 @@ class TestShardedServing:
             eng2.submit([3, 17, 42, 9], 6)
             out = eng2.run()[0].generated
         assert out == ref
+
+
+def test_nf4_magic_row_shard_repacks():
+    """A magic-layout NF4 weight whose group count doesn't align with the
+    4-group word blocks must repack to split-half (with a warning), not
+    crash (the to_layout duck-typing contract in shard_params)."""
+    import warnings
+
+    import numpy as np
+
+    from ao_tpu.parallel.sharding import shard_params
+    from ao_tpu.quantization.qarrays.nf4 import NF4Array
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    w = jax.random.normal(jax.random.PRNGKey(0), (2560, 64), jnp.float32)
+    qa = NF4Array.from_hp(w, block_size=64)  # 40 groups: %8 ok, %32 not
+    assert qa.layout == "magic"
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(1, 8), ("dp", "tp"))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        sharded = shard_params({"w2": qa}, mesh)
+    assert any("repacking" in str(r.message) for r in rec)
+    assert sharded["w2"].layout == "halves"
+    np.testing.assert_allclose(
+        np.asarray(qa.dequantize(jnp.float32)),
+        np.asarray(sharded["w2"].dequantize(jnp.float32)))

@@ -456,3 +456,42 @@ class TestLoadHFCheckpoint:
 
         qp = quantize_on_load(params, ao_tpu.Int4WeightOnlyConfig(group_size=16))
         assert qp["layers"][0]["attn"]["wq"].layout in ("magic", "magic8")
+
+
+class TestRopeScaling:
+    def test_llama3_rope_scaling_matches_transformers(self):
+        """Llama-3.1-style rope_scaling must reproduce transformers'
+        frequency rescale — without it the importer silently yields wrong
+        logits at every position."""
+        from transformers import LlamaConfig as HFLlamaConfig
+        from transformers import LlamaForCausalLM
+
+        from ao_tpu.integrations.auto import import_from_hf
+
+        rs = {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+              "high_freq_factor": 4.0,
+              "original_max_position_embeddings": 64}
+        hf = HFLlamaConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=512, rms_norm_eps=1e-5,
+            rope_theta=10000.0, rope_scaling=dict(rs),
+            tie_word_embeddings=False)
+        torch.manual_seed(0)
+        m = LlamaForCausalLM(hf).eval()
+        params, cfg = import_from_hf(m.state_dict(), hf.to_dict(),
+                                     dtype=jnp.float32)
+        assert cfg.rope_scaling is not None
+        toks = torch.randint(0, 256, (1, 48))
+        with torch.no_grad():
+            ref = m(toks).logits.numpy()
+        out = llama.forward(params, jnp.asarray(toks.numpy()), cfg)
+        logits = out[0] if isinstance(out, tuple) else out
+        np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
+                                   atol=5e-6)
+
+    def test_qwen3_refused(self):
+        from ao_tpu.integrations.auto import config_from_hf
+
+        with pytest.raises(ValueError, match="qwen3"):
+            config_from_hf({"model_type": "qwen3"})
