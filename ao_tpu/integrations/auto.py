@@ -22,18 +22,11 @@ import jax.numpy as jnp
 def config_from_hf(hf_cfg: Mapping[str, Any], dtype: Any = jnp.bfloat16):
     """HF config dict → the matching ao_tpu model config.
 
-    Supported ``model_type``: llama, qwen2, mistral (Llama layout),
+    Supported ``model_type``: llama, qwen2, qwen3 (QK-norm), mistral (Llama layout),
     mixtral (MoE), gemma, vit, sam.
     """
     mt = hf_cfg.get("model_type", "")
-    if mt == "qwen3":
-        # Qwen3 adds per-head QK-RMSNorm and a decoupled head_dim that the
-        # Llama family here does not model — refuse rather than silently
-        # produce wrong logits
-        raise ValueError(
-            "qwen3 checkpoints need QK-norm support; import manually once "
-            "the model family grows it")
-    if mt in ("llama", "qwen2", "mistral", "mixtral"):
+    if mt in ("llama", "qwen2", "qwen3", "mistral", "mixtral"):
         from ao_tpu.models.llama import LlamaConfig
 
         if hf_cfg.get("sliding_window"):
@@ -60,6 +53,8 @@ def config_from_hf(hf_cfg: Mapping[str, Any], dtype: Any = jnp.bfloat16):
             )) if hf_cfg.get("rope_scaling") else None,
             qkv_bias=bool(hf_cfg.get("attention_bias", False)
                           or mt == "qwen2"),
+            qk_norm=(mt == "qwen3"),
+            qk_head_dim=hf_cfg.get("head_dim"),
             n_experts=hf_cfg.get("num_local_experts", 0),
             top_k_experts=hf_cfg.get("num_experts_per_tok", 2),
             dtype=dtype,
@@ -136,7 +131,7 @@ def import_from_hf(
 
     cfg = config_from_hf(hf_cfg, dtype)
     mt = hf_cfg.get("model_type", "")
-    if mt in ("llama", "qwen2", "mistral", "mixtral", "gemma"):
+    if mt in ("llama", "qwen2", "qwen3", "mistral", "mixtral", "gemma"):
         params = ti.import_hf_llama(state_dict, cfg.n_layers, dtype)
     elif mt == "vit":
         params = ti.import_hf_vit(state_dict, cfg, dtype)

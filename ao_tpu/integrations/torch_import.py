@@ -86,6 +86,11 @@ def import_hf_llama(
             if has(p + f"self_attn.{t}.bias"):
                 attn[nm] = jnp.asarray(
                     _to_np(get(p + f"self_attn.{t}.bias"))).astype(dtype)
+        # Qwen3-style per-head q/k RMSNorm (set qk_norm=True)
+        for nm, t in (("q_norm", "q_norm"), ("k_norm", "k_norm")):
+            if has(p + f"self_attn.{t}.weight"):
+                attn[nm] = jnp.asarray(
+                    _to_np(get(p + f"self_attn.{t}.weight"))).astype(dtype)
         layers.append({
             "attn": attn,
             "mlp": _moe_from(sd, prefix + p, dtype)

@@ -49,10 +49,14 @@ class LlamaConfig:
     top_k_experts: int = 2
     # Qwen2-style biases on the q/k/v projections
     qkv_bias: bool = False
+    # Qwen3-style per-head RMSNorm on q/k (before RoPE) and a head_dim
+    # decoupled from dim // n_heads
+    qk_norm: bool = False
+    qk_head_dim: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
-        return self.dim // self.n_heads
+        return self.qk_head_dim or self.dim // self.n_heads
 
 
 # Common shapes for parity with reference benchmarks.
@@ -102,6 +106,9 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Dict[str, Any]:
             attn["bq"] = jnp.zeros((cfg.n_heads * hd,), cfg.dtype)
             attn["bk"] = jnp.zeros((cfg.n_kv_heads * hd,), cfg.dtype)
             attn["bv"] = jnp.zeros((cfg.n_kv_heads * hd,), cfg.dtype)
+        if cfg.qk_norm:
+            attn["q_norm"] = jnp.ones((hd,), cfg.dtype)
+            attn["k_norm"] = jnp.ones((hd,), cfg.dtype)
         layers.append({
             "attn": attn,
             "mlp": mlp_params,
@@ -178,6 +185,10 @@ def attention(
     q = linear(x, layer["wq"], layer.get("bq")).reshape(b, s, h, hd)
     k = linear(x, layer["wk"], layer.get("bk")).reshape(b, s, kvh, hd)
     v = linear(x, layer["wv"], layer.get("bv")).reshape(b, s, kvh, hd)
+
+    if "q_norm" in layer:  # Qwen3 per-head RMSNorm before RoPE
+        q = rms_norm(q, layer["q_norm"], cfg.norm_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.norm_eps)
 
     q = apply_rope(q, positions, freqs)
     k = apply_rope(k, positions, freqs)

@@ -490,8 +490,31 @@ class TestRopeScaling:
         np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
                                    atol=5e-6)
 
-    def test_qwen3_refused(self):
-        from ao_tpu.integrations.auto import config_from_hf
+    def test_qwen3_matches_transformers(self):
+        """Qwen3: per-head QK-RMSNorm + decoupled head_dim, exact in fp32."""
+        from transformers import Qwen3Config, Qwen3ForCausalLM
 
-        with pytest.raises(ValueError, match="qwen3"):
-            config_from_hf({"model_type": "qwen3"})
+        from ao_tpu.integrations.auto import import_from_hf
+
+        hf = Qwen3Config(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=32, max_position_embeddings=128, rms_norm_eps=1e-5,
+            rope_theta=10000.0, tie_word_embeddings=False)
+        torch.manual_seed(0)
+        m = Qwen3ForCausalLM(hf).eval()
+        with torch.no_grad():  # non-trivial norm weights
+            for n, p in m.named_parameters():
+                if "q_norm" in n or "k_norm" in n:
+                    p.copy_(1.0 + 0.2 * torch.randn(p.shape))
+        params, cfg = import_from_hf(m.state_dict(), hf.to_dict(),
+                                     dtype=jnp.float32)
+        assert cfg.qk_norm and cfg.head_dim == 32
+        assert "q_norm" in params["layers"][0]["attn"]
+        toks = torch.randint(0, 256, (2, 12))
+        with torch.no_grad():
+            ref = m(toks).logits.numpy()
+        out = llama.forward(params, jnp.asarray(toks.numpy()), cfg)
+        logits = out[0] if isinstance(out, tuple) else out
+        np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
+                                   atol=5e-6)
