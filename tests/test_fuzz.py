@@ -71,3 +71,38 @@ def test_fuzz_batched_inputs(seed):
     y = linear(x, qp["kernel"])
     assert y.shape == (*lead, n)
     assert bool(jnp.all(jnp.isfinite(y)))
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_interpret_kernel_vs_emulated(seed):
+    """Random shapes through the fused kernels (interpret mode) must match
+    the emulated dispatch — covers the magic/magic8/LUT layouts the chip
+    suite exercises on hardware."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ao_tpu.ops import kernels
+
+    rng = random.Random(300 + seed)
+    k = rng.choice([128, 256, 384])
+    n = rng.choice([128, 256])
+    m = rng.choice([1, 3, 8, 17])
+    maker = rng.choice([
+        lambda: ao_tpu.Int4WeightOnlyConfig(group_size=rng.choice([32, 64])),
+        lambda: ao_tpu.Int8DynamicActivationInt4WeightConfig(
+            group_size=rng.choice([32, 64])),
+        lambda: ao_tpu.NF4WeightOnlyConfig(block_size=32),
+        lambda: ao_tpu.CodebookWeightOnlyConfig(bits=4, scale_block=32),
+        lambda: ao_tpu.Int8WeightOnlyConfig(),
+    ])
+    cfg = maker()
+    w = jax.random.normal(jax.random.PRNGKey(seed), (k, n), jnp.float32) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(seed + 1), (m, k), jnp.bfloat16)
+    qp = ao_tpu.quantize_({"kernel": w}, cfg)
+    if not isinstance(qp["kernel"], QuantizedArray):
+        return  # skipped (indivisible) — fine
+    ref = linear(x, qp["kernel"]).astype(jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        with kernels.backend("pallas"):
+            y = linear(x, qp["kernel"]).astype(jnp.float32)
+    err = ao_tpu.compute_error(ref, y)
+    assert err > 35, (type(cfg).__name__, m, k, n, float(err))
