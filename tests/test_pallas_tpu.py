@@ -317,3 +317,34 @@ class TestInt8Kernel:
         with kernels.backend("pallas"):
             y = linear(x, q)
         assert y.shape == (4, 256)
+
+
+@pytest.mark.parametrize("m", [1, 8, 64])
+def test_nf4_lut_kernel_matches_emulated(m):
+    from ao_tpu.quantization.qarrays.nf4 import NF4Array
+
+    w = jax.random.normal(KEY, (2048, 2048), jnp.float32) * 0.02
+    x = jax.random.normal(KEY, (m, 2048), jnp.bfloat16)
+    qw = NF4Array.from_hp(w, block_size=64)
+    assert qw.layout == "magic"
+    with kernels.backend("emulated"):
+        y_ref = linear(x, qw)
+    with kernels.backend("pallas"):
+        y = linear(x, qw)
+    assert compute_error(y_ref, y) > 40.0
+
+
+@pytest.mark.parametrize("lut_block", [None, 512])
+def test_codebook_lut_kernel_matches_emulated(lut_block):
+    from ao_tpu.algorithms.codebook import CodebookArray
+
+    w = jax.random.normal(KEY, (2048, 1024), jnp.float32) * 0.02
+    x = jax.random.normal(KEY, (8, 2048), jnp.bfloat16)
+    qw = CodebookArray.from_hp(w, bits=4, scale_block=64,
+                               lut_block=lut_block)
+    assert qw.layout == "magic"
+    with kernels.backend("emulated"):
+        y_ref = linear(x, qw)
+    with kernels.backend("pallas"):
+        y = linear(x, qw)
+    assert compute_error(y_ref, y) > 40.0
