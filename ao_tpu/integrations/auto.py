@@ -23,7 +23,7 @@ def config_from_hf(hf_cfg: Mapping[str, Any], dtype: Any = jnp.bfloat16):
     """HF config dict → the matching ao_tpu model config.
 
     Supported ``model_type``: llama, qwen2, qwen3 (QK-norm), mistral (Llama layout),
-    mixtral (MoE), gemma, vit, sam.
+    mixtral (MoE), gemma, gemma2, gemma3_text, vit, sam.
     """
     mt = hf_cfg.get("model_type", "")
     if mt in ("llama", "qwen2", "qwen3", "mistral", "mixtral"):
@@ -59,9 +59,10 @@ def config_from_hf(hf_cfg: Mapping[str, Any], dtype: Any = jnp.bfloat16):
             top_k_experts=hf_cfg.get("num_experts_per_tok", 2),
             dtype=dtype,
         )
-    if mt == "gemma":
+    if mt in ("gemma", "gemma2", "gemma3_text"):
         from ao_tpu.models.gemma import GemmaConfig
 
+        sandwich = mt in ("gemma2", "gemma3_text")
         return GemmaConfig(
             vocab_size=hf_cfg["vocab_size"],
             dim=hf_cfg["hidden_size"],
@@ -75,6 +76,15 @@ def config_from_hf(hf_cfg: Mapping[str, Any], dtype: Any = jnp.bfloat16):
             norm_eps=hf_cfg.get("rms_norm_eps", 1e-6),
             rope_theta=hf_cfg.get("rope_theta", 10000.0),
             final_logit_softcap=hf_cfg.get("final_logit_softcapping"),
+            attn_logit_softcap=hf_cfg.get("attn_logit_softcapping"),
+            query_pre_attn_scalar=hf_cfg.get("query_pre_attn_scalar"),
+            post_norms=sandwich,
+            qk_norm=(mt == "gemma3_text"),
+            sliding_window=hf_cfg.get("sliding_window")
+            if sandwich else None,
+            layer_types=tuple(hf_cfg["layer_types"])
+            if hf_cfg.get("layer_types") else None,
+            rope_local_theta=hf_cfg.get("rope_local_base_freq"),
             dtype=dtype,
         )
     if mt == "vit":
@@ -131,8 +141,10 @@ def import_from_hf(
 
     cfg = config_from_hf(hf_cfg, dtype)
     mt = hf_cfg.get("model_type", "")
-    if mt in ("llama", "qwen2", "qwen3", "mistral", "mixtral", "gemma"):
+    if mt in ("llama", "qwen2", "qwen3", "mistral", "mixtral"):
         params = ti.import_hf_llama(state_dict, cfg.n_layers, dtype)
+    elif mt in ("gemma", "gemma2", "gemma3_text"):
+        params = ti.import_hf_gemma(state_dict, cfg.n_layers, dtype)
     elif mt == "vit":
         params = ti.import_hf_vit(state_dict, cfg, dtype)
     elif mt == "sam":

@@ -398,11 +398,35 @@ def import_hf_gemma(
     n_layers: int,
     dtype=jnp.bfloat16,
 ) -> Dict[str, Any]:
-    """HF GemmaForCausalLM state_dict → ao_tpu.models.gemma params pytree.
+    """HF Gemma/Gemma2/Gemma3 state_dict → ao_tpu.models.gemma params.
 
-    Gemma shares the Llama key layout (q/k/v/o_proj, gate/up/down_proj,
-    input/post_attention_layernorm) and HF stores its zero-centered
-    rms-norm weights directly, so the mapping is the Llama one; logits
-    parity vs transformers is tested in tests/test_torch_import.py.
+    Gemma-1 shares the Llama key layout exactly. Gemma-2/3 add sandwich
+    norms (post_attention/pre_feedforward/post_feedforward layernorms —
+    note HF's "post_attention_layernorm" is the POST-attention sandwich
+    norm there, not Llama's pre-MLP norm) and Gemma-3 per-head q/k norms
+    (stored here pre-offset as 1 + w so the shared per-head RMSNorm
+    reproduces Gemma's (1+w) semantics). Logits parity vs transformers is
+    tested in tests/test_torch_import.py.
     """
-    return import_hf_llama(state_dict, n_layers, dtype)
+    sd = dict(state_dict)
+    prefix = "model." if any(k.startswith("model.") for k in sd) else ""
+    sandwich = any("pre_feedforward_layernorm" in k for k in sd)
+    params = import_hf_llama(state_dict, n_layers, dtype)
+    if not sandwich:
+        return params
+
+    def vec(name):
+        return jnp.asarray(_to_np(sd[prefix + name])).astype(dtype)
+
+    for i, lp in enumerate(params["layers"]):
+        p = f"layers.{i}."
+        # llama mapping put HF post_attention_layernorm into ln2; in the
+        # sandwich layout that weight is the POST-attention norm
+        lp["post_ln1"] = lp.pop("ln2")
+        lp["ln2"] = vec(p + "pre_feedforward_layernorm.weight")
+        lp["post_ln2"] = vec(p + "post_feedforward_layernorm.weight")
+        for nm in ("q_norm", "k_norm"):
+            key = p + f"self_attn.{nm}.weight"
+            if prefix + key in sd:
+                lp["attn"][nm] = 1.0 + vec(key).astype(jnp.float32)
+    return params

@@ -32,7 +32,29 @@ class GemmaConfig:
     norm_eps: float = 1e-6
     rope_theta: float = 10000.0
     final_logit_softcap: Optional[float] = 30.0
+    # --- Gemma 2/3 generation knobs ---
+    # tanh softcap on attention logits (gemma2)
+    attn_logit_softcap: Optional[float] = None
+    # score scale = query_pre_attn_scalar**-0.5 instead of head_dim**-0.5
+    query_pre_attn_scalar: Optional[float] = None
+    # sandwich norms: post-attention and post-feedforward RMSNorms
+    post_norms: bool = False
+    # per-head (1+w)-RMSNorm on q/k before RoPE (gemma3)
+    qk_norm: bool = False
+    # sliding-window attention on the layers layer_types marks
+    # "sliding_attention"; window applied as an exact banded causal mask
+    sliding_window: Optional[int] = None
+    layer_types: Optional[Tuple[str, ...]] = None
+    # gemma3: sliding layers use a separate (local) rope theta
+    rope_local_theta: Optional[float] = None
     dtype: Any = jnp.bfloat16
+
+    def is_sliding(self, i: int) -> bool:
+        if self.sliding_window is None:
+            return False
+        if self.layer_types is not None:
+            return self.layer_types[i] == "sliding_attention"
+        return i % 2 == 0  # gemma2 default: even layers slide
 
 
 GEMMA_2B = GemmaConfig()
@@ -67,6 +89,14 @@ def init_params(key: jax.Array, cfg: GemmaConfig) -> Dict[str, Any]:
             "ln1": jnp.zeros((d,), cfg.dtype),
             "ln2": jnp.zeros((d,), cfg.dtype),
         })
+        if cfg.post_norms:
+            layers[-1]["post_ln1"] = jnp.zeros((d,), cfg.dtype)
+            layers[-1]["post_ln2"] = jnp.zeros((d,), cfg.dtype)
+        if cfg.qk_norm:
+            # stored pre-offset (1 + w) so llama.attention's plain RMSNorm
+            # reproduces gemma's (1+w) semantics
+            layers[-1]["attn"]["q_norm"] = jnp.ones((hd,), cfg.dtype)
+            layers[-1]["attn"]["k_norm"] = jnp.ones((hd,), cfg.dtype)
     return {
         "embed": jax.random.normal(keys[-1], (cfg.vocab_size, d), jnp.float32)
         .astype(cfg.dtype) * 0.02,
@@ -100,47 +130,77 @@ def forward(
     x = x * jnp.asarray(cfg.dim ** 0.5, cfg.dtype)  # gemma embed scaling
 
     hd = cfg.head_dim
-    freqs = 1.0 / (cfg.rope_theta ** (
-        jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
 
-    if kv_caches is None:
-        mask = jnp.tril(jnp.ones((s, s), bool))[None, None]
-        new_caches = None
-    else:
+    def make_freqs(theta):
+        return 1.0 / (theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+
+    freqs = make_freqs(cfg.rope_theta)
+    freqs_local = (make_freqs(cfg.rope_local_theta)
+                   if cfg.rope_local_theta else freqs)
+
+    def make_mask(window):
+        """Causal (and optionally banded) mask for this layer."""
+        if kv_caches is None:
+            qpos = jnp.arange(s)[:, None]
+            kpos = jnp.arange(s)[None, :]
+            m = kpos <= qpos
+            if window is not None:
+                m = m & (qpos - kpos < window)
+            return m[None, None]
         c0 = kv_caches[0][0]
         from ao_tpu.serving.paged import PagedKVPool
 
         if isinstance(c0, PagedKVPool):
-            mask = None  # paged attention masks by per-sequence length
-        else:
-            t = (c0.qdata if hasattr(c0, "qdata") else c0).shape[1]
-            key_pos = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
-            mask = key_pos <= positions[:, None, :, None]
-        new_caches = []
+            return None  # paged attention masks by per-sequence length
+        t = (c0.qdata if hasattr(c0, "qdata") else c0).shape[1]
+        key_pos = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
+        qpos = positions[:, None, :, None]
+        m = key_pos <= qpos
+        if window is not None:
+            m = m & (qpos - key_pos < window)
+        return m
+
+    mask_full = make_mask(None)
+    mask_sliding = (make_mask(cfg.sliding_window)
+                    if cfg.sliding_window is not None else mask_full)
+    new_caches = None if kv_caches is None else []
 
     # reuse the llama attention machinery (RoPE, caches, GQA, kernels) with
-    # a synthetic config exposing gemma's decoupled head_dim
+    # a synthetic config exposing gemma's decoupled head_dim + 2/3 knobs
     attn_cfg = _llama.LlamaConfig(
         vocab_size=cfg.vocab_size, dim=cfg.n_heads * hd,
         n_layers=cfg.n_layers, n_heads=cfg.n_heads,
         n_kv_heads=cfg.n_kv_heads, ffn_dim=cfg.ffn_dim,
         norm_eps=cfg.norm_eps, rope_theta=cfg.rope_theta,
+        attn_softcap=cfg.attn_logit_softcap,
+        sm_scale=(cfg.query_pre_attn_scalar ** -0.5
+                  if cfg.query_pre_attn_scalar is not None else None),
     )
+    attn_cfg_sliding = dataclasses.replace(attn_cfg, force_xla_attention=True)
 
     for i, layer in enumerate(params["layers"]):
+        sliding = cfg.is_sliding(i)
         h = rms_norm(x, layer["ln1"], cfg.norm_eps)
         attn_out, new_c = _llama.attention(
-            layer["attn"], h, attn_cfg, positions, freqs, mask,
+            layer["attn"], h,
+            attn_cfg_sliding if sliding else attn_cfg, positions,
+            freqs_local if sliding else freqs,
+            mask_sliding if sliding else mask_full,
             kv_cache=None if kv_caches is None else kv_caches[i],
             cache_index=cache_index, use_flash=use_flash,
         )
+        if cfg.post_norms:
+            attn_out = rms_norm(attn_out, layer["post_ln1"], cfg.norm_eps)
         x = x + attn_out
         h = rms_norm(x, layer["ln2"], cfg.norm_eps)
         g = jax.nn.gelu(
             linear(h, layer["mlp"]["w1"]).astype(jnp.float32), approximate=True
         ).astype(x.dtype)
         up = linear(h, layer["mlp"]["w3"])
-        x = x + linear(g * up, layer["mlp"]["w2"])
+        ffw = linear(g * up, layer["mlp"]["w2"])
+        if cfg.post_norms:
+            ffw = rms_norm(ffw, layer["post_ln2"], cfg.norm_eps)
+        x = x + ffw
         if new_caches is not None:
             new_caches.append(new_c)
 

@@ -53,6 +53,13 @@ class LlamaConfig:
     # decoupled from dim // n_heads
     qk_norm: bool = False
     qk_head_dim: Optional[int] = None
+    # Gemma2-style attention knobs: score scale decoupled from head_dim
+    # and a tanh softcap on the attention logits
+    sm_scale: Optional[float] = None
+    attn_softcap: Optional[float] = None
+    # force the masked XLA attention path (sliding-window layers: the
+    # flash/decode kernels mask by length only, not by band)
+    force_xla_attention: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -218,7 +225,8 @@ def attention(
             hasattr(cache_index, "ndim") and getattr(cache_index, "ndim", 0) == 1
         )
 
-        if s == 1 and cfg.sdpa == "bf16" and hd % 128 == 0:
+        if (s == 1 and cfg.sdpa == "bf16" and hd % 128 == 0
+                and cfg.attn_softcap is None and not cfg.force_xla_attention):
             # single-token decode: Pallas flash-decoding kernel reading the
             # cache in place — int8/fp8 caches stream as 8-bit bytes, the
             # per-vector scales fold into scores/probs in-kernel
@@ -247,7 +255,8 @@ def attention(
                     lengths = positions[:, 0] + 1
                     out = decode_attention(
                         q[:, 0], kd, vd, lengths, k_scale=ks_, v_scale=vs_,
-                        sm_scale=hd ** -0.5,
+                        sm_scale=(cfg.sm_scale if cfg.sm_scale is not None
+                                  else hd ** -0.5),
                     )
                     out = out.astype(x.dtype).reshape(b, 1, h * hd)
                     return linear(out, layer["wo"]), (ck, cv)
@@ -297,7 +306,8 @@ def attention(
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
 
-    if use_flash:
+    if (use_flash and cfg.attn_softcap is None and cfg.sm_scale is None
+            and not cfg.force_xla_attention):
         # pallas online-softmax kernel; valid when query positions start at 0
         # (prefill) so the causal mask covers cache padding too
         from ao_tpu.ops import kernels as _kernels
@@ -324,7 +334,11 @@ def attention(
         return linear(out, layer["wo"]), new_cache
 
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
-    scores = scores * (hd ** -0.5)
+    scores = scores * (cfg.sm_scale if cfg.sm_scale is not None
+                       else hd ** -0.5)
+    if cfg.attn_softcap:
+        c = cfg.attn_softcap
+        scores = jnp.tanh(scores / c) * c
     if mask is not None:
         scores = jnp.where(mask, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)

@@ -518,3 +518,66 @@ class TestRopeScaling:
         logits = out[0] if isinstance(out, tuple) else out
         np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
                                    atol=5e-6)
+
+
+class TestGemma23GroundTruth:
+    def test_gemma2_matches_transformers(self):
+        """Gemma2: sandwich norms, attn/final softcaps, query_pre_attn
+        scalar, sliding-window band mask — exact in fp32 (seq > window so
+        the band is exercised)."""
+        from transformers import Gemma2Config, Gemma2ForCausalLM
+
+        from ao_tpu.integrations.auto import import_from_hf
+        from ao_tpu.models import gemma
+
+        hf = Gemma2Config(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=32, max_position_embeddings=128, rms_norm_eps=1e-6,
+            rope_theta=10000.0, query_pre_attn_scalar=48,
+            attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+            sliding_window=8)
+        torch.manual_seed(0)
+        m = Gemma2ForCausalLM(hf).eval()
+        params, cfg = import_from_hf(m.state_dict(), hf.to_dict(),
+                                     dtype=jnp.float32)
+        assert cfg.post_norms and cfg.sliding_window == 8
+        toks = torch.randint(0, 256, (1, 24))
+        with torch.no_grad():
+            ref = m(toks).logits.numpy()
+        out = gemma.forward(params, jnp.asarray(toks.numpy()), cfg)
+        logits = out[0] if isinstance(out, tuple) else out
+        np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
+                                   atol=5e-6)
+
+    def test_gemma3_matches_transformers(self):
+        """Gemma3: per-head (1+w) QK-norm, local/global rope thetas, 5:1
+        sliding pattern via layer_types — exact in fp32."""
+        from transformers import Gemma3ForCausalLM, Gemma3TextConfig
+
+        from ao_tpu.integrations.auto import import_from_hf
+        from ao_tpu.models import gemma
+
+        hf = Gemma3TextConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=32, max_position_embeddings=128, rms_norm_eps=1e-6,
+            rope_theta=100000.0, rope_local_base_freq=10000.0,
+            query_pre_attn_scalar=32, sliding_window=8,
+            sliding_window_pattern=3)
+        torch.manual_seed(0)
+        m = Gemma3ForCausalLM(hf).eval()
+        with torch.no_grad():  # non-trivial (1+w) norm weights
+            for n, p in m.named_parameters():
+                if "q_norm" in n or "k_norm" in n:
+                    p.copy_(0.2 * torch.randn(p.shape))
+        params, cfg = import_from_hf(m.state_dict(), hf.to_dict(),
+                                     dtype=jnp.float32)
+        assert cfg.qk_norm and cfg.rope_local_theta == 10000.0
+        toks = torch.randint(0, 256, (1, 24))
+        with torch.no_grad():
+            ref = m(toks).logits.numpy()
+        out = gemma.forward(params, jnp.asarray(toks.numpy()), cfg)
+        logits = out[0] if isinstance(out, tuple) else out
+        np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
+                                   atol=5e-6)
