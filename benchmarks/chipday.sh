@@ -1,0 +1,32 @@
+#!/bin/bash
+# One-shot on-chip measurement battery — run when the axon tunnel is up.
+# Captures every bench the round added plus the canonical tables, into
+# benchmarks/results/chipday_<ts>/.
+set -u
+cd "$(dirname "$0")/.."
+ts=$(date +%Y%m%d_%H%M%S)
+out="benchmarks/results/chipday_${ts}"
+mkdir -p "$out"
+run() {
+  name=$1; shift
+  echo "=== $name: $*" | tee -a "$out/log.txt"
+  timeout 1800 "$@" > "$out/${name}.json" 2> >(tail -40 >> "$out/log.txt")
+  echo "--- exit $? ---" >> "$out/log.txt"
+}
+
+# TPU kernel test suite first: correctness before numbers
+AO_TPU_TESTS=1 timeout 2400 python -m pytest tests/test_pallas_tpu.py -m tpu -q \
+  2>&1 | tail -5 | tee "$out/tpu_tests.txt"
+
+run gemm_sol      python benchmarks/gemm_sol.py 8        # %SoL incl nf4 row
+run gemm_sol_m1   python benchmarks/gemm_sol.py 1
+run bench         python bench.py                        # THE headline
+run decode_suite  python benchmarks/decode_suite.py      # incl nf4 row
+run train_bench   python benchmarks/train_bench.py 4 4096
+run sam_bench     python benchmarks/sam_bench.py 4
+run diffusion     python benchmarks/diffusion_bench.py
+run spec_bench    python benchmarks/spec_bench.py
+run attn_sol      python benchmarks/attn_sol.py
+run serving       python benchmarks/serving_bench.py
+
+echo "done: $out"
