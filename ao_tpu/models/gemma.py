@@ -152,7 +152,7 @@ def forward(
 
         if isinstance(c0, PagedKVPool):
             return None  # paged attention masks by per-sequence length
-        t = (c0.qdata if hasattr(c0, "qdata") else c0).shape[1]
+        t = (c0.scale if hasattr(c0, "scale") else c0).shape[1]
         key_pos = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
         qpos = positions[:, None, :, None]
         m = key_pos <= qpos

@@ -394,7 +394,9 @@ def forward(
         if isinstance(c0, PagedKVPool):
             mask = None  # paged attention masks by per-sequence length
         else:
-            t = (c0.qdata if hasattr(c0, "qdata") else c0).shape[1]
+            # QuantKVCache: token capacity comes from the scale rows (int4
+            # packs 8 tokens per qdata word row)
+            t = (c0.scale if hasattr(c0, "scale") else c0).shape[1]
             key_pos = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
             mask = key_pos <= positions[:, None, :, None]
         new_caches = []

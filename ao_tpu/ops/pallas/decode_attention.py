@@ -26,7 +26,7 @@ _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def _kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
             m_ref, l_ref, acc_ref, *, block_t: int, n_tb: int,
-            sm_scale: float, quantized: bool, hkv: int):
+            sm_scale: float, mode: str, hkv: int):
     bi = pl.program_id(0)
     hi = pl.program_id(1)
     ti = pl.program_id(2)
@@ -38,22 +38,42 @@ def _kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0, 0]  # (G, D) bf16
-    k = k_ref[0]  # (Tb, D) — head slice via index_map
-    v = v_ref[0]
-    if quantized:
-        # int8 → bf16 for the dot; the per-VECTOR scales commute out of the
-        # d-contraction, so they land on the score columns (k) and fold
-        # into p (v) — no O(Tb·D) dequant multiplies at all
-        k = k.astype(jnp.bfloat16)  # mosaic lowers i8→bf16 directly
-        v = v.astype(jnp.bfloat16)
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale  # (G, Tb)
-    if quantized:
-        s = s * ks_ref[0]  # (1, Tb) per-vector k scales
+    if mode == "int4":
+        # nibble-packed token axis: k_ref is (Tb/8, D) int32 words; plane j
+        # of the magic bitcast yields tokens ≡ j (mod 4) as bf16 (u-8)
+        # values (3 int ops per TWO tokens, no int→float converts), so the
+        # score block assembles PLANE-MAJOR: column i' = j*(Tb/4)+m holds
+        # token 4m+j. The wrapper permutes the scale rows to match; the
+        # length mask recovers logical positions from i' arithmetically.
+        kw = k_ref[0]
+        qcap = block_t // 4
+        planes = []
+        for j in range(4):
+            ow = ((kw >> (4 * j)) & 0x000F000F) | 0x43004300
+            c = pltpu.bitcast(ow, jnp.bfloat16) - jnp.bfloat16(136.0)
+            planes.append(jax.lax.dot_general(
+                q, c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        s = jnp.concatenate(planes, axis=1) * sm_scale  # (G, Tb) plane-major
+        s = s * ks_ref[0]  # permuted per-vector k scales
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        pos = 4 * (col % qcap) + col // qcap + ti * block_t
+    else:
+        k = k_ref[0]  # (Tb, D) — head slice via index_map
+        if mode == "vec8":
+            # int8 → bf16 for the dot; the per-VECTOR scales commute out of
+            # the d-contraction, so they land on the score columns (k) and
+            # fold into p (v) — no O(Tb·D) dequant multiplies at all
+            k = k.astype(jnp.bfloat16)  # mosaic lowers i8→bf16 directly
 
-    pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ti * block_t
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale  # (G, Tb)
+        if mode == "vec8":
+            s = s * ks_ref[0]  # (1, Tb) per-vector k scales
+        pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ti * block_t
+
     s = jnp.where(pos < len_ref[bi, 0], s, _NEG)
 
     m_prev = m_ref[:, :1]
@@ -63,10 +83,26 @@ def _kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
     p = jnp.exp(s - m_new)
 
     l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-    pv = (p * vs_ref[0] if quantized else p).astype(jnp.bfloat16)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    pv = (p * vs_ref[0] if mode != "fp" else p).astype(jnp.bfloat16)
+    if mode == "int4":
+        vw = v_ref[0]  # (Tb/8, D) int32 words, same layout as k
+        delta = jnp.zeros_like(acc_ref)
+        for j in range(4):
+            ow = ((vw >> (4 * j)) & 0x000F000F) | 0x43004300
+            cv = pltpu.bitcast(ow, jnp.bfloat16) - jnp.bfloat16(136.0)
+            # pv columns are plane-major, so plane j's probs are the STATIC
+            # slice [j*qcap, (j+1)*qcap) — no strided lane access needed
+            delta = delta + jax.lax.dot_general(
+                pv[:, j * qcap:(j + 1) * qcap], cv,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + delta
+    else:
+        v = v_ref[0]
+        if mode == "vec8":
+            v = v.astype(jnp.bfloat16)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
     l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
@@ -77,17 +113,18 @@ def _kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "quantized", "block_t"))
-def _impl(q, kflat, ks, vflat, vs, lengths, *, sm_scale, quantized, block_t):
+@functools.partial(jax.jit, static_argnames=("sm_scale", "mode", "block_t"))
+def _impl(q, kflat, ks, vflat, vs, lengths, *, sm_scale, mode, block_t):
     b, hkv, g, d = q.shape
-    t = kflat.shape[1]
+    rows_per_blk = block_t // 8 if mode == "int4" else block_t
+    t = kflat.shape[1] * (8 if mode == "int4" else 1)
     n_tb = t // block_t
 
     grid = (b, hkv, n_tb)
     out = pl.pallas_call(
         functools.partial(
             _kernel, block_t=block_t, n_tb=n_tb, sm_scale=sm_scale,
-            quantized=quantized, hkv=hkv,
+            mode=mode, hkv=hkv,
         ),
         grid=grid,
         in_specs=[
@@ -96,13 +133,14 @@ def _impl(q, kflat, ks, vflat, vs, lengths, *, sm_scale, quantized, block_t):
                          memory_space=pltpu.VMEM),
             # cache in native layout: (B, T, Hkv*D); the head axis folds
             # into lanes and index_map picks the head's D-slice — no
-            # transpose of the cache ever materializes
-            pl.BlockSpec((1, block_t, d), lambda bi, hi, ti: (bi, ti, hi),
+            # transpose of the cache ever materializes (int4: T/8 int32
+            # word rows per block)
+            pl.BlockSpec((1, rows_per_blk, d), lambda bi, hi, ti: (bi, ti, hi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_t),
                          lambda bi, hi, ti, hkv=hkv: (bi * hkv + hi, 0, ti),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_t, d), lambda bi, hi, ti: (bi, ti, hi),
+            pl.BlockSpec((1, rows_per_blk, d), lambda bi, hi, ti: (bi, ti, hi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_t),
                          lambda bi, hi, ti, hkv=hkv: (bi * hkv + hi, 0, ti),
@@ -121,7 +159,9 @@ def _impl(q, kflat, ks, vflat, vs, lengths, *, sm_scale, quantized, block_t):
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hkv * g * t * d,
-            bytes_accessed=2 * b * t * hkv * (d + 4) + b * hkv * g * d * 8,
+            bytes_accessed=(
+                2 * b * t * hkv * ((d // 2 if mode == "int4" else d) + 4)
+                + b * hkv * g * d * 8),
             transcendentals=b * hkv * g * t,
         ),
     )(lengths, q, kflat, ks, vflat, vs)
@@ -132,19 +172,30 @@ def decode_attention(q, k_cache, v_cache, lengths, *, k_scale=None,
                      v_scale=None, sm_scale=None, block_t: int = 512):
     """Single-step decode attention over a cache.
 
-    q (B, H, D); k_cache/v_cache (B, T, Hkv, D) bf16 OR int8/fp8 with
-    k_scale/v_scale (B, T, Hkv, 1); lengths (B,) int32 valid positions.
-    Returns (B, H, D) f32.
+    q (B, H, D); k_cache/v_cache (B, T, Hkv, D) bf16 OR int8/fp8, OR the
+    int4 word-packed form (B, T/8, Hkv, D) int32 (QuantKVCache "int4") —
+    quantized caches come with k_scale/v_scale (B, T, Hkv, 1); lengths (B,)
+    int32 valid positions. Returns (B, H, D) f32.
     """
     b, h, d = q.shape
-    t, hkv = k_cache.shape[1], k_cache.shape[2]
+    int4 = k_cache.dtype == jnp.int32
+    t, hkv = k_cache.shape[1] * (8 if int4 else 1), k_cache.shape[2]
     g = h // hkv
-    block_t = min(block_t, t)
+    if int4:
+        mode = "int4"
+        if k_scale is None:
+            raise UnsupportedShape("int4 cache needs scales")
+        # words-per-block must satisfy the %8 sublane rule → block_t % 64
+        block_t = min(block_t - block_t % 64 or 64, t)
+        if t % block_t or block_t % 64:
+            raise UnsupportedShape(f"int4 cache T={t} vs block_t={block_t}")
+    else:
+        mode = "vec8" if k_scale is not None else "fp"
+        block_t = min(block_t, t)
     if d % 128 or t % block_t:
         raise UnsupportedShape(f"D={d} or T={t} misaligned")
     if g * hkv != h or g < 1:
         raise UnsupportedShape(f"H={h} not a multiple of Hkv={hkv}")
-    quantized = k_scale is not None
     sm_scale = sm_scale if sm_scale is not None else d ** -0.5
 
     gp = max(8, g)  # f32 sublane minimum
@@ -152,20 +203,34 @@ def decode_attention(q, k_cache, v_cache, lengths, *, k_scale=None,
     if gp != g:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
 
-    kflat = k_cache.reshape(b, t, hkv * d)  # free reshape, native layout
-    vflat = v_cache.reshape(b, t, hkv * d)
-    if quantized:
+    kflat = k_cache.reshape(b, k_cache.shape[1], hkv * d)  # native layout
+    vflat = v_cache.reshape(b, v_cache.shape[1], hkv * d)
+    if mode != "fp":
         # (B, T, Hkv) → (B·Hkv, 1, T): tiny transpose, gives the kernel a
         # directly-broadcastable (1, Tb) score-scale row per head
         ks = k_scale.reshape(b, t, hkv).transpose(0, 2, 1).reshape(
             b * hkv, 1, t).astype(jnp.float32)
         vs = v_scale.reshape(b, t, hkv).transpose(0, 2, 1).reshape(
             b * hkv, 1, t).astype(jnp.float32)
+        if int4:
+            # the kernel's plane extraction assembles each Tb block's score
+            # columns PLANE-MAJOR (column j*(Tb/4)+m ↦ token 4m+j); permute
+            # the scale rows once per call to match — O(B·Hkv·T) gather,
+            # negligible next to the cache read itself
+            import numpy as np
+
+            qcap = block_t // 4
+            ip = np.arange(block_t)
+            perm = 4 * (ip % qcap) + ip // qcap
+            ks = ks.reshape(b * hkv, 1, t // block_t, block_t)[
+                ..., perm].reshape(b * hkv, 1, t)
+            vs = vs.reshape(b * hkv, 1, t // block_t, block_t)[
+                ..., perm].reshape(b * hkv, 1, t)
     else:
         ks = jnp.ones((b * hkv, 1, t), jnp.float32)
         vs = jnp.ones((b * hkv, 1, t), jnp.float32)
     lengths = lengths.reshape(b, 1).astype(jnp.int32)
 
     out = _impl(qg, kflat, ks, vflat, vs, lengths, sm_scale=float(sm_scale),
-                quantized=quantized, block_t=block_t)
+                mode=mode, block_t=block_t)
     return out[:, :, :g].reshape(b, h, d)

@@ -28,7 +28,7 @@ def generate(
     cfg: llama.LlamaConfig,
     num_steps: int,
     max_seq: int,
-    kv_quant: Optional[str] = None,  # None | "int8" | "float8_e4m3fn"
+    kv_quant: Optional[str] = None,  # None | "int8" | "float8_e4m3fn" | "int4"
     use_flash: bool = False,
     temperature: float = 0.0,  # 0 = greedy
     top_k: Optional[int] = None,

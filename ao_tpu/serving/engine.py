@@ -25,7 +25,7 @@ from ao_tpu.serving.kvcache import QuantKVCache, init_quant_kv_caches
 class ServeConfig:
     max_batch: int = 8
     max_seq: int = 2048
-    kv_quant: Optional[str] = None  # None | "int8" | "float8_e4m3fn"
+    kv_quant: Optional[str] = None  # None | "int8" | "float8_e4m3fn" | "int4" (slot layout only)
     eos_id: int = -1  # -1: never stop on a token
     prefill_buckets: Tuple[int, ...] = (128, 512, 2048)
     # KV memory layout: "slots" (per-slot contiguous max_seq caches) or

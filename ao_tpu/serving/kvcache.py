@@ -1,4 +1,4 @@
-"""Quantized KV cache (int8 / fp8) with per-token-per-head scales.
+"""Quantized KV cache (int8 / fp8 / int4) with per-token-per-head scales.
 
 (ref analog: the reference's quantized-attention/KV-cache surface —
 csrc/cpu/aten_kernels/quantized_sdpa.cpp int8/fp8 attention semantics and
@@ -6,8 +6,16 @@ prototype/attention fp8 SDPA; SURVEY §5 "long context" notes. TPU
 re-design: the cache is a pytree of (qdata, scale) pairs, so sharding,
 donation, and collectives apply leaf-wise. Scales are per (batch, pos,
 kv_head) — one scalar per cached vector — which keeps dequantization a
-single fused multiply on load and halves (int8/fp8) the HBM bytes the
-decode attention reads.)
+single fused multiply on load and halves (int8/fp8) or quarters (int4)
+the HBM bytes the decode attention reads.
+
+int4 mode (beyond the reference, which has no 4-bit KV): nibbles pack the
+TOKEN axis into int32 words — word row r holds tokens 8r..8r+7, token
+8r+4h+j at bits [4j+16h : +4) — the same "magic" bit geometry as the int4
+weight kernels, so the decode kernel recovers (u-8) as bf16 with one
+shift/and/or + an i32→bf16 bitcast per plane and zero int→float converts
+(`ops/pallas/decode_attention.py`). qdata is (B, T/8, Hkv, D) int32; the
+scale array stays in logical token order, (B, T, Hkv, 1) f32.)
 """
 
 from __future__ import annotations
@@ -21,7 +29,33 @@ import jax.numpy as jnp
 from ao_tpu.quantization.qarrays.base import meta, qarray_dataclass
 from ao_tpu.quantization.qarrays.common import canon_dtype
 
-_QMAX = {"int8": 127.0, "float8_e4m3fn": 448.0, "float8_e5m2": 57344.0}
+_QMAX = {"int8": 127.0, "float8_e4m3fn": 448.0, "float8_e5m2": 57344.0,
+         "int4": 7.0}
+
+
+def _kv_shift(o: int) -> int:
+    """Bit offset of token-in-word slot o: word r holds token 8r+o at bits
+    [4*(o%4) + 16*(o//4) : +4) — the i32→bf16 sublane-doubling bitcast then
+    recovers plane j as rows 2r+h ↦ token 8r+4h+j, i.e. tokens ≡ j (mod 4)
+    in order (see ops/pallas/decode_attention.py int4 mode)."""
+    return 4 * (o % 4) + 16 * (o // 4)
+
+
+def _pack_tok_int4(u: jax.Array) -> jax.Array:
+    """Unsigned nibbles (T, H, D) int32 → (T/8, H, D) int32 words."""
+    t = u.shape[0]
+    ug = u.astype(jnp.int32).reshape(t // 8, 8, *u.shape[1:])
+    word = jnp.zeros((t // 8,) + u.shape[1:], jnp.int32)
+    for o in range(8):
+        word = word | (ug[:, o] << _kv_shift(o))
+    return word
+
+
+def _unpack_tok_int4(word: jax.Array) -> jax.Array:
+    """Inverse of :func:`_pack_tok_int4` → nibbles 0..15, (8R, H, D) int32."""
+    r = word.shape[0]
+    planes = [(word >> _kv_shift(o)) & 0xF for o in range(8)]
+    return jnp.stack(planes, axis=1).reshape(8 * r, *word.shape[1:])
 
 
 @qarray_dataclass
@@ -35,9 +69,17 @@ class QuantKVCache:
     @classmethod
     def create(cls, batch: int, max_seq: int, n_kv_heads: int, head_dim: int,
                dtype_name: str = "int8") -> "QuantKVCache":
-        dt = canon_dtype(dtype_name)
+        if dtype_name == "int4":
+            if max_seq % 8:
+                raise ValueError(f"int4 KV cache needs max_seq % 8 == 0, "
+                                 f"got {max_seq}")
+            qdata = jnp.zeros(
+                (batch, max_seq // 8, n_kv_heads, head_dim), jnp.int32)
+        else:
+            dt = canon_dtype(dtype_name)
+            qdata = jnp.zeros((batch, max_seq, n_kv_heads, head_dim), dt)
         return cls(
-            qdata=jnp.zeros((batch, max_seq, n_kv_heads, head_dim), dt),
+            qdata=qdata,
             scale=jnp.zeros((batch, max_seq, n_kv_heads, 1), jnp.float32),
             dtype_name=dtype_name,
         )
@@ -51,6 +93,10 @@ class QuantKVCache:
         v = xf / scale
         if self.dtype_name == "int8":
             q = jnp.clip(jnp.round(v), -127, 127).astype(jnp.int8)
+        elif self.dtype_name == "int4":
+            # unsigned nibbles u = q+8 so the kernel's bf16-bitcast decode
+            # (128+u → u-8) recovers the signed value directly
+            q = (jnp.clip(jnp.round(v), -8, 7) + 8).astype(jnp.int32)
         else:
             q = jnp.clip(v, -qmax, qmax).astype(canon_dtype(self.dtype_name))
         return q, scale
@@ -60,7 +106,21 @@ class QuantKVCache:
         ``index`` may be a scalar (all rows at one offset) or a (B,) vector
         (continuous batching: per-slot positions)."""
         q, s = self.quantize_values(x)
-        if hasattr(index, "ndim") and getattr(index, "ndim", 0) == 1:
+        per_slot = hasattr(index, "ndim") and getattr(index, "ndim", 0) == 1
+        if self.dtype_name == "int4":
+            starts = index if per_slot else jnp.full(
+                (q.shape[0],), index, jnp.int32)
+            qdata = self._scatter_int4(q, starts)
+            if per_slot:
+                rows = jnp.arange(q.shape[0])[:, None]
+                cols = jnp.minimum(
+                    index[:, None] + jnp.arange(q.shape[1])[None],
+                    self.scale.shape[1] - 1)
+                scale = self.scale.at[rows, cols].set(s)
+            else:
+                scale = jax.lax.dynamic_update_slice(
+                    self.scale, s, (0, index, 0, 0))
+        elif per_slot:
             # per-slot offsets; x may be an s-token window per slot
             # (speculative verify) — clamp writes at the last row
             rows = jnp.arange(q.shape[0])[:, None]
@@ -73,7 +133,31 @@ class QuantKVCache:
             scale = jax.lax.dynamic_update_slice(self.scale, s, (0, index, 0, 0))
         return dataclasses.replace(self, qdata=qdata, scale=scale)
 
+    def _scatter_int4(self, u: jax.Array, starts: jax.Array) -> jax.Array:
+        """Write per-batch s-token nibble windows into the packed words via
+        an unpack→set→repack of the touched word-row region (writes past
+        the end clamp onto the last row, like the 8-bit per-slot path)."""
+        bsz, s_tok = u.shape[0], u.shape[1]
+        n_rows, t = self.qdata.shape[1], self.scale.shape[1]
+        region = min(s_tok // 8 + 2, n_rows)
+
+        def one(words, ub, start):
+            row0 = jnp.clip(jnp.minimum(start // 8, n_rows - region),
+                            0, n_rows)
+            blk = jax.lax.dynamic_slice(
+                words, (row0, 0, 0), (region,) + words.shape[1:])
+            toks = _unpack_tok_int4(blk)
+            pos = jnp.minimum(start + jnp.arange(s_tok), t - 1) - row0 * 8
+            toks = toks.at[pos].set(ub)
+            return jax.lax.dynamic_update_slice(
+                words, _pack_tok_int4(toks), (row0, 0, 0))
+
+        return jax.vmap(one)(self.qdata, u, starts)
+
     def dequantize(self, out_dtype=jnp.bfloat16) -> jax.Array:
+        if self.dtype_name == "int4":
+            u = jax.vmap(_unpack_tok_int4)(self.qdata)
+            return ((u - 8).astype(jnp.float32) * self.scale).astype(out_dtype)
         return (self.qdata.astype(jnp.float32) * self.scale).astype(out_dtype)
 
 

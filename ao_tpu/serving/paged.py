@@ -65,6 +65,10 @@ class PagedKVPool:
                                 jnp.bfloat16),
                 scale=None, page_size=page_size, dtype_name=dtype_name,
             )
+        if dtype_name == "int4":
+            raise ValueError(
+                "int4 KV is supported by the slot cache (QuantKVCache), not "
+                "the paged pool — use paged=False with kv_quant='int4'")
         from ao_tpu.quantization.qarrays.common import canon_dtype
 
         return cls(

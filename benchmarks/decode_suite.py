@@ -89,6 +89,10 @@ def main():
     print(json.dumps({"config": "long4k_int4_wo+int8kv",
                       "tok_s": round(lkv, 1),
                       "speedup": round(lkv / lbase, 3)}), flush=True)
+    lkv4 = bench(qp, kv_quant="int4")
+    print(json.dumps({"config": "long4k_int4_wo+int4kv",
+                      "tok_s": round(lkv4, 1),
+                      "speedup": round(lkv4 / lbase, 3)}), flush=True)
 
 
 if __name__ == "__main__":

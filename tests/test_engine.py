@@ -62,6 +62,38 @@ class TestEngine:
         for req, ref in zip(done, refs):
             assert req.generated == ref, (req.uid, req.generated, ref)
 
+    def test_int4_kv_pool(self):
+        """int4 word-packed slot caches run the engine end to end (the
+        numeric contract for int4 KV lives in test_serving/test_pallas_*;
+        random-init greedy trajectories diverge at 4-bit KV noise)."""
+        params, cfg = _model()
+        prompt = [3, 17, 42, 9]
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, kv_quant="int4", prefill_buckets=(8,)))
+        eng.submit(prompt, 6)
+        done = eng.run()
+        assert len(done[0].generated) == 6
+        assert all(0 <= t < cfg.vocab_size for t in done[0].generated)
+
+    def test_tp_sharded_params_match_unsharded(self):
+        """Serving with TENSOR-PARALLEL sharded params on a 2-way mesh must
+        reproduce the unsharded engine's tokens exactly — the quantized
+        leaves shard over the tp axis and XLA inserts the collectives."""
+        from ao_tpu.parallel.sharding import make_mesh, shard_params
+
+        params, cfg = _model()
+        prompt = [3, 17, 42, 9]
+        ref = _ref_generate(params, cfg, prompt, 8)
+
+        mesh = make_mesh((1, 2), ("dp", "tp"))
+        with mesh:
+            sharded = shard_params(params, mesh)
+            eng = Engine(sharded, cfg, ServeConfig(
+                max_batch=2, max_seq=64, prefill_buckets=(8,)))
+            eng.submit(prompt, max_new_tokens=8)
+            done = eng.run()
+        assert done[0].generated == ref
+
     def test_quantized_kv_pool(self):
         params, cfg = _model()
         prompt = [3, 17, 42, 9]

@@ -148,6 +148,30 @@ class TestInterpretDecodeAttention:
                                  sm_scale=d ** -0.5, block_t=128)
         assert compute_error(ref, y.astype(jnp.float32)) > 25
 
+    def test_int4_cache(self):
+        """Word-packed int4 cache: the kernel's plane-major magic decode
+        must match attention over the dequantized cache exactly (same
+        quantized values, same f32 softmax structure)."""
+        from ao_tpu.ops.pallas.decode_attention import decode_attention
+        from ao_tpu.serving.kvcache import QuantKVCache
+
+        b, t, h, hkv, d = 2, 128, 4, 2, 128
+        kq = jax.random.split(jax.random.PRNGKey(5), 3)
+        q = jax.random.normal(kq[0], (b, h, d), jnp.bfloat16)
+        k = jax.random.normal(kq[1], (b, t, hkv, d), jnp.float32)
+        v = jax.random.normal(kq[2], (b, t, hkv, d), jnp.float32)
+        ck = QuantKVCache.create(b, t, hkv, d, "int4").update(k, 0)
+        cv = QuantKVCache.create(b, t, hkv, d, "int4").update(v, 0)
+        lengths = jnp.array([128, 77], jnp.int32)
+        ref = self._reference(q, ck.dequantize(jnp.bfloat16),
+                              cv.dequantize(jnp.bfloat16), lengths, d ** -0.5)
+        with pltpu.force_tpu_interpret_mode():
+            y = decode_attention(q, ck.qdata, cv.qdata, lengths,
+                                 k_scale=ck.scale, v_scale=cv.scale,
+                                 sm_scale=d ** -0.5, block_t=128)
+        err = compute_error(ref, y.astype(jnp.float32))
+        assert err > 25, float(err)
+
 
 class TestInterpretFlashAttention:
     @pytest.mark.parametrize("causal", [True, False])

@@ -251,6 +251,16 @@ def test_decode_attention_kernel_parity():
     rq = ref(q, kq.astype(jnp.float32) * ks, vq.astype(jnp.float32) * vs)
     assert compute_error(rq, yq) > 40
 
+    # int4 word-packed cache: plane-major magic decode in-kernel
+    from ao_tpu.serving.kvcache import QuantKVCache
+
+    ck = QuantKVCache.create(b, t, hkv, d, "int4").update(k, 0)
+    cv = QuantKVCache.create(b, t, hkv, d, "int4").update(v, 0)
+    y4 = decode_attention(q, ck.qdata, cv.qdata, lengths,
+                          k_scale=ck.scale, v_scale=cv.scale, block_t=128)
+    r4 = ref(q, ck.dequantize(jnp.float32), cv.dequantize(jnp.float32))
+    assert compute_error(r4, y4) > 40
+
 
 def test_paged_attention_kernel_parity():
     """DMA-gather paged attention vs the XLA reference, bf16 + int8 pools."""

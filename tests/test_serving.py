@@ -74,6 +74,26 @@ class TestQuantizedKVDecoding:
         agree = float(jnp.mean((toks_bf16 == toks_int8).astype(jnp.float32)))
         assert agree >= 0.5, agree
 
+    def test_generate_with_int4_cache(self, params):
+        """int4 word-packed KV through prefill + decode (XLA fallback path
+        on CPU; the Pallas kernel is covered by interpret/tpu suites).
+        Greedy trajectories on a random-init model cascade at 4-bit KV
+        noise (~16dB logits SQNR here), so the numeric gate is on the
+        prefill logits, not token agreement (int8's 37dB does agree)."""
+        prompt = jax.random.randint(KEY, (2, 4), 0, CFG.vocab_size)
+        toks_int4 = generate(params, prompt, CFG, 8, 16, kv_quant="int4")
+        assert toks_int4.shape == (2, 8)
+        assert bool(jnp.all((toks_int4 >= 0) & (toks_int4 < CFG.vocab_size)))
+
+        caches = init_quant_kv_caches(CFG, 2, 16, "int4")
+        pos = jnp.arange(4)[None].repeat(2, 0)
+        logits, _ = llama.forward(params, prompt, CFG, positions=pos,
+                                  kv_caches=caches, cache_index=0)
+        ref, _ = llama.forward(
+            params, prompt, CFG, positions=pos,
+            kv_caches=llama.init_kv_caches(CFG, 2, 16), cache_index=0)
+        assert float(compute_error(ref, logits)) > 12.0
+
     def test_generate_quantized_weights_and_cache(self, params):
         qp = ao_tpu.quantize_(params, ao_tpu.Int8WeightOnlyConfig())
         prompt = jax.random.randint(KEY, (1, 4), 0, CFG.vocab_size)
