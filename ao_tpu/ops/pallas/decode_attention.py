@@ -42,20 +42,23 @@ def _kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
     if mode == "int4":
         # nibble-packed token axis: k_ref is (Tb/8, D) int32 words; plane j
         # of the magic bitcast yields tokens ≡ j (mod 4) as bf16 (u-8)
-        # values (3 int ops per TWO tokens, no int→float converts), so the
-        # score block assembles PLANE-MAJOR: column i' = j*(Tb/4)+m holds
-        # token 4m+j. The wrapper permutes the scale rows to match; the
-        # length mask recovers logical positions from i' arithmetically.
+        # values (3 int ops per TWO tokens, no int→float converts). The
+        # planes stack along SUBLANES into a (Tb, D) K block whose token
+        # order is PLANE-MAJOR: row i' = j*(Tb/4)+m holds token 4m+j — one
+        # full-lane dot, no narrow slices anywhere. The wrapper permutes
+        # the scale rows to match; the length mask recovers logical
+        # positions from i' arithmetically.
         kw = k_ref[0]
         qcap = block_t // 4
-        planes = []
-        for j in range(4):
-            ow = ((kw >> (4 * j)) & 0x000F000F) | 0x43004300
-            c = pltpu.bitcast(ow, jnp.bfloat16) - jnp.bfloat16(136.0)
-            planes.append(jax.lax.dot_general(
-                q, c, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        s = jnp.concatenate(planes, axis=1) * sm_scale  # (G, Tb) plane-major
+        k = jnp.concatenate([
+            pltpu.bitcast(
+                ((kw >> (4 * j)) & 0x000F000F) | 0x43004300, jnp.bfloat16)
+            - jnp.bfloat16(136.0)
+            for j in range(4)
+        ], axis=0)  # (Tb, D)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
         s = s * ks_ref[0]  # permuted per-vector k scales
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         pos = 4 * (col % qcap) + col // qcap + ti * block_t
@@ -85,24 +88,22 @@ def _kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
     l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
     pv = (p * vs_ref[0] if mode != "fp" else p).astype(jnp.bfloat16)
     if mode == "int4":
-        vw = v_ref[0]  # (Tb/8, D) int32 words, same layout as k
-        delta = jnp.zeros_like(acc_ref)
-        for j in range(4):
-            ow = ((vw >> (4 * j)) & 0x000F000F) | 0x43004300
-            cv = pltpu.bitcast(ow, jnp.bfloat16) - jnp.bfloat16(136.0)
-            # pv columns are plane-major, so plane j's probs are the STATIC
-            # slice [j*qcap, (j+1)*qcap) — no strided lane access needed
-            delta = delta + jax.lax.dot_general(
-                pv[:, j * qcap:(j + 1) * qcap], cv,
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        acc_ref[:] = acc_ref[:] * alpha + delta
+        # same plane-major sublane stack as K: pv's columns already follow
+        # that token order, so one full (G,Tb)x(Tb,D) dot finishes the block
+        vw = v_ref[0]  # (Tb/8, D) int32 words
+        v = jnp.concatenate([
+            pltpu.bitcast(
+                ((vw >> (4 * j)) & 0x000F000F) | 0x43004300, jnp.bfloat16)
+            - jnp.bfloat16(136.0)
+            for j in range(4)
+        ], axis=0)  # (Tb, D)
     else:
         v = v_ref[0]
         if mode == "vec8":
             v = v.astype(jnp.bfloat16)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
     l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 

@@ -7,7 +7,10 @@ sequence's pages with `make_async_copy`, double-buffered so the next chunk's
 page DMAs hide behind the current chunk's flash-decoding math. The block
 table and lengths are scalar-prefetch operands. int8/fp8 pools stream as
 8-bit bytes; per-vector scales ride beside the pages and fold into
-scores/probs (scale-commuted, no dequant multiplies).)
+scores/probs (scale-commuted, no dequant multiplies). int4 pools stream as
+word-packed nibbles (4 bits/value on the wire) and each page decodes to a
+plane-major-sublane-stacked bf16 block via the magic i32→bf16 bitcast —
+the same geometry as ops/pallas/decode_attention.py's int4 mode.)
 
 Layout:
   pools   (P, page_size, Hkv·D)   — page-major; a page's head-slice is a
@@ -31,9 +34,11 @@ from ao_tpu.ops.pallas import UnsupportedShape
 _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _make_kernel(ps, d, hkv, n_pb, chunk, sm_scale, quantized, gp, out_dtype):
+def _make_kernel(ps, d, hkv, n_pb, chunk, sm_scale, mode, gp, out_dtype):
     n_chunks = n_pb // chunk
     tb = ps * chunk  # tokens per compute step
+    rp = ps // 8 if mode == "int4" else ps  # buffer rows per page
+    quantized = mode != "fp"
 
     def kernel(tab_ref, len_ref, q_ref, kpool, kscale, vpool, vscale,
                o_ref, kbuf, ksbuf, vbuf, vsbuf, sems):
@@ -47,12 +52,12 @@ def _make_kernel(ps, d, hkv, n_pb, chunk, sm_scale, quantized, gp, out_dtype):
                 page = tab_ref[bi * n_pb + ci * chunk + j]
                 dmas.append(pltpu.make_async_copy(
                     kpool.at[page, :, pl.ds(hi * d, d)],
-                    kbuf.at[slot, pl.ds(j * ps, ps)],
+                    kbuf.at[slot, pl.ds(j * rp, rp)],
                     sems.at[slot, 0, j],
                 ))
                 dmas.append(pltpu.make_async_copy(
                     vpool.at[page, :, pl.ds(hi * d, d)],
-                    vbuf.at[slot, pl.ds(j * ps, ps)],
+                    vbuf.at[slot, pl.ds(j * rp, rp)],
                     sems.at[slot, 1, j],
                 ))
                 if quantized:
@@ -86,18 +91,40 @@ def _make_kernel(ps, d, hkv, n_pb, chunk, sm_scale, quantized, gp, out_dtype):
             for dma in page_dmas(slot, ci):
                 dma.wait()
 
-            k = kbuf[slot]  # (tb, D)
-            v = vbuf[slot]
-            if quantized:
-                k = k.astype(jnp.bfloat16)
-                v = v.astype(jnp.bfloat16)
+            if mode == "int4":
+                # per-page plane-major sublane stack (see decode_attention
+                # int4 mode): page block j contributes rows [j*ps,(j+1)*ps)
+                # whose row i' = pj*(ps/4)+m holds that page's token 4m+pj
+                k, v = [
+                    jnp.concatenate([
+                        pltpu.bitcast(
+                            ((buf[slot][j * rp:(j + 1) * rp] >> (4 * pj))
+                             & 0x000F000F) | 0x43004300, jnp.bfloat16)
+                        - jnp.bfloat16(136.0)
+                        for j in range(chunk) for pj in range(4)
+                    ], axis=0)  # (tb, D)
+                    for buf in (kbuf, vbuf)
+                ]
+            else:
+                k = kbuf[slot]  # (tb, D)
+                v = vbuf[slot]
+                if quantized:
+                    k = k.astype(jnp.bfloat16)
+                    v = v.astype(jnp.bfloat16)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * sm_scale  # (G, tb)
             if quantized:
                 s = s * ksbuf[slot].reshape(1, tb)
-            pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ci * tb
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            if mode == "int4":
+                # column → logical token: page pg, page-local plane-major i2
+                pcap = ps // 4
+                pg, i2 = col // ps, col % ps
+                pos = pg * ps + 4 * (i2 % pcap) + i2 // pcap + ci * tb
+            else:
+                pos = col + ci * tb
             s = jnp.where(pos < len_ref[bi], s, _NEG)
 
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -123,16 +150,17 @@ def _make_kernel(ps, d, hkv, n_pb, chunk, sm_scale, quantized, gp, out_dtype):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "quantized", "ps", "gp", "chunk"),
+    static_argnames=("sm_scale", "mode", "ps", "gp", "chunk"),
 )
 def _impl(table, lengths, qg, kpages, kscale, vpages, vscale, *,
-          sm_scale, quantized, ps, gp, chunk):
+          sm_scale, mode, ps, gp, chunk):
     b, hkv, _, d = qg.shape
     n_pb = table.shape[0] // b
     kernel, tb, _ = _make_kernel(
-        ps, d, hkv, n_pb, chunk, sm_scale, quantized, gp, jnp.float32
+        ps, d, hkv, n_pb, chunk, sm_scale, mode, gp, jnp.float32
     )
     pool_dt = kpages.dtype
+    buf_rows = tb // 8 if mode == "int4" else tb
     del _
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -152,9 +180,9 @@ def _impl(table, lengths, qg, kpages, kscale, vpages, vscale, *,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, tb, d), pool_dt),  # k double buffer
+            pltpu.VMEM((2, buf_rows, d), pool_dt),  # k double buffer
             pltpu.VMEM((2, chunk, ps), jnp.float32),  # k scales
-            pltpu.VMEM((2, tb, d), pool_dt),  # v
+            pltpu.VMEM((2, buf_rows, d), pool_dt),  # v
             pltpu.VMEM((2, chunk, ps), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4, chunk)),
         ],
@@ -178,12 +206,15 @@ def paged_decode_attention(
     pages_per_chunk: int = 8,
 ) -> jax.Array:
     b, h, d = q.shape
-    n_pages, ps, hkv, _ = k_pool.pages.shape
+    int4 = k_pool.dtype_name == "int4"
+    n_pages, hkv = k_pool.pages.shape[0], k_pool.pages.shape[2]
+    ps = k_pool.page_size
     max_pages = block_table.shape[1]
     g = h // hkv
     if d % 128:
         raise UnsupportedShape(f"D={d} not lane-aligned")
     quantized = k_pool.scale is not None
+    mode = "int4" if int4 else ("vec8" if quantized else "fp")
     if ps % 8:
         raise UnsupportedShape(f"page_size {ps} not sublane-aligned")
     if quantized and ps % 128:
@@ -200,11 +231,21 @@ def paged_decode_attention(
     if gp != g:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
 
-    kpages = k_pool.pages.reshape(n_pages, ps, hkv * d)
-    vpages = v_pool.pages.reshape(n_pages, ps, hkv * d)
+    rows = ps // 8 if int4 else ps
+    kpages = k_pool.pages.reshape(n_pages, rows, hkv * d)
+    vpages = v_pool.pages.reshape(n_pages, rows, hkv * d)
     if quantized:
         kscale = k_pool.scale.reshape(n_pages, ps, hkv).transpose(0, 2, 1)
         vscale = v_pool.scale.reshape(n_pages, ps, hkv).transpose(0, 2, 1)
+        if int4:
+            # page-local plane-major permutation to match the kernel's
+            # nibble-plane stacking (see decode_attention int4 mode)
+            import numpy as np
+
+            ip = np.arange(ps)
+            perm = 4 * (ip % (ps // 4)) + ip // (ps // 4)
+            kscale = kscale[..., perm]
+            vscale = vscale[..., perm]
     else:  # dummies (never read)
         kscale = jnp.zeros((1, hkv, ps), jnp.float32)
         vscale = kscale
@@ -212,7 +253,7 @@ def paged_decode_attention(
     out = _impl(
         block_table.reshape(-1).astype(jnp.int32),
         lengths.astype(jnp.int32), qg, kpages, kscale, vpages, vscale,
-        sm_scale=sm, quantized=quantized, ps=ps, gp=gp,
+        sm_scale=sm, mode=mode, ps=ps, gp=gp,
         chunk=pages_per_chunk,
     )
     return out[:, :, :g].reshape(b, h, d)

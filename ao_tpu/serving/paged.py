@@ -1,4 +1,5 @@
-"""Paged KV cache: vLLM-style page pool + block tables, with int8/fp8 pages.
+"""Paged KV cache: vLLM-style page pool + block tables, with int8/fp8/int4
+pages (int4 word-packs 8 tokens per int32 along each page's token axis).
 
 (Beyond reference parity: torchao delegates paged serving to vLLM; here the
 page pool, allocator, and the paged-attention Pallas kernel are in-framework
@@ -26,7 +27,7 @@ import jax.numpy as jnp
 
 from ao_tpu.quantization.qarrays.base import meta, qarray_dataclass
 
-_QMAX = {"int8": 127.0, "float8_e4m3fn": 448.0}
+_QMAX = {"int8": 127.0, "float8_e4m3fn": 448.0, "int4": 7.0}
 
 
 class PageAllocator:
@@ -66,9 +67,19 @@ class PagedKVPool:
                 scale=None, page_size=page_size, dtype_name=dtype_name,
             )
         if dtype_name == "int4":
-            raise ValueError(
-                "int4 KV is supported by the slot cache (QuantKVCache), not "
-                "the paged pool — use paged=False with kv_quant='int4'")
+            # word-packed token axis per page, same bit geometry as the
+            # slot cache (serving/kvcache.py) and the int4 weight kernels
+            if page_size % 8:
+                raise ValueError(
+                    f"int4 pages need page_size % 8 == 0, got {page_size}")
+            return cls(
+                pages=jnp.zeros(
+                    (num_pages, page_size // 8, n_kv_heads, head_dim),
+                    jnp.int32),
+                scale=jnp.zeros((num_pages, page_size, n_kv_heads, 1),
+                                jnp.float32),
+                page_size=page_size, dtype_name=dtype_name,
+            )
         from ao_tpu.quantization.qarrays.common import canon_dtype
 
         return cls(
@@ -88,6 +99,9 @@ class PagedKVPool:
         s = jnp.maximum(amax, 1e-8) / qmax
         if self.dtype_name == "int8":
             q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+        elif self.dtype_name == "int4":
+            # unsigned nibbles u = q+8 (kernel decodes u-8 via bf16 bitcast)
+            q = (jnp.clip(jnp.round(xf / s), -8, 7) + 8).astype(jnp.int32)
         else:
             q = jnp.clip(xf / s, -qmax, qmax).astype(self.pages.dtype)
         return q, s
@@ -103,6 +117,17 @@ class PagedKVPool:
         )[:, 0]  # (B,)
         offs = lengths % self.page_size
         q, s = self._quant(x)
+        if self.dtype_name == "int4":
+            # read-modify-write one nibble slot of one int32 word per seq
+            # (bit geometry = kvcache._kv_shift: token 8r+4h+j at 4j+16h)
+            wrow = offs // 8
+            o = offs % 8
+            shift = (4 * (o % 4) + 16 * (o // 4))[:, None, None]
+            cur = self.pages[page_ids, wrow]  # (B, Hkv, D) int32
+            new = (cur & ~(15 << shift)) | (q << shift)
+            pages = self.pages.at[page_ids, wrow].set(new)
+            scale = self.scale.at[page_ids, offs].set(s)
+            return dataclasses.replace(self, pages=pages, scale=scale)
         pages = self.pages.at[page_ids, offs].set(q)
         scale = self.scale
         if scale is not None:
@@ -116,6 +141,10 @@ class PagedKVPool:
         n = page_ids.shape[0]
         q, s = self._quant(x)
         q = q.reshape(n, ps, *x.shape[1:])
+        if self.dtype_name == "int4":
+            from ao_tpu.serving.kvcache import _pack_tok_int4
+
+            q = jax.vmap(_pack_tok_int4)(q)  # (n, ps/8, Hkv, D) words
         pages = self.pages.at[page_ids].set(q)
         scale = self.scale
         if scale is not None:
@@ -126,10 +155,16 @@ class PagedKVPool:
 
     def gather(self, block_table_row: jax.Array, out_dtype=jnp.bfloat16):
         """Debug/emulated path: materialize one sequence's (T, Hkv, D)."""
-        pages = self.pages[block_table_row]  # (max_pages, ps, Hkv, D)
-        x = pages.astype(jnp.float32)
-        if self.scale is not None:
-            x = x * self.scale[block_table_row]
+        pages = self.pages[block_table_row]  # (max_pages, ps[/8], Hkv, D)
+        if self.dtype_name == "int4":
+            from ao_tpu.serving.kvcache import _unpack_tok_int4
+
+            u = jax.vmap(_unpack_tok_int4)(pages)  # (mp, ps, Hkv, D)
+            x = (u - 8).astype(jnp.float32) * self.scale[block_table_row]
+        else:
+            x = pages.astype(jnp.float32)
+            if self.scale is not None:
+                x = x * self.scale[block_table_row]
         mp, ps, hkv, d = x.shape
         return x.reshape(mp * ps, hkv, d).astype(out_dtype)
 

@@ -154,6 +154,16 @@ class TestPagedEngine:
         done = eng.run()
         assert len(done[0].generated) == 6
 
+    def test_paged_int4_pool(self):
+        params, cfg = _model()
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,),
+            kv_layout="paged", page_size=8, kv_quant="int4"))
+        eng.submit([3, 17, 42, 9], 6)
+        done = eng.run()
+        assert len(done[0].generated) == 6
+        assert all(0 <= t < cfg.vocab_size for t in done[0].generated)
+
     def test_pages_released_and_reused(self):
         params, cfg = _model()
         eng = Engine(params, cfg, ServeConfig(

@@ -51,6 +51,31 @@ class TestPool:
         got = pool.gather(jnp.array([2, 5, 0, 0], jnp.int32), jnp.float32)
         assert sqnr(x, got[:16]) > 30
 
+    def test_int4_pool_roundtrip(self):
+        pool = PagedKVPool.create(8, 8, 2, 32, "int4")
+        assert pool.pages.shape == (8, 1, 2, 32)  # 8 tokens per int32 word
+        assert pool.pages.dtype == jnp.int32
+        x = jax.random.normal(jax.random.PRNGKey(0), (16, 2, 32))
+        pool = pool.write_prompt(x, jnp.array([2, 5], jnp.int32))
+        got = pool.gather(jnp.array([2, 5, 0, 0], jnp.int32), jnp.float32)
+        assert sqnr(x, got[:16]) > 14  # 4-bit per-vector
+
+    def test_int4_append_token_matches_write(self):
+        """Nibble RMW appends reproduce what a bulk write stores."""
+        ps, hkv, d = 8, 2, 16
+        table = jnp.array([[1, 2], [3, 0]], jnp.int32)
+        pool = PagedKVPool.create(8, ps, hkv, d, "int4")
+        xs = []
+        for t in range(10):
+            x = jax.random.normal(jax.random.PRNGKey(t), (2, hkv, d))
+            pool = pool.append_token(x, table, jnp.array([t, t % ps]))
+            xs.append(x)
+        got = np.asarray(pool.gather(table[0], jnp.float32))
+        for t in range(10):
+            q, s = pool._quant(xs[t][0])
+            want = np.asarray((q - 8).astype(jnp.float32) * s)
+            np.testing.assert_allclose(got[t], want, atol=1e-6)
+
 
 class TestPagedAttention:
     def test_reference_matches_dense(self):

@@ -196,7 +196,7 @@ class TestInterpretFlashAttention:
 
 
 class TestInterpretPagedAttention:
-    @pytest.mark.parametrize("dtype_name", ["bf16", "int8"])
+    @pytest.mark.parametrize("dtype_name", ["bf16", "int8", "int4"])
     def test_paged_vs_reference(self, dtype_name):
         from ao_tpu.ops.pallas.paged_attention import paged_decode_attention
         from ao_tpu.serving.paged import (
@@ -223,6 +223,16 @@ class TestInterpretPagedAttention:
                      scale=ksc)
             vp = rep(vp, pages=jnp.round(vdata / vsc).astype(jnp.int8),
                      scale=vsc)
+        elif dtype_name == "int4":
+            # int4 pages are (P, ps/8, H, D) words: write via write_prompt
+            kdata = jax.random.normal(ks[0], (n_pages, ps, hkv, d),
+                                      jnp.float32)
+            vdata = jax.random.normal(ks[1], (n_pages, ps, hkv, d),
+                                      jnp.float32)
+            kp = kp.write_prompt(kdata.reshape(n_pages * ps, hkv, d),
+                                 jnp.arange(n_pages, dtype=jnp.int32))
+            vp = vp.write_prompt(vdata.reshape(n_pages * ps, hkv, d),
+                                 jnp.arange(n_pages, dtype=jnp.int32))
         else:
             kp = rep(kp, pages=kdata.astype(jnp.bfloat16))
             vp = rep(vp, pages=vdata.astype(jnp.bfloat16))
@@ -230,11 +240,13 @@ class TestInterpretPagedAttention:
         block_table = jnp.array([[0, 2, 4], [1, 3, 5]], jnp.int32)
         lengths = jnp.array([300, 150], jnp.int32)
         ref = paged_decode_attention_reference(q, kp, vp, block_table, lengths)
-        with pltpu.force_tpu_interpret_mode():
-            y = paged_decode_attention(q, kp, vp, block_table, lengths,
-                                       pages_per_chunk=1)
-        assert compute_error(ref.astype(jnp.float32),
-                             y.astype(jnp.float32)) > 25
+        chunks = (1, 3) if dtype_name == "int4" else (1,)
+        for ppc in chunks:  # int4: also multi-page chunks (per-page decode)
+            with pltpu.force_tpu_interpret_mode():
+                y = paged_decode_attention(q, kp, vp, block_table, lengths,
+                                           pages_per_chunk=ppc)
+            assert compute_error(ref.astype(jnp.float32),
+                                 y.astype(jnp.float32)) > 25, ppc
 
 
 class TestInterpretLut4:

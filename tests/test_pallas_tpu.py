@@ -273,7 +273,7 @@ def test_paged_attention_kernel_parity():
 
     b, h, hkv, d = 4, 8, 2, 128
     ps, n_pages, max_pages = 128, 24, 4
-    for dtype_name, bound in (("bf16", 45), ("int8", 45)):
+    for dtype_name, bound in (("bf16", 45), ("int8", 45), ("int4", 45)):
         kp = PagedKVPool.create(n_pages, ps, hkv, d, dtype_name)
         vp = PagedKVPool.create(n_pages, ps, hkv, d, dtype_name)
         alloc = PageAllocator(n_pages)
