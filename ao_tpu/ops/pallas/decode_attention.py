@@ -48,14 +48,10 @@ def _kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
         # full-lane dot, no narrow slices anywhere. The wrapper permutes
         # the scale rows to match; the length mask recovers logical
         # positions from i' arithmetically.
-        kw = k_ref[0]
+        from ao_tpu.ops.pallas import int4_words_to_bf16
+
         qcap = block_t // 4
-        k = jnp.concatenate([
-            pltpu.bitcast(
-                ((kw >> (4 * j)) & 0x000F000F) | 0x43004300, jnp.bfloat16)
-            - jnp.bfloat16(136.0)
-            for j in range(4)
-        ], axis=0)  # (Tb, D)
+        k = int4_words_to_bf16(k_ref[0])  # (Tb, D)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale
@@ -90,13 +86,9 @@ def _kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
     if mode == "int4":
         # same plane-major sublane stack as K: pv's columns already follow
         # that token order, so one full (G,Tb)x(Tb,D) dot finishes the block
-        vw = v_ref[0]  # (Tb/8, D) int32 words
-        v = jnp.concatenate([
-            pltpu.bitcast(
-                ((vw >> (4 * j)) & 0x000F000F) | 0x43004300, jnp.bfloat16)
-            - jnp.bfloat16(136.0)
-            for j in range(4)
-        ], axis=0)  # (Tb, D)
+        from ao_tpu.ops.pallas import int4_words_to_bf16
+
+        v = int4_words_to_bf16(v_ref[0])  # (Tb, D)
     else:
         v = v_ref[0]
         if mode == "vec8":
@@ -218,11 +210,9 @@ def decode_attention(q, k_cache, v_cache, lengths, *, k_scale=None,
             # columns PLANE-MAJOR (column j*(Tb/4)+m ↦ token 4m+j); permute
             # the scale rows once per call to match — O(B·Hkv·T) gather,
             # negligible next to the cache read itself
-            import numpy as np
+            from ao_tpu.ops.pallas import plane_major_perm
 
-            qcap = block_t // 4
-            ip = np.arange(block_t)
-            perm = 4 * (ip % qcap) + ip // qcap
+            perm = plane_major_perm(block_t)
             ks = ks.reshape(b * hkv, 1, t // block_t, block_t)[
                 ..., perm].reshape(b * hkv, 1, t)
             vs = vs.reshape(b * hkv, 1, t // block_t, block_t)[

@@ -94,14 +94,13 @@ def _make_kernel(ps, d, hkv, n_pb, chunk, sm_scale, mode, gp, out_dtype):
             if mode == "int4":
                 # per-page plane-major sublane stack (see decode_attention
                 # int4 mode): page block j contributes rows [j*ps,(j+1)*ps)
-                # whose row i' = pj*(ps/4)+m holds that page's token 4m+pj
+                # in plane_major_perm(ps) token order
+                from ao_tpu.ops.pallas import int4_words_to_bf16
+
                 k, v = [
                     jnp.concatenate([
-                        pltpu.bitcast(
-                            ((buf[slot][j * rp:(j + 1) * rp] >> (4 * pj))
-                             & 0x000F000F) | 0x43004300, jnp.bfloat16)
-                        - jnp.bfloat16(136.0)
-                        for j in range(chunk) for pj in range(4)
+                        int4_words_to_bf16(buf[slot][j * rp:(j + 1) * rp])
+                        for j in range(chunk)
                     ], axis=0)  # (tb, D)
                     for buf in (kbuf, vbuf)
                 ]
@@ -240,10 +239,9 @@ def paged_decode_attention(
         if int4:
             # page-local plane-major permutation to match the kernel's
             # nibble-plane stacking (see decode_attention int4 mode)
-            import numpy as np
+            from ao_tpu.ops.pallas import plane_major_perm
 
-            ip = np.arange(ps)
-            perm = 4 * (ip % (ps // 4)) + ip // (ps // 4)
+            perm = plane_major_perm(ps)
             kscale = kscale[..., perm]
             vscale = vscale[..., perm]
     else:  # dummies (never read)

@@ -25,7 +25,7 @@ from ao_tpu.serving.kvcache import QuantKVCache, init_quant_kv_caches
 class ServeConfig:
     max_batch: int = 8
     max_seq: int = 2048
-    kv_quant: Optional[str] = None  # None | "int8" | "float8_e4m3fn" | "int4" (slot layout only)
+    kv_quant: Optional[str] = None  # None | "int8" | "float8_e4m3fn" | "int4" (slot or paged)
     eos_id: int = -1  # -1: never stop on a token
     prefill_buckets: Tuple[int, ...] = (128, 512, 2048)
     # KV memory layout: "slots" (per-slot contiguous max_seq caches) or
@@ -376,10 +376,11 @@ class Engine:
         out = []
         for (kp, vp), (sk, sv) in zip(caches, scratch):
             def rows(pool):
-                pg = pool.pages[page_ids].astype(jnp.float32)
-                if pool.scale is not None:
-                    pg = pg * pool.scale[page_ids]
-                return pg.reshape(1, n_pages * ps, *pg.shape[2:])
+                # gather() owns per-dtype dequantization (incl. the int4
+                # word-unpack); inlining an astype*scale here corrupted
+                # int4 pages (packed words times scales)
+                pg = pool.gather(page_ids, jnp.float32)
+                return pg.reshape(1, n_pages * ps, *pg.shape[1:])
 
             sk = jax.lax.dynamic_update_slice(
                 sk, rows(kp).astype(sk.dtype), (0, 0, 0, 0))

@@ -58,6 +58,19 @@ def _unpack_tok_int4(word: jax.Array) -> jax.Array:
     return jnp.stack(planes, axis=1).reshape(8 * r, *word.shape[1:])
 
 
+def _clamped_cols(starts: jax.Array, s_tok: int, t: int) -> jax.Array:
+    """Write columns for per-slot s-token windows with clamp-at-last-row
+    semantics, made DETERMINISTIC: positions past t-1 collapse onto t-1,
+    and among tokens that collide only the LAST survives — the rest are
+    sent out of bounds (t) for a ``mode="drop"`` scatter, so the result
+    never depends on XLA's duplicate-index ordering."""
+    cols = jnp.minimum(starts[:, None] + jnp.arange(s_tok)[None], t - 1)
+    last = jnp.concatenate(
+        [cols[:, 1:] != cols[:, :-1],
+         jnp.ones((cols.shape[0], 1), bool)], axis=1)
+    return jnp.where(last, cols, t)
+
+
 @qarray_dataclass
 class QuantKVCache:
     """One layer's K or V cache: (B, T, H, D) quantized + (B, T, H, 1) scales."""
@@ -110,49 +123,53 @@ class QuantKVCache:
         if self.dtype_name == "int4":
             starts = index if per_slot else jnp.full(
                 (q.shape[0],), index, jnp.int32)
-            qdata = self._scatter_int4(q, starts)
-            if per_slot:
-                rows = jnp.arange(q.shape[0])[:, None]
-                cols = jnp.minimum(
-                    index[:, None] + jnp.arange(q.shape[1])[None],
-                    self.scale.shape[1] - 1)
-                scale = self.scale.at[rows, cols].set(s)
-            else:
-                scale = jax.lax.dynamic_update_slice(
-                    self.scale, s, (0, index, 0, 0))
+            cols = _clamped_cols(starts, q.shape[1], self.scale.shape[1])
+            qdata = self._scatter_int4(q, starts, cols)
+            # scales use the SAME duplicate-free clamped columns as the
+            # words (a start-clamped dynamic_update_slice would SHIFT the
+            # window instead for end-straddling writes, and duplicate
+            # scatter indices would leave nibble/scale pairing to XLA's
+            # unspecified duplicate ordering)
+            rows = jnp.arange(q.shape[0])[:, None]
+            scale = self.scale.at[rows, cols].set(s, mode="drop")
         elif per_slot:
             # per-slot offsets; x may be an s-token window per slot
-            # (speculative verify) — clamp writes at the last row
+            # (speculative verify) — writes past the end clamp onto the
+            # last row, later tokens win (duplicate-free scatter: earlier
+            # clamped tokens are dropped, not racily overwritten)
             rows = jnp.arange(q.shape[0])[:, None]
-            cols = jnp.minimum(index[:, None] + jnp.arange(q.shape[1])[None],
-                               self.qdata.shape[1] - 1)
-            qdata = self.qdata.at[rows, cols].set(q)
-            scale = self.scale.at[rows, cols].set(s)
+            cols = _clamped_cols(index, q.shape[1], self.qdata.shape[1])
+            qdata = self.qdata.at[rows, cols].set(q, mode="drop")
+            scale = self.scale.at[rows, cols].set(s, mode="drop")
         else:
             qdata = jax.lax.dynamic_update_slice(self.qdata, q, (0, index, 0, 0))
             scale = jax.lax.dynamic_update_slice(self.scale, s, (0, index, 0, 0))
         return dataclasses.replace(self, qdata=qdata, scale=scale)
 
-    def _scatter_int4(self, u: jax.Array, starts: jax.Array) -> jax.Array:
+    def _scatter_int4(self, u: jax.Array, starts: jax.Array,
+                      cols: jax.Array) -> jax.Array:
         """Write per-batch s-token nibble windows into the packed words via
-        an unpack→set→repack of the touched word-row region (writes past
-        the end clamp onto the last row, like the 8-bit per-slot path)."""
-        bsz, s_tok = u.shape[0], u.shape[1]
+        an unpack→set→repack of the touched word-row region. ``cols`` is
+        the :func:`_clamped_cols` output — the shared duplicate-free write
+        columns (entries == t are dropped), so nibbles and scales always
+        land as a pair."""
+        s_tok = u.shape[1]
         n_rows, t = self.qdata.shape[1], self.scale.shape[1]
         region = min(s_tok // 8 + 2, n_rows)
 
-        def one(words, ub, start):
+        def one(words, ub, start, col):
             row0 = jnp.clip(jnp.minimum(start // 8, n_rows - region),
                             0, n_rows)
             blk = jax.lax.dynamic_slice(
                 words, (row0, 0, 0), (region,) + words.shape[1:])
             toks = _unpack_tok_int4(blk)
-            pos = jnp.minimum(start + jnp.arange(s_tok), t - 1) - row0 * 8
-            toks = toks.at[pos].set(ub)
+            # dropped entries (col == t) map past the region → drop mode
+            pos = jnp.where(col == t, 8 * region, col - row0 * 8)
+            toks = toks.at[pos].set(ub, mode="drop")
             return jax.lax.dynamic_update_slice(
                 words, _pack_tok_int4(toks), (row0, 0, 0))
 
-        return jax.vmap(one)(self.qdata, u, starts)
+        return jax.vmap(one)(self.qdata, u, starts, cols)
 
     def dequantize(self, out_dtype=jnp.bfloat16) -> jax.Array:
         if self.dtype_name == "int4":

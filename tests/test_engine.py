@@ -262,6 +262,26 @@ class TestPrefixCache:
         hit_key = tuple(sys_prompt)
         assert hit_key in eng._prefix_cache
 
+    def test_cached_prefix_quantized_pools(self):
+        """Prefix hits on QUANTIZED pools must seed the scratch cache via
+        proper dequantization — regression for the int4 packed-words-times
+        -scales bug (a prefix hit generated different tokens than a cold
+        run of the same prompt)."""
+        for kvq in ("int8", "int4"):
+            params, cfg, eng = self._engines(prefix_cache=True, kv_quant=kvq)
+            sys_prompt = list(range(1, 17))  # 2 full pages
+            p2 = sys_prompt + [70, 71, 72]
+            eng.submit(sys_prompt + [50, 51], 5)
+            eng.run()  # populates the prefix cache
+            eng.submit(p2, 5)
+            hit = eng.run()[0].generated
+            cold = Engine(params, cfg, ServeConfig(
+                max_batch=2, max_seq=64, prefill_buckets=(8,),
+                kv_layout="paged", page_size=8, kv_quant=kvq))
+            cold.submit(p2, 5)
+            want = cold.run()[0].generated
+            assert hit == want, (kvq, hit, want)
+
     def test_page_savings(self):
         """With caching, a repeated long prefix allocates fewer new pages."""
         params, cfg, eng = self._engines(prefix_cache=True, num_pages=32)

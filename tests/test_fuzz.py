@@ -106,3 +106,47 @@ def test_fuzz_interpret_kernel_vs_emulated(seed):
             y = linear(x, qp["kernel"]).astype(jnp.float32)
     err = ao_tpu.compute_error(ref, y)
     assert err > 35, (type(cfg).__name__, m, k, n, float(err))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_int4_kv_scatter(seed):
+    """Random update windows (scalar + per-slot starts, word-straddling,
+    end-clamped) into the word-packed int4 KV cache must reproduce a naive
+    unpacked simulation nibble-for-nibble."""
+    from ao_tpu.serving.kvcache import QuantKVCache, _unpack_tok_int4
+
+    rng = random.Random(seed)
+    B = rng.choice([1, 2, 3])
+    T = rng.choice([16, 32, 64])
+    H, D = rng.choice([1, 2]), rng.choice([4, 8])
+    cache = QuantKVCache.create(B, T, H, D, "int4")
+    # shadow state: unpacked nibbles + scales in plain numpy
+    shadow_u = np.zeros((B, T, H, D), np.int64)
+    shadow_s = np.zeros((B, T, H, 1), np.float32)
+
+    key = jax.random.PRNGKey(seed)
+    for step in range(6):
+        key, sub = jax.random.split(key)
+        S = rng.choice([1, 2, 5, 8, 11])
+        x = jax.random.normal(sub, (B, S, H, D), jnp.float32)
+        q, s = cache.quantize_values(x)
+        qn, sn = np.asarray(q), np.asarray(s)
+        if rng.random() < 0.5:
+            start = rng.randrange(0, T)  # scalar (may clamp at the end)
+            starts = np.full((B,), start)
+            cache = cache.update(x, start)
+        else:
+            starts = np.asarray([rng.randrange(0, T) for _ in range(B)])
+            cache = cache.update(x, jnp.asarray(starts, jnp.int32))
+        for b in range(B):
+            for i in range(S):
+                pos = min(starts[b] + i, T - 1)  # clamp-at-last-row rule
+                shadow_u[b, pos] = qn[b, i]
+                shadow_s[b, pos] = sn[b, i]
+
+    got_u = np.asarray(jax.vmap(_unpack_tok_int4)(cache.qdata))
+    np.testing.assert_array_equal(got_u, shadow_u)
+    np.testing.assert_allclose(np.asarray(cache.scale), shadow_s, atol=0)
+    # and dequantize agrees with the shadow reconstruction
+    dq = np.asarray(cache.dequantize(jnp.float32))
+    np.testing.assert_allclose(dq, (shadow_u - 8) * shadow_s, atol=1e-6)
