@@ -91,6 +91,45 @@ def perplexity(
     return float(np.exp(total / count))
 
 
+def cached_forward_fn(params: Any, cfg: Any, kv_quant: Optional[str] = None):
+    """A ``forward_fn`` for :func:`perplexity` that teacher-forces tokens
+    through the DECODE path — one position at a time via a (possibly
+    quantized) KV cache — so KV-cache quantization error shows up in the
+    perplexity. The cache-free teacher-forced forward can't see it: KV
+    quantization only perturbs logits when attention actually reads the
+    quantized cache (this is what serving numerics look like). Exact match
+    with the cache-free forward when ``kv_quant=None`` (tested).
+
+    S sequential steps per window — run on the chip (or keep seq_len small
+    in CPU smokes).
+    """
+    from ao_tpu.models import resolve_model
+    from ao_tpu.serving.kvcache import init_quant_kv_caches
+
+    model = resolve_model(cfg)
+
+    def fwd(batch: jax.Array) -> jax.Array:
+        b, s = batch.shape
+        if kv_quant:
+            caches = init_quant_kv_caches(cfg, b, s, kv_quant)
+        else:
+            caches = model.init_kv_caches(cfg, b, s)
+
+        def step(caches, xs):
+            tok, t = xs
+            logits, caches = model.forward(
+                params, tok[:, None], cfg,
+                positions=jnp.full((b, 1), t, jnp.int32),
+                kv_caches=caches, cache_index=t)
+            return caches, logits[:, 0]
+
+        _, logits = jax.lax.scan(
+            step, caches, (batch.T, jnp.arange(s, dtype=jnp.int32)))
+        return logits.transpose(1, 0, 2)  # (B, S, V)
+
+    return fwd
+
+
 def ppl_delta_report(
     params: Any,
     forward_of: Callable[[Any], Callable[[jax.Array], jax.Array]],

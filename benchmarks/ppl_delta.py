@@ -111,8 +111,29 @@ def main():
     assert rows["int8-WO"]["delta"] < rows["int4-WO g64"]["delta"]
     assert rows["int4-WO g64"]["delta"] < rows["intx-3bit"]["delta"]
     assert abs(rows["int8-WO"]["delta"]) < 0.05 * base_ppl
+
+    # ---- KV-cache quantization rows: teacher-forced through the DECODE
+    # path (cached_forward_fn) so the cache error is actually exercised.
+    # Shorter eval (sequential scan per window) — the deltas, not absolute
+    # ppl, are the metric, and bf16-cache must reproduce the cache-free
+    # baseline exactly (same math, different program) ----
+    from ao_tpu.eval.perplexity import cached_forward_fn
+
+    kv_toks = eval_toks[: 16 * SEQ]
+    kv_base = perplexity(cached_forward_fn(params, CFG), kv_toks,
+                         seq_len=SEQ, batch_size=8)
+    print(f"bf16-KV (decode path) ppl {kv_base:.4f}")
+    for kvq in ("int8", "int4"):
+        p = perplexity(cached_forward_fn(params, CFG, kv_quant=kvq),
+                       kv_toks, seq_len=SEQ, batch_size=8)
+        rows[f"kv-{kvq}"] = {"ppl": round(p, 4),
+                             "delta": round(p - kv_base, 4)}
+        print(f"kv-{kvq:10s} ppl {p:.4f}  delta {p - kv_base:+.4f}")
+    assert rows["kv-int8"]["delta"] <= rows["kv-int4"]["delta"]
+
     print(json.dumps({"metric": "ppl-delta ladder (synthetic)",
-                      "bf16_ppl": round(base_ppl, 4), "rows": rows}))
+                      "bf16_ppl": round(base_ppl, 4),
+                      "kv_bf16_ppl": round(kv_base, 4), "rows": rows}))
 
 
 if __name__ == "__main__":

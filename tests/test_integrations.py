@@ -156,6 +156,26 @@ class TestPerplexity:
                         seq_len=128, batch_size=2)
         assert abs(p1 - p2) < 1e-3
 
+    def test_cached_forward_matches_cacheless(self):
+        """The decode-path (KV-cached, teacher-forced) ppl with a bf16
+        cache must reproduce the cache-free forward's ppl — same math,
+        different program — and int4 KV must degrade it."""
+        from ao_tpu.eval.perplexity import cached_forward_fn, perplexity
+
+        cfg, params, tokens = self._setup()
+        toks = tokens[: 4 * 64]
+        p_free = perplexity(lambda b: llama.forward(params, b, cfg)[0],
+                            toks, seq_len=64, batch_size=2)
+        p_bf16 = perplexity(cached_forward_fn(params, cfg), toks,
+                            seq_len=64, batch_size=2)
+        assert abs(p_free - p_bf16) < 1e-2 * p_free, (p_free, p_bf16)
+        p_int8 = perplexity(cached_forward_fn(params, cfg, "int8"), toks,
+                            seq_len=64, batch_size=2)
+        p_int4 = perplexity(cached_forward_fn(params, cfg, "int4"), toks,
+                            seq_len=64, batch_size=2)
+        assert p_int4 > p_bf16, (p_int4, p_bf16)
+        assert p_int8 <= p_int4, (p_int8, p_int4)  # the bench's ladder gate
+
     def test_ppl_sane_range(self):
         cfg, params, tokens = self._setup()
         p = perplexity(
