@@ -28,5 +28,6 @@ run diffusion     python benchmarks/diffusion_bench.py
 run spec_bench    python benchmarks/spec_bench.py
 run attn_sol      python benchmarks/attn_sol.py
 run serving       python benchmarks/serving_bench.py
+run ppl_ladder    python benchmarks/ppl_delta.py       # incl kv-int8/int4 rows
 
 echo "done: $out"
