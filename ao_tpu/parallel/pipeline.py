@@ -150,3 +150,85 @@ def pipeline_apply(
         check_vma=False,
     )
     return fn(stacked_params, microbatches)
+
+
+# ---------------------------------------------------------------------------
+# Flagship-model helper: pipeline the Llama block stack
+# ---------------------------------------------------------------------------
+
+def split_llama_stages(params, n_stages: int):
+    """Split ``params["layers"]`` into ``n_stages`` equal stage chunks and
+    stack them for :func:`pipeline_apply`: every leaf becomes
+    (n_stages, layers_per_stage, ...). Quantized layer weights stack like
+    any other pytree leaf. Embedding / final norm / lm head stay outside
+    the pipeline (they are a tiny fraction of the FLOPs and run replicated
+    or tp-sharded)."""
+    layers = params["layers"]
+    n_layers = len(layers)
+    if n_layers % n_stages:
+        raise ValueError(f"{n_layers} layers not divisible into "
+                         f"{n_stages} stages")
+    per = n_layers // n_stages
+    stages = [
+        jax.tree.map(lambda *ls: jnp.stack(ls), *layers[s * per:(s + 1) * per])
+        for s in range(n_stages)
+    ]
+    return stack_stage_params(stages)
+
+
+def llama_stage_fn(cfg):
+    """stage_fn for :func:`pipeline_apply` applying one stage's stacked
+    Llama blocks to (B, S, D) hidden states via ``lax.scan`` (full-sequence
+    forward: pipeline parallelism targets training / prefill; decode uses
+    tp + the fused kernels)."""
+    from ao_tpu.models import llama
+
+    def fn(stage_layers, x):
+        b, s, _ = x.shape
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+        freqs = llama.rope_freqs(cfg)
+        mask = jnp.tril(jnp.ones((s, s), bool))[None, None]
+
+        def body(x, layer):
+            h = llama.rms_norm(x, layer["ln1"], cfg.norm_eps)
+            attn_out, _ = llama.attention(
+                layer["attn"], h, cfg, positions, freqs, mask)
+            x = x + attn_out
+            h = llama.rms_norm(x, layer["ln2"], cfg.norm_eps)
+            return x + llama.mlp(layer["mlp"], h, cfg), None
+
+        x, _ = jax.lax.scan(body, x, stage_layers)
+        return x
+
+    return fn
+
+
+def pipeline_llama_forward(params, stacked_stages, tokens, cfg, mesh,
+                           axis_name: str = "pp",
+                           mb_spec: Optional[P] = None,
+                           remat: bool = False):
+    """Full-sequence Llama forward with the block stack pipelined:
+    ``tokens`` (M, B, S) microbatches → logits (M, B, S, V). Embedding and
+    head run outside the pipeline on every rank; the S-stage schedule only
+    carries the (B, S, D) hidden state around the ring. Differentiable —
+    wrap in a loss for GPipe pipeline training."""
+    from ao_tpu.models import llama
+    from ao_tpu.ops.embedding import embedding as embedding_op
+    from ao_tpu.ops.linear import linear
+    from ao_tpu.quantization.qarrays.base import QuantizedArray
+
+    m, b, s = tokens.shape
+    x = jax.vmap(lambda t: embedding_op(params["embed"], t,
+                                        out_dtype=cfg.dtype))(tokens)
+    hid_spec = mb_spec if mb_spec is not None else P()
+    x = pipeline_apply(llama_stage_fn(cfg), stacked_stages, x, mesh,
+                       axis_name=axis_name, mb_spec=hid_spec, remat=remat)
+    x = llama.rms_norm(x, params["norm"], cfg.norm_eps)
+    if cfg.tie_embeddings:
+        emb = params["embed"]
+        table = (emb.dequantize(cfg.dtype)
+                 if isinstance(emb, QuantizedArray) else emb)
+        logits = linear(x, table.T)
+    else:
+        logits = linear(x, params["lm_head"])
+    return logits.astype(jnp.float32)
