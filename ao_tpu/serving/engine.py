@@ -68,6 +68,11 @@ class Request:
     slot: int = -1
     done: bool = False
     lora_idx: int = 0  # 0 = base model; i+1 = Engine lora adapter i
+    # per-request sampling overrides (None → the engine's ServeConfig
+    # defaults); a continuous batch freely mixes greedy and sampled slots
+    temperature: Optional[float] = None
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
 
 
 class Engine:
@@ -142,6 +147,11 @@ class Engine:
         self._spec_drafted = 0
         self._spec_accepted = 0
         self._slot_adapter = _np.zeros((b,), _np.int32)
+        # per-slot sampling params (data args of the jitted programs, so
+        # admitting a request with different settings never recompiles)
+        self._slot_temp = _np.full((b,), cfg.temperature, _np.float32)
+        self._slot_topk = _np.full((b,), cfg.top_k or 0, _np.int32)
+        self._slot_topp = _np.full((b,), cfg.top_p or 1.0, _np.float32)
         if cfg.spec_draft > 0:
             if cfg.temperature != 0.0:
                 raise ValueError("speculative decoding is greedy-only")
@@ -191,8 +201,8 @@ class Engine:
 
     # -- jitted programs ----------------------------------------------------
 
-    def _prefill_impl(self, params, caches, prompt, slot, true_len, step, *,
-                      plen):
+    def _prefill_impl(self, params, caches, prompt, slot, true_len, step,
+                      samp, *, plen):
         """prompt (1, plen) padded; writes this slot's KV rows and returns
         (caches, first generated token)."""
         mcfg = self.model_cfg
@@ -215,11 +225,12 @@ class Engine:
             )
 
         caches = jax.tree_util.tree_map(insert, caches, scratch)
-        next_tok = self._pick(logits[0, true_len - 1][None], true_len, step)[0]
+        next_tok = self._pick(logits[0, true_len - 1][None], true_len,
+                              step, samp)[0]
         return caches, next_tok
 
     def _prefill_paged_impl(self, params, caches, prompt, page_ids, true_len,
-                            step, *, plen):
+                            step, samp, *, plen):
         """Prefill via a scratch contiguous cache, then bulk-write the rows
         into this request's pages (quantization happens in write_prompt)."""
         mcfg = self.model_cfg
@@ -235,20 +246,22 @@ class Engine:
                 kp.write_prompt(sk[0], page_ids),
                 vp.write_prompt(sv[0], page_ids),
             ))
-        next_tok = self._pick(logits[0, true_len - 1][None], true_len, step)[0]
+        next_tok = self._pick(logits[0, true_len - 1][None], true_len,
+                              step, samp)[0]
         return new_caches, next_tok
 
     def _step_paged_impl(self, params, caches, cur_tok, positions, active,
-                         block_table, step):
+                         block_table, step, samp):
         mcfg = self.model_cfg
         logits, new_caches = self.model.forward(
             params, cur_tok[:, None], mcfg, positions=positions[:, None],
             kv_caches=caches, cache_index=(block_table, positions),
         )
-        nxt = self._pick(logits[:, -1], positions[0], step)
+        nxt = self._pick(logits[:, -1], positions[0], step, samp)
         return new_caches, jnp.where(active, nxt, cur_tok)
 
-    def _step_impl(self, params, caches, cur_tok, positions, active, step):
+    def _step_impl(self, params, caches, cur_tok, positions, active, step,
+                   samp):
         """One decode step for all slots; returns (caches, next_tok)."""
         mcfg = self.model_cfg
         b = self.cfg.max_batch
@@ -257,11 +270,11 @@ class Engine:
             params, cur_tok[:, None], mcfg, positions=pos,
             kv_caches=caches, cache_index=positions,
         )
-        nxt = self._pick(logits[:, -1], positions[0], step)
+        nxt = self._pick(logits[:, -1], positions[0], step, samp)
         return new_caches, jnp.where(active, nxt, cur_tok)
 
     def _step_multi_impl(self, params, caches, cur_tok, positions, active,
-                         step, block_table=None, *, k):
+                         step, samp, block_table=None, *, k):
         """k fused decode steps (lax.scan): one device program, k tokens per
         host round-trip. Inactive slots idle; positions clamp at max_seq-1
         so mid-window finishes can't write out of bounds."""
@@ -275,7 +288,7 @@ class Engine:
                 params, tok[:, None], mcfg, positions=pos[:, None],
                 kv_caches=caches, cache_index=idx,
             )
-            nxt = self._pick(logits[:, -1], pos[0], step + i)
+            nxt = self._pick(logits[:, -1], pos[0], step + i, samp)
             nxt = jnp.where(active, nxt, tok)
             pos = jnp.where(active, jnp.minimum(pos + 1, cap), pos)
             return (caches, nxt, pos), nxt
@@ -284,14 +297,25 @@ class Engine:
             body, (caches, cur_tok, positions), jnp.arange(k, dtype=jnp.int32))
         return caches, toks  # (k, B)
 
-    def _pick(self, logits, salt, step):
+    def _pick(self, logits, salt, step, samp=None):
         """Greedy or sampled next-token selection.
 
         ``step`` is the host-advanced call counter (every device program gets
         a fresh value, so keys never repeat even when slot 0 is idle and
         ``positions[0]`` stalls); ``salt`` adds per-position variety within a
         program. Passed as a traced argument — ``self._rng`` alone would be
-        baked into the compiled program as a constant."""
+        baked into the compiled program as a constant.
+
+        ``samp`` = (temps, top_ks, top_ps) per-ROW arrays threads the
+        per-request sampling settings through as data (no recompiles);
+        ``None`` keeps the engine-global ServeConfig behavior (spec decode
+        and other greedy-only paths)."""
+        if samp is not None:
+            from ao_tpu.serving.sampling import sample_logits_batched
+
+            key = jax.random.fold_in(jax.random.fold_in(self._rng, step),
+                                     salt)
+            return sample_logits_batched(logits, key, *samp)
         if self.cfg.temperature == 0.0:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         from ao_tpu.serving.sampling import sample_logits
@@ -299,6 +323,14 @@ class Engine:
         key = jax.random.fold_in(jax.random.fold_in(self._rng, step), salt)
         return sample_logits(logits, key, self.cfg.temperature,
                              self.cfg.top_k, self.cfg.top_p)
+
+    def _samp_args(self, slot=None):
+        """(temps, top_ks, top_ps) jnp arrays — all slots, or one slot's
+        length-1 views for single-row prefill picks."""
+        t, k, p = self._slot_temp, self._slot_topk, self._slot_topp
+        if slot is not None:
+            t, k, p = t[slot:slot + 1], k[slot:slot + 1], p[slot:slot + 1]
+        return (jnp.asarray(t), jnp.asarray(k), jnp.asarray(p))
 
     def _next_salt(self, n=1):
         """Advance and return the host-side PRNG salt counter."""
@@ -356,7 +388,8 @@ class Engine:
                 jnp.int32(off), chunk=chunk
             )
         last = (n - 1) % chunk
-        tok = self._pick(logits[last][None], n, self._next_salt())[0]
+        tok = self._pick(logits[last][None], n, self._next_salt(),
+                         samp=self._samp_args(req.slot))[0]
         if self.paged:
             ps = self.cfg.page_size
             self.caches = self._write_pages(
@@ -448,7 +481,8 @@ class Engine:
                 self._params_for_prefill(req), scratch, toks,
                 jnp.int32(off), chunk=chunk)
         last = (n - 1 - shared_len) % chunk
-        tok = self._pick(logits[last][None], n, self._next_salt())[0]
+        tok = self._pick(logits[last][None], n, self._next_salt(),
+                         samp=self._samp_args(req.slot))[0]
         # write only the tail pages the request owns
         if own:
             self._write_pages_from(scratch, own, start_pg=len(shared_pages))
@@ -507,15 +541,22 @@ class Engine:
     # -- host API -------------------------------------------------------------
 
     def submit(self, prompt: List[int], max_new_tokens: int = 32,
-               lora: Optional[str] = None) -> int:
+               lora: Optional[str] = None,
+               temperature: Optional[float] = None,
+               top_k: Optional[int] = None,
+               top_p: Optional[float] = None) -> int:
         idx = 0
         if lora is not None:
             if lora not in self._lora_names:
                 raise ValueError(f"unknown adapter {lora!r}; have "
                                  f"{self._lora_names}")
             idx = self._lora_names.index(lora) + 1
+        if temperature and self.cfg.spec_draft > 0:
+            raise ValueError("speculative decoding is greedy-only; "
+                             "per-request temperature is not supported")
         req = Request(uid=self._uid, prompt=list(prompt),
-                      max_new_tokens=max_new_tokens, lora_idx=idx)
+                      max_new_tokens=max_new_tokens, lora_idx=idx,
+                      temperature=temperature, top_k=top_k, top_p=top_p)
         self._uid += 1
         self._queue.append(req)
         return req.uid
@@ -551,6 +592,13 @@ class Engine:
             req = self._queue.pop(0)
             req.slot = slot
             self._slot_adapter[slot] = req.lora_idx
+            cfg = self.cfg
+            self._slot_temp[slot] = (cfg.temperature if req.temperature
+                                     is None else req.temperature)
+            self._slot_topk[slot] = ((cfg.top_k or 0) if req.top_k is None
+                                     else req.top_k)
+            self._slot_topp[slot] = ((cfg.top_p or 1.0) if req.top_p is None
+                                     else req.top_p)
             if self.paged and self.cfg.prefix_cache:
                 hit = self._match_prefix(req.prompt)
                 if hit is not None:
@@ -606,7 +654,8 @@ class Engine:
                 self.caches, tok = self._prefill(
                     self._params_for_prefill(req), self.caches, prompt,
                     jnp.asarray(ids, jnp.int32),
-                    jnp.int32(len(req.prompt)), self._next_salt(), plen=plen,
+                    jnp.int32(len(req.prompt)), self._next_salt(),
+                    self._samp_args(slot), plen=plen,
                 )
                 if self.cfg.prefix_cache:
                     self._register_prefix(req, slot)
@@ -614,7 +663,7 @@ class Engine:
                 self.caches, tok = self._prefill(
                     self._params_for_prefill(req), self.caches, prompt,
                     jnp.int32(slot), jnp.int32(len(req.prompt)),
-                    self._next_salt(), plen=plen,
+                    self._next_salt(), self._samp_args(slot), plen=plen,
                 )
                 if self.draft_model is not None:
                     self.dcaches = self._dprefill(
@@ -710,7 +759,7 @@ class Engine:
                     jnp.asarray(self.positions), jnp.asarray(self.active))
             if self.paged:
                 args += (self.block_table,)
-            args += (self._next_salt(),)
+            args += (self._next_salt(), self._samp_args())
             self.caches, nxt = self._step(*args)
             toks_host = _np.asarray(nxt)[None]  # (1, B); ONE device read
         else:
@@ -722,7 +771,7 @@ class Engine:
             self.caches, toks = self._step_multi(
                 self.params, self.caches, jnp.asarray(self.cur_tok),
                 jnp.asarray(self.positions), jnp.asarray(self.active),
-                self._next_salt(k),
+                self._next_salt(k), self._samp_args(),
                 self.block_table if self.paged else None, k=k,
             )
             toks_host = _np.asarray(toks)  # (k, B); ONE device read

@@ -39,3 +39,38 @@ def sample_logits(
         lf = jnp.where(lf < cutoff, -jnp.inf, lf)
 
     return jax.random.categorical(key, lf, axis=-1).astype(jnp.int32)
+
+
+def sample_logits_batched(
+    logits: jax.Array,  # (B, V)
+    key: jax.Array,
+    temps: jax.Array,   # (B,) 0.0 → greedy for that row
+    top_ks: jax.Array,  # (B,) int32, 0 → no top-k for that row
+    top_ps: jax.Array,  # (B,) f32, 1.0 → no top-p for that row
+) -> jax.Array:
+    """Per-row sampling parameters (continuous batching mixes greedy and
+    sampled requests in one step). One descending sort serves both filters;
+    top-p mass is computed over the top-k-filtered distribution (the
+    sequential-filters semantics). When every row is greedy a `lax.cond`
+    skips the sort entirely. Returns (B,) int32."""
+    lf = logits.astype(jnp.float32)
+    v = lf.shape[-1]
+    greedy = jnp.argmax(lf, axis=-1).astype(jnp.int32)
+
+    def sample(_):
+        lt = lf / jnp.where(temps > 0, temps, 1.0)[:, None]
+        srt = jnp.sort(lt, axis=-1)[..., ::-1]
+        k = jnp.where(top_ks > 0, top_ks, v).astype(jnp.int32)
+        kth = jnp.take_along_axis(srt, (jnp.clip(k, 1, v) - 1)[:, None], -1)
+        lt = jnp.where(lt < kth, -jnp.inf, lt)
+        srt_k = jnp.where(jnp.arange(v)[None] < k[:, None], srt, -jnp.inf)
+        probs = jax.nn.softmax(srt_k, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cut_i = jnp.sum((cum - probs) < top_ps[:, None], -1, keepdims=True) - 1
+        cutoff = jnp.take_along_axis(srt_k, jnp.clip(cut_i, 0, v - 1), -1)
+        lt = jnp.where(lt < cutoff, -jnp.inf, lt)
+        return jax.random.categorical(key, lt, axis=-1).astype(jnp.int32)
+
+    sampled = jax.lax.cond(jnp.any(temps > 0), sample,
+                           lambda _: greedy, None)
+    return jnp.where(temps > 0, sampled, greedy)

@@ -49,10 +49,13 @@ class ServingFrontend:
 
     # -- request path --------------------------------------------------------
 
-    def submit(self, prompt, max_tokens: int) -> int:
+    def submit(self, prompt, max_tokens: int, temperature=None,
+               top_k=None, top_p=None) -> int:
         ev = threading.Event()
         with self._lock:
-            uid = self.engine.submit(list(prompt), max_tokens)
+            uid = self.engine.submit(list(prompt), max_tokens,
+                                     temperature=temperature, top_k=top_k,
+                                     top_p=top_p)
             self._events[uid] = ev
             self._requests[uid] = self.engine._queue[-1]
         return uid
@@ -213,8 +216,13 @@ class ServingFrontend:
                         raise ValueError(
                             f"prompt length {len(prompt)} exceeds the "
                             f"engine's max_seq-1 ({max_seq - 1})")
-                    uid = frontend.submit(prompt,
-                                          int(req.get("max_tokens", 32)))
+                    t = req.get("temperature")
+                    tk, tp = req.get("top_k"), req.get("top_p")
+                    uid = frontend.submit(
+                        prompt, int(req.get("max_tokens", 32)),
+                        temperature=None if t is None else float(t),
+                        top_k=None if tk is None else int(tk),
+                        top_p=None if tp is None else float(tp))
                     if req.get("stream"):
                         self._stream(uid)
                         return

@@ -542,3 +542,62 @@ class TestSpeculativeDecoding:
                                             page_size=8,
                                             prefill_buckets=(8,),
                                             max_seq=64))
+
+
+class TestPerRequestSampling:
+    def test_mixed_greedy_and_sampled_batch(self):
+        """A greedy request must reproduce the all-greedy engine's tokens
+        even while another slot in the SAME batch samples at temperature."""
+        params, cfg = _model()
+        ref = _ref_generate(params, cfg, [3, 17, 42, 9], 8)
+
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,)))
+        eng.submit([3, 17, 42, 9], 8)                     # greedy (default)
+        eng.submit([7, 8, 9], 8, temperature=1.3, top_k=20)  # sampled
+        done = {r.uid: r for r in eng.run()}
+        assert done[0].generated == ref
+        assert len(done[1].generated) == 8
+
+    def test_sampled_request_deterministic_per_seed(self):
+        params, cfg = _model()
+
+        def run():
+            eng = Engine(params, cfg, ServeConfig(
+                max_batch=1, max_seq=64, prefill_buckets=(8,), seed=7))
+            eng.submit([5, 6, 7], 8, temperature=0.9, top_p=0.95)
+            return eng.run()[0].generated
+
+        assert run() == run()
+
+    def test_top_k_one_equals_greedy(self):
+        params, cfg = _model()
+        ref = _ref_generate(params, cfg, [3, 17, 42, 9], 6)
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,)))
+        eng.submit([3, 17, 42, 9], 6, temperature=1.0, top_k=1)
+        assert eng.run()[0].generated == ref
+
+    def test_per_request_overrides_engine_default(self):
+        """Engine configured to sample; a greedy per-request override
+        reproduces the greedy reference in the same batch."""
+        params, cfg = _model()
+        ref = _ref_generate(params, cfg, [3, 17, 42, 9], 6)
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,), temperature=1.0))
+        eng.submit([3, 17, 42, 9], 6, temperature=0.0)
+        eng.submit([7, 8], 6)  # engine default: sampled
+        done = {r.uid: r for r in eng.run()}
+        assert done[0].generated == ref
+
+    def test_multistep_mixed_sampling(self):
+        """decode_steps_per_call > 1 respects per-slot sampling params."""
+        params, cfg = _model()
+        ref = _ref_generate(params, cfg, [3, 17, 42, 9], 8)
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,),
+            decode_steps_per_call=4))
+        eng.submit([3, 17, 42, 9], 8)
+        eng.submit([7, 8, 9], 8, temperature=1.1)
+        done = {r.uid: r for r in eng.run()}
+        assert done[0].generated == ref
