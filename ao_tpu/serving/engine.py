@@ -56,6 +56,17 @@ class ServeConfig:
     temperature: float = 0.0
     top_k: Optional[int] = None
     top_p: Optional[float] = None
+    min_p: float = 0.0  # drop tokens with prob < min_p * max prob
+    # context penalties (repetition / frequency / presence). Enabling
+    # allocates two (max_batch, vocab) device buffers (prompt presence +
+    # output counts) threaded through the jitted steps; with the default
+    # per-request values the math is an exact identity, so an enabled
+    # engine stays token-identical to a disabled one until a request
+    # actually sets a penalty.
+    penalties: bool = False
+    repetition_penalty: float = 1.0
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
     seed: int = 0
 
 
@@ -73,6 +84,15 @@ class Request:
     temperature: Optional[float] = None
     top_k: Optional[int] = None
     top_p: Optional[float] = None
+    min_p: Optional[float] = None
+    repetition_penalty: Optional[float] = None
+    frequency_penalty: Optional[float] = None
+    presence_penalty: Optional[float] = None
+    # stop sequences (lists of token ids); on match the matched tokens are
+    # trimmed from ``generated`` and the request finishes with reason "stop"
+    stop: Optional[List[List[int]]] = None
+    # "length" | "stop" (eos or stop sequence) | "cancelled" | None (running)
+    finish_reason: Optional[str] = None
 
 
 class Engine:
@@ -152,9 +172,28 @@ class Engine:
         self._slot_temp = _np.full((b,), cfg.temperature, _np.float32)
         self._slot_topk = _np.full((b,), cfg.top_k or 0, _np.int32)
         self._slot_topp = _np.full((b,), cfg.top_p or 1.0, _np.float32)
+        self._slot_minp = _np.full((b,), cfg.min_p, _np.float32)
+        # context penalties: per-slot params + two device-resident
+        # (B, vocab) buffers — prompt presence (set at admit) and output
+        # counts (updated inside the jitted steps)
+        if not cfg.penalties and (cfg.repetition_penalty != 1.0 or
+                                  cfg.frequency_penalty != 0.0 or
+                                  cfg.presence_penalty != 0.0):
+            raise ValueError("set ServeConfig(penalties=True) to use "
+                             "repetition/frequency/presence penalties")
+        self._slot_rep = _np.full((b,), cfg.repetition_penalty, _np.float32)
+        self._slot_freq = _np.full((b,), cfg.frequency_penalty, _np.float32)
+        self._slot_pres = _np.full((b,), cfg.presence_penalty, _np.float32)
+        if cfg.penalties:
+            v = model_cfg.vocab_size
+            self._prompt_pres = jnp.zeros((b, v), jnp.int8)
+            self._out_counts = jnp.zeros((b, v), jnp.int32)
         if cfg.spec_draft > 0:
             if cfg.temperature != 0.0:
                 raise ValueError("speculative decoding is greedy-only")
+            if cfg.penalties:
+                raise ValueError("speculative decoding does not support "
+                                 "context penalties")
             if cfg.decode_steps_per_call > 1:
                 raise ValueError("spec_draft and decode_steps_per_call are "
                                  "mutually exclusive")
@@ -202,7 +241,7 @@ class Engine:
     # -- jitted programs ----------------------------------------------------
 
     def _prefill_impl(self, params, caches, prompt, slot, true_len, step,
-                      samp, *, plen):
+                      samp, pen=None, *, plen):
         """prompt (1, plen) padded; writes this slot's KV rows and returns
         (caches, first generated token)."""
         mcfg = self.model_cfg
@@ -226,11 +265,11 @@ class Engine:
 
         caches = jax.tree_util.tree_map(insert, caches, scratch)
         next_tok = self._pick(logits[0, true_len - 1][None], true_len,
-                              step, samp)[0]
+                              step, samp, pen)[0]
         return caches, next_tok
 
     def _prefill_paged_impl(self, params, caches, prompt, page_ids, true_len,
-                            step, samp, *, plen):
+                            step, samp, pen=None, *, plen):
         """Prefill via a scratch contiguous cache, then bulk-write the rows
         into this request's pages (quantization happens in write_prompt)."""
         mcfg = self.model_cfg
@@ -247,22 +286,25 @@ class Engine:
                 vp.write_prompt(sv[0], page_ids),
             ))
         next_tok = self._pick(logits[0, true_len - 1][None], true_len,
-                              step, samp)[0]
+                              step, samp, pen)[0]
         return new_caches, next_tok
 
     def _step_paged_impl(self, params, caches, cur_tok, positions, active,
-                         block_table, step, samp):
+                         block_table, step, samp, pen=None):
         mcfg = self.model_cfg
         logits, new_caches = self.model.forward(
             params, cur_tok[:, None], mcfg, positions=positions[:, None],
             kv_caches=caches, cache_index=(block_table, positions),
         )
-        nxt = self._pick(logits[:, -1], positions[0], step, samp)
-        return new_caches, jnp.where(active, nxt, cur_tok)
+        nxt = self._pick(logits[:, -1], positions[0], step, samp, pen)
+        nxt = jnp.where(active, nxt, cur_tok)
+        if pen is None:
+            return new_caches, nxt, None
+        return new_caches, nxt, self._count_picked(pen[4], nxt, active)
 
     def _step_impl(self, params, caches, cur_tok, positions, active, step,
-                   samp):
-        """One decode step for all slots; returns (caches, next_tok)."""
+                   samp, pen=None):
+        """One decode step for all slots; returns (caches, next_tok, counts)."""
         mcfg = self.model_cfg
         b = self.cfg.max_batch
         pos = positions[:, None]  # (B, 1)
@@ -270,34 +312,44 @@ class Engine:
             params, cur_tok[:, None], mcfg, positions=pos,
             kv_caches=caches, cache_index=positions,
         )
-        nxt = self._pick(logits[:, -1], positions[0], step, samp)
-        return new_caches, jnp.where(active, nxt, cur_tok)
+        nxt = self._pick(logits[:, -1], positions[0], step, samp, pen)
+        nxt = jnp.where(active, nxt, cur_tok)
+        if pen is None:
+            return new_caches, nxt, None
+        return new_caches, nxt, self._count_picked(pen[4], nxt, active)
 
     def _step_multi_impl(self, params, caches, cur_tok, positions, active,
-                         step, samp, block_table=None, *, k):
+                         step, samp, pen=None, block_table=None, *, k):
         """k fused decode steps (lax.scan): one device program, k tokens per
         host round-trip. Inactive slots idle; positions clamp at max_seq-1
-        so mid-window finishes can't write out of bounds."""
+        so mid-window finishes can't write out of bounds. With penalties
+        the output-count buffer rides the scan carry so token i+1 sees
+        token i's contribution."""
         mcfg = self.model_cfg
         cap = self.cfg.max_seq - 1
 
         def body(carry, i):
-            caches, tok, pos = carry
+            caches, tok, pos, counts = carry
             idx = (pos if block_table is None else (block_table, pos))
             logits, caches = self.model.forward(
                 params, tok[:, None], mcfg, positions=pos[:, None],
                 kv_caches=caches, cache_index=idx,
             )
-            nxt = self._pick(logits[:, -1], pos[0], step + i, samp)
+            p = pen if pen is None else pen[:4] + (counts,)
+            nxt = self._pick(logits[:, -1], pos[0], step + i, samp, p)
             nxt = jnp.where(active, nxt, tok)
+            if counts is not None:
+                counts = self._count_picked(counts, nxt, active)
             pos = jnp.where(active, jnp.minimum(pos + 1, cap), pos)
-            return (caches, nxt, pos), nxt
+            return (caches, nxt, pos, counts), nxt
 
-        (caches, _, _), toks = jax.lax.scan(
-            body, (caches, cur_tok, positions), jnp.arange(k, dtype=jnp.int32))
-        return caches, toks  # (k, B)
+        counts0 = None if pen is None else pen[4]
+        (caches, _, _, counts), toks = jax.lax.scan(
+            body, (caches, cur_tok, positions, counts0),
+            jnp.arange(k, dtype=jnp.int32))
+        return caches, toks, counts  # (k, B)
 
-    def _pick(self, logits, salt, step, samp=None):
+    def _pick(self, logits, salt, step, samp=None, pen=None):
         """Greedy or sampled next-token selection.
 
         ``step`` is the host-advanced call counter (every device program gets
@@ -306,10 +358,18 @@ class Engine:
         program. Passed as a traced argument — ``self._rng`` alone would be
         baked into the compiled program as a constant.
 
-        ``samp`` = (temps, top_ks, top_ps) per-ROW arrays threads the
-        per-request sampling settings through as data (no recompiles);
+        ``samp`` = (temps, top_ks, top_ps, min_ps) per-ROW arrays threads
+        the per-request sampling settings through as data (no recompiles);
         ``None`` keeps the engine-global ServeConfig behavior (spec decode
-        and other greedy-only paths)."""
+        and other greedy-only paths).
+
+        ``pen`` = (rep, freq, pres, prompt_pres, out_counts) per-ROW
+        penalty params + context buffers; applied to the raw logits before
+        any selection (greedy rows see penalties too)."""
+        if pen is not None:
+            from ao_tpu.serving.sampling import apply_penalties
+
+            logits = apply_penalties(logits, *pen)
         if samp is not None:
             from ao_tpu.serving.sampling import sample_logits_batched
 
@@ -322,15 +382,38 @@ class Engine:
 
         key = jax.random.fold_in(jax.random.fold_in(self._rng, step), salt)
         return sample_logits(logits, key, self.cfg.temperature,
-                             self.cfg.top_k, self.cfg.top_p)
+                             self.cfg.top_k, self.cfg.top_p, self.cfg.min_p)
 
     def _samp_args(self, slot=None):
-        """(temps, top_ks, top_ps) jnp arrays — all slots, or one slot's
-        length-1 views for single-row prefill picks."""
-        t, k, p = self._slot_temp, self._slot_topk, self._slot_topp
+        """(temps, top_ks, top_ps, min_ps) jnp arrays — all slots, or one
+        slot's length-1 views for single-row prefill picks."""
+        t, k, p, m = (self._slot_temp, self._slot_topk, self._slot_topp,
+                      self._slot_minp)
         if slot is not None:
-            t, k, p = t[slot:slot + 1], k[slot:slot + 1], p[slot:slot + 1]
-        return (jnp.asarray(t), jnp.asarray(k), jnp.asarray(p))
+            t, k, p, m = (t[slot:slot + 1], k[slot:slot + 1],
+                          p[slot:slot + 1], m[slot:slot + 1])
+        return (jnp.asarray(t), jnp.asarray(k), jnp.asarray(p),
+                jnp.asarray(m))
+
+    def _pen_args(self, slot=None):
+        """(rep, freq, pres, prompt_pres, out_counts) — None when the
+        engine runs without context penalties; all slots, or one slot's
+        length-1 rows for single-row prefill picks."""
+        if not self.cfg.penalties:
+            return None
+        r, f, p = self._slot_rep, self._slot_freq, self._slot_pres
+        pp, oc = self._prompt_pres, self._out_counts
+        if slot is not None:
+            r, f, p = r[slot:slot + 1], f[slot:slot + 1], p[slot:slot + 1]
+            pp, oc = pp[slot:slot + 1], oc[slot:slot + 1]
+        return (jnp.asarray(r), jnp.asarray(f), jnp.asarray(p), pp, oc)
+
+    def _count_picked(self, out_counts, nxt, active):
+        """Add the picked tokens of active rows into the output-count
+        buffer (inside the jitted step)."""
+        b = nxt.shape[0]
+        return out_counts.at[jnp.arange(b), nxt].add(
+            active.astype(jnp.int32))
 
     def _next_salt(self, n=1):
         """Advance and return the host-side PRNG salt counter."""
@@ -389,7 +472,8 @@ class Engine:
             )
         last = (n - 1) % chunk
         tok = self._pick(logits[last][None], n, self._next_salt(),
-                         samp=self._samp_args(req.slot))[0]
+                         samp=self._samp_args(req.slot),
+                         pen=self._pen_args(req.slot))[0]
         if self.paged:
             ps = self.cfg.page_size
             self.caches = self._write_pages(
@@ -482,7 +566,8 @@ class Engine:
                 jnp.int32(off), chunk=chunk)
         last = (n - 1 - shared_len) % chunk
         tok = self._pick(logits[last][None], n, self._next_salt(),
-                         samp=self._samp_args(req.slot))[0]
+                         samp=self._samp_args(req.slot),
+                         pen=self._pen_args(req.slot))[0]
         # write only the tail pages the request owns
         if own:
             self._write_pages_from(scratch, own, start_pg=len(shared_pages))
@@ -544,7 +629,18 @@ class Engine:
                lora: Optional[str] = None,
                temperature: Optional[float] = None,
                top_k: Optional[int] = None,
-               top_p: Optional[float] = None) -> int:
+               top_p: Optional[float] = None,
+               min_p: Optional[float] = None,
+               repetition_penalty: Optional[float] = None,
+               frequency_penalty: Optional[float] = None,
+               presence_penalty: Optional[float] = None,
+               stop: Optional[List] = None) -> int:
+        if not self.cfg.penalties and any(
+                x is not None for x in (repetition_penalty,
+                                        frequency_penalty,
+                                        presence_penalty)):
+            raise ValueError("this engine was built without context "
+                             "penalties; set ServeConfig(penalties=True)")
         idx = 0
         if lora is not None:
             if lora not in self._lora_names:
@@ -554,9 +650,23 @@ class Engine:
         if temperature and self.cfg.spec_draft > 0:
             raise ValueError("speculative decoding is greedy-only; "
                              "per-request temperature is not supported")
+        stop_seqs = None
+        if stop:
+            # accept one token-id sequence or a list of them
+            if all(isinstance(t, int) for t in stop):
+                stop = [stop]
+            stop_seqs = []
+            for s in stop:
+                s = list(s)
+                if not s or not all(isinstance(t, int) for t in s):
+                    raise ValueError("stop must be token-id sequence(s)")
+                stop_seqs.append(s)
         req = Request(uid=self._uid, prompt=list(prompt),
                       max_new_tokens=max_new_tokens, lora_idx=idx,
-                      temperature=temperature, top_k=top_k, top_p=top_p)
+                      temperature=temperature, top_k=top_k, top_p=top_p,
+                      min_p=min_p, repetition_penalty=repetition_penalty,
+                      frequency_penalty=frequency_penalty,
+                      presence_penalty=presence_penalty, stop=stop_seqs)
         self._uid += 1
         self._queue.append(req)
         return req.uid
@@ -599,6 +709,9 @@ class Engine:
                                      else req.top_k)
             self._slot_topp[slot] = ((cfg.top_p or 1.0) if req.top_p is None
                                      else req.top_p)
+            self._slot_minp[slot] = (cfg.min_p if req.min_p is None
+                                     else req.min_p)
+            self._admit_penalties(slot, req)
             if self.paged and self.cfg.prefix_cache:
                 hit = self._match_prefix(req.prompt)
                 if hit is not None:
@@ -606,6 +719,7 @@ class Engine:
                     self._prefills += 1
                     tok = self._prefill_paged_shared(req, slot, hit)
                     req.generated.append(int(tok))
+                    self._note_first_tok(slot, int(tok))
                     self.cur_tok[slot] = int(tok)
                     self.positions[slot] = len(req.prompt)
                     self.active[slot] = True
@@ -633,6 +747,7 @@ class Engine:
                 if self.draft_model is not None:
                     self._dprefill_long(req, slot)
                 req.generated.append(int(tok))
+                self._note_first_tok(slot, int(tok))
                 self.cur_tok[slot] = int(tok)
                 self.positions[slot] = len(req.prompt)
                 self.active[slot] = True
@@ -655,7 +770,7 @@ class Engine:
                     self._params_for_prefill(req), self.caches, prompt,
                     jnp.asarray(ids, jnp.int32),
                     jnp.int32(len(req.prompt)), self._next_salt(),
-                    self._samp_args(slot), plen=plen,
+                    self._samp_args(slot), self._pen_args(slot), plen=plen,
                 )
                 if self.cfg.prefix_cache:
                     self._register_prefix(req, slot)
@@ -663,7 +778,8 @@ class Engine:
                 self.caches, tok = self._prefill(
                     self._params_for_prefill(req), self.caches, prompt,
                     jnp.int32(slot), jnp.int32(len(req.prompt)),
-                    self._next_salt(), self._samp_args(slot), plen=plen,
+                    self._next_salt(), self._samp_args(slot),
+                    self._pen_args(slot), plen=plen,
                 )
                 if self.draft_model is not None:
                     self.dcaches = self._dprefill(
@@ -671,19 +787,59 @@ class Engine:
                         jnp.int32(slot), plen=plen,
                     )
             req.generated.append(int(tok))
+            self._note_first_tok(slot, int(tok))
             self.cur_tok[slot] = int(tok)
             self.positions[slot] = len(req.prompt)
             self.active[slot] = True
             self._slots[slot] = req
             self._maybe_finish(req)
 
-    def _maybe_finish(self, req: Request) -> None:
-        hit_eos = req.generated and req.generated[-1] == self.cfg.eos_id
-        full = int(self.positions[req.slot]) + 1 >= self.cfg.max_seq
-        if len(req.generated) >= req.max_new_tokens or hit_eos or full:
-            self._finish(req)
+    def _admit_penalties(self, slot: int, req: Request) -> None:
+        """Set the slot's penalty params; seed its prompt-presence row and
+        zero its output-count row (clearing the previous occupant's)."""
+        cfg = self.cfg
+        rep = (cfg.repetition_penalty if req.repetition_penalty is None
+               else req.repetition_penalty)
+        freq = (cfg.frequency_penalty if req.frequency_penalty is None
+                else req.frequency_penalty)
+        pres = (cfg.presence_penalty if req.presence_penalty is None
+                else req.presence_penalty)
+        if not cfg.penalties:
+            return
+        import numpy as _np
 
-    def _finish(self, req: Request) -> None:
+        self._slot_rep[slot] = rep
+        self._slot_freq[slot] = freq
+        self._slot_pres[slot] = pres
+        v = self.model_cfg.vocab_size
+        row = (_np.bincount(_np.asarray(req.prompt, _np.int64),
+                            minlength=v)[:v] > 0).astype(_np.int8)
+        self._prompt_pres = self._prompt_pres.at[slot].set(jnp.asarray(row))
+        self._out_counts = self._out_counts.at[slot].set(0)
+
+    def _note_first_tok(self, slot: int, tok: int) -> None:
+        """Count the prefill-picked token into the output-count buffer."""
+        if self.cfg.penalties:
+            self._out_counts = self._out_counts.at[slot, tok].add(1)
+
+    def _maybe_finish(self, req: Request) -> None:
+        g = req.generated
+        if g and g[-1] == self.cfg.eos_id:
+            self._finish(req, "stop")
+            return
+        if req.stop:
+            for s in req.stop:
+                if len(g) >= len(s) and g[-len(s):] == s:
+                    # trim the stop sequence from the visible output
+                    del g[-len(s):]
+                    self._finish(req, "stop")
+                    return
+        full = int(self.positions[req.slot]) + 1 >= self.cfg.max_seq
+        if len(g) >= req.max_new_tokens or full:
+            self._finish(req, "length")
+
+    def _finish(self, req: Request, reason: str = "length") -> None:
+        req.finish_reason = req.finish_reason or reason
         req.done = True
         self._finished_total += 1
         self._tokens_total += len(req.generated)
@@ -707,11 +863,12 @@ class Engine:
             if req.uid == uid:
                 self._queue.pop(i)
                 req.done = True
+                req.finish_reason = "cancelled"
                 self._finished.append(req)
                 return True
         for req in self._slots:
             if req is not None and req.uid == uid:
-                self._finish(req)
+                self._finish(req, "cancelled")
                 return True
         return False
 
@@ -759,8 +916,8 @@ class Engine:
                     jnp.asarray(self.positions), jnp.asarray(self.active))
             if self.paged:
                 args += (self.block_table,)
-            args += (self._next_salt(), self._samp_args())
-            self.caches, nxt = self._step(*args)
+            args += (self._next_salt(), self._samp_args(), self._pen_args())
+            self.caches, nxt, counts = self._step(*args)
             toks_host = _np.asarray(nxt)[None]  # (1, B); ONE device read
         else:
             if not hasattr(self, "_step_multi"):
@@ -768,13 +925,15 @@ class Engine:
                     self._step_multi_impl, static_argnames=("k",),
                     donate_argnums=(1,),
                 )
-            self.caches, toks = self._step_multi(
+            self.caches, toks, counts = self._step_multi(
                 self.params, self.caches, jnp.asarray(self.cur_tok),
                 jnp.asarray(self.positions), jnp.asarray(self.active),
-                self._next_salt(k), self._samp_args(),
+                self._next_salt(k), self._samp_args(), self._pen_args(),
                 self.block_table if self.paged else None, k=k,
             )
             toks_host = _np.asarray(toks)  # (k, B); ONE device read
+        if counts is not None:
+            self._out_counts = counts
         for slot, req in enumerate(list(self._slots)):
             if req is None:
                 continue

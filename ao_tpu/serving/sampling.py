@@ -19,11 +19,19 @@ def sample_logits(
     temperature: float = 1.0,
     top_k: Optional[int] = None,
     top_p: Optional[float] = None,
+    min_p: Optional[float] = None,
 ) -> jax.Array:
     """Returns sampled token ids (...,) int32. temperature==0 → greedy."""
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     lf = logits.astype(jnp.float32) / temperature
+
+    if min_p is not None and min_p > 0.0:
+        # drop tokens with prob < min_p * max prob (temp-scaled dist);
+        # applied before top-k/top-p, like vLLM's min_p filter
+        probs = jax.nn.softmax(lf, axis=-1)
+        pmax = jnp.max(probs, axis=-1, keepdims=True)
+        lf = jnp.where(probs < min_p * pmax, -jnp.inf, lf)
 
     if top_k is not None:
         kth = jax.lax.top_k(lf, top_k)[0][..., -1:]
@@ -47,18 +55,24 @@ def sample_logits_batched(
     temps: jax.Array,   # (B,) 0.0 → greedy for that row
     top_ks: jax.Array,  # (B,) int32, 0 → no top-k for that row
     top_ps: jax.Array,  # (B,) f32, 1.0 → no top-p for that row
+    min_ps: Optional[jax.Array] = None,  # (B,) f32, 0.0 → no min-p
 ) -> jax.Array:
     """Per-row sampling parameters (continuous batching mixes greedy and
     sampled requests in one step). One descending sort serves both filters;
-    top-p mass is computed over the top-k-filtered distribution (the
-    sequential-filters semantics). When every row is greedy a `lax.cond`
-    skips the sort entirely. Returns (B,) int32."""
+    min-p filters on the temp-scaled distribution first, then top-p mass is
+    computed over the top-k-filtered distribution (the sequential-filters
+    semantics). When every row is greedy a `lax.cond` skips the sort
+    entirely. Returns (B,) int32."""
     lf = logits.astype(jnp.float32)
     v = lf.shape[-1]
     greedy = jnp.argmax(lf, axis=-1).astype(jnp.int32)
 
     def sample(_):
         lt = lf / jnp.where(temps > 0, temps, 1.0)[:, None]
+        if min_ps is not None:
+            probs_full = jax.nn.softmax(lt, axis=-1)
+            pmax = jnp.max(probs_full, axis=-1, keepdims=True)
+            lt = jnp.where(probs_full < min_ps[:, None] * pmax, -jnp.inf, lt)
         srt = jnp.sort(lt, axis=-1)[..., ::-1]
         k = jnp.where(top_ks > 0, top_ks, v).astype(jnp.int32)
         kth = jnp.take_along_axis(srt, (jnp.clip(k, 1, v) - 1)[:, None], -1)
@@ -74,3 +88,34 @@ def sample_logits_batched(
     sampled = jax.lax.cond(jnp.any(temps > 0), sample,
                            lambda _: greedy, None)
     return jnp.where(temps > 0, sampled, greedy)
+
+
+def apply_penalties(
+    logits: jax.Array,       # (B, V) raw logits
+    rep_pens: jax.Array,     # (B,) f32, 1.0 → no repetition penalty
+    freq_pens: jax.Array,    # (B,) f32, 0.0 → no frequency penalty
+    pres_pens: jax.Array,    # (B,) f32, 0.0 → no presence penalty
+    prompt_pres: jax.Array,  # (B, V) int8: 1 where the token is in the prompt
+    out_counts: jax.Array,   # (B, V) int32 per-token output counts
+) -> jax.Array:
+    """Context penalties on raw logits, applied before temperature (the
+    vLLM/HF processor order; greedy rows see them too).
+
+    - repetition penalty (HF semantics): tokens present in the prompt OR
+      the output so far get positive logits divided / negative multiplied
+      by ``rep_pen``.
+    - frequency/presence penalties (OpenAI semantics): subtract
+      ``freq_pen * count`` and ``pres_pen * present`` over OUTPUT tokens
+      only.
+
+    All defaults (1.0 / 0.0 / 0.0) make this an exact identity, so a
+    penalties-enabled engine reproduces the plain engine token-for-token
+    until a request actually sets one."""
+    lf = logits.astype(jnp.float32)
+    ctx = (prompt_pres > 0) | (out_counts > 0)
+    rp = rep_pens[:, None]
+    lf = jnp.where(ctx, jnp.where(lf > 0, lf / rp, lf * rp), lf)
+    oc = out_counts.astype(jnp.float32)
+    lf = lf - freq_pens[:, None] * oc
+    lf = lf - pres_pens[:, None] * (oc > 0)
+    return lf

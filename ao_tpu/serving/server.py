@@ -7,7 +7,8 @@ reference's benchmark harnesses.)
 
 Endpoints (JSON over POST, stdlib http.server — no extra dependencies):
   POST /v1/completions   {"prompt": [ids], "max_tokens": N,
-                          "temperature": t?, "top_k"?, "top_p"?}
+                          "temperature"?, "top_k"?, "top_p"?, "min_p"?,
+                          "stop"?: [ids] | [[ids], ...]}
                        → {"id", "choices": [{"token_ids", "finish_reason"}],
                           "usage": {...}}
   GET  /v1/stats        → Engine.stats()
@@ -50,12 +51,17 @@ class ServingFrontend:
     # -- request path --------------------------------------------------------
 
     def submit(self, prompt, max_tokens: int, temperature=None,
-               top_k=None, top_p=None) -> int:
+               top_k=None, top_p=None, min_p=None, stop=None,
+               repetition_penalty=None, frequency_penalty=None,
+               presence_penalty=None) -> int:
         ev = threading.Event()
         with self._lock:
             uid = self.engine.submit(list(prompt), max_tokens,
                                      temperature=temperature, top_k=top_k,
-                                     top_p=top_p)
+                                     top_p=top_p, min_p=min_p, stop=stop,
+                                     repetition_penalty=repetition_penalty,
+                                     frequency_penalty=frequency_penalty,
+                                     presence_penalty=presence_penalty)
             self._events[uid] = ev
             self._requests[uid] = self.engine._queue[-1]
         return uid
@@ -117,12 +123,9 @@ class ServingFrontend:
                 else:
                     done = []
                 for req in done:
-                    finish = ("stop" if req.generated and
-                              req.generated[-1] == self.engine.cfg.eos_id
-                              else "length")
                     self._results[req.uid] = {
                         "token_ids": req.generated,
-                        "finish_reason": finish,
+                        "finish_reason": req.finish_reason or "length",
                         "prompt_tokens": len(req.prompt),
                     }
                     ev = self._events.get(req.uid)
@@ -179,7 +182,9 @@ class ServingFrontend:
                                 f"data: {json.dumps(chunk)}\n\n".encode())
                             self.wfile.flush()
                             sent = len(toks)
-                        if done and sent == len(toks):
+                        if done and sent >= len(toks):
+                            # >=: a stop-sequence match trims tokens the
+                            # stream may have already emitted
                             break
                         with frontend._progress:
                             frontend._progress.wait(10.0)
@@ -218,11 +223,20 @@ class ServingFrontend:
                             f"engine's max_seq-1 ({max_seq - 1})")
                     t = req.get("temperature")
                     tk, tp = req.get("top_k"), req.get("top_p")
+                    mp, stop = req.get("min_p"), req.get("stop")
+                    rp = req.get("repetition_penalty")
+                    fp = req.get("frequency_penalty")
+                    pp = req.get("presence_penalty")
                     uid = frontend.submit(
                         prompt, int(req.get("max_tokens", 32)),
                         temperature=None if t is None else float(t),
                         top_k=None if tk is None else int(tk),
-                        top_p=None if tp is None else float(tp))
+                        top_p=None if tp is None else float(tp),
+                        min_p=None if mp is None else float(mp),
+                        stop=stop,
+                        repetition_penalty=None if rp is None else float(rp),
+                        frequency_penalty=None if fp is None else float(fp),
+                        presence_penalty=None if pp is None else float(pp))
                     if req.get("stream"):
                         self._stream(uid)
                         return

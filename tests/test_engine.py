@@ -590,6 +590,15 @@ class TestPerRequestSampling:
         done = {r.uid: r for r in eng.run()}
         assert done[0].generated == ref
 
+    def test_min_p_one_equals_greedy(self):
+        """min_p=1.0 keeps only the argmax token → sampled == greedy."""
+        params, cfg = _model()
+        ref = _ref_generate(params, cfg, [3, 17, 42, 9], 6)
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,)))
+        eng.submit([3, 17, 42, 9], 6, temperature=1.0, min_p=1.0)
+        assert eng.run()[0].generated == ref
+
     def test_multistep_mixed_sampling(self):
         """decode_steps_per_call > 1 respects per-slot sampling params."""
         params, cfg = _model()
@@ -601,3 +610,150 @@ class TestPerRequestSampling:
         eng.submit([7, 8, 9], 8, temperature=1.1)
         done = {r.uid: r for r in eng.run()}
         assert done[0].generated == ref
+
+
+class TestStopAndFinishReason:
+    def test_stop_token_trims_and_reports(self):
+        params, cfg = _model()
+        ref = _ref_generate(params, cfg, [3, 17, 42, 9], 8)
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,)))
+        eng.submit([3, 17, 42, 9], 8, stop=[ref[2]])  # single token-id seq
+        done = eng.run()[0]
+        assert done.generated == ref[:2]  # stop token trimmed
+        assert done.finish_reason == "stop"
+
+    def test_multitoken_stop_sequence(self):
+        params, cfg = _model()
+        ref = _ref_generate(params, cfg, [3, 17, 42, 9], 8)
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,)))
+        eng.submit([3, 17, 42, 9], 8, stop=[[ref[1], ref[2]], [999]])
+        done = eng.run()[0]
+        assert done.generated == ref[:1]
+        assert done.finish_reason == "stop"
+
+    def test_finish_reason_length_and_eos(self):
+        params, cfg = _model()
+        ref = _ref_generate(params, cfg, [3, 17, 42, 9], 8)
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,)))
+        eng.submit([3, 17, 42, 9], 4)
+        done = {r.uid: r for r in eng.run()}
+        assert done[0].finish_reason == "length"
+
+        eng2 = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,), eos_id=ref[1]))
+        eng2.submit([3, 17, 42, 9], 8)
+        d = eng2.run()[0]
+        assert d.generated == ref[:2]  # eos token kept (existing contract)
+        assert d.finish_reason == "stop"
+
+    def test_finish_reason_cancelled(self):
+        params, cfg = _model()
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,)))
+        uid = eng.submit([3, 17], 32)
+        eng.step()
+        assert eng.cancel(uid)
+        done = eng.run()
+        assert done[0].finish_reason == "cancelled"
+
+    def test_stop_with_multistep_decode(self):
+        """decode_steps_per_call windows past the stop point must still trim
+        at the match (tokens decoded after the stop are discarded)."""
+        params, cfg = _model()
+        ref = _ref_generate(params, cfg, [3, 17, 42, 9], 8)
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,),
+            decode_steps_per_call=4))
+        eng.submit([3, 17, 42, 9], 8, stop=[ref[2]])
+        done = eng.run()[0]
+        assert done.generated == ref[:2]
+        assert done.finish_reason == "stop"
+
+
+class TestPenalties:
+    def test_apply_penalties_math(self):
+        from ao_tpu.serving.sampling import apply_penalties
+
+        logits = jnp.array([[2.0, -1.0, 0.5]])
+        ppres = jnp.array([[1, 0, 0]], jnp.int8)
+        out = jnp.array([[0, 0, 2]], jnp.int32)
+        got = apply_penalties(
+            logits, jnp.array([2.0]), jnp.array([0.1]), jnp.array([0.5]),
+            ppres, out)
+        # idx0: in prompt → 2/2; idx1: unseen → unchanged;
+        # idx2: in output → 0.5/2 - 0.1*2 - 0.5
+        np.testing.assert_allclose(
+            np.asarray(got[0]), [1.0, -1.0, -0.45], rtol=1e-6)
+
+    def test_enabled_defaults_match_disabled(self):
+        """penalties=True with default values is an exact identity."""
+        params, cfg = _model()
+        ref = _ref_generate(params, cfg, [3, 17, 42, 9], 8)
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,), penalties=True))
+        eng.submit([3, 17, 42, 9], 8)
+        assert eng.run()[0].generated == ref
+
+    def test_presence_penalty_forbids_output_repeats(self):
+        params, cfg = _model()
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,), penalties=True))
+        eng.submit([3, 17, 42, 9], 10, presence_penalty=1e9)
+        toks = eng.run()[0].generated
+        assert len(set(toks)) == len(toks), toks
+
+    def test_frequency_penalty_forbids_output_repeats(self):
+        params, cfg = _model()
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,), penalties=True))
+        eng.submit([3, 17, 42, 9], 10, frequency_penalty=1e9)
+        toks = eng.run()[0].generated
+        assert len(set(toks)) == len(toks), toks
+
+    def test_multistep_matches_single_step(self):
+        """The scan-carried counts must equal the host-synced k=1 path."""
+        params, cfg = _model()
+        mk = lambda k: Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,), penalties=True,
+            decode_steps_per_call=k))
+        outs = []
+        for k in (1, 4):
+            eng = mk(k)
+            eng.submit([3, 17, 42, 9], 8, repetition_penalty=1.3,
+                       presence_penalty=0.2)
+            outs.append(eng.run()[0].generated)
+        assert outs[0] == outs[1]
+
+    def test_paged_matches_slot(self):
+        params, cfg = _model()
+        mk = lambda layout: Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,), penalties=True,
+            kv_layout=layout, page_size=8))
+        outs = []
+        for layout in ("slots", "paged"):
+            eng = mk(layout)
+            eng.submit([3, 17, 42, 9], 8, repetition_penalty=1.3)
+            outs.append(eng.run()[0].generated)
+        assert outs[0] == outs[1]
+
+    def test_penalty_without_flag_raises(self):
+        params, cfg = _model()
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,)))
+        with pytest.raises(ValueError, match="penalties"):
+            eng.submit([1, 2], 4, repetition_penalty=1.5)
+
+    def test_slot_reuse_resets_counts(self):
+        """A second request in the reused slot must not inherit the first
+        request's output counts (its greedy tokens match the plain ref)."""
+        params, cfg = _model()
+        ref = _ref_generate(params, cfg, [3, 17, 42, 9], 6)
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,), penalties=True))
+        eng.submit([7, 8, 9], 6, presence_penalty=5.0)
+        eng.run()
+        eng.submit([3, 17, 42, 9], 6)  # defaults → must equal plain greedy
+        assert eng.run()[0].generated == ref
