@@ -23,10 +23,11 @@ def config_from_hf(hf_cfg: Mapping[str, Any], dtype: Any = jnp.bfloat16):
     """HF config dict → the matching ao_tpu model config.
 
     Supported ``model_type``: llama, qwen2, qwen3 (QK-norm), mistral (Llama layout),
-    mixtral (MoE), gemma, gemma2, gemma3_text, vit, sam.
+    mixtral (MoE), phi3 (fused qkv/gate_up), gemma, gemma2, gemma3_text,
+    vit, sam.
     """
     mt = hf_cfg.get("model_type", "")
-    if mt in ("llama", "qwen2", "qwen3", "mistral", "mixtral"):
+    if mt in ("llama", "qwen2", "qwen3", "mistral", "mixtral", "phi3"):
         from ao_tpu.models.llama import LlamaConfig
 
         if hf_cfg.get("sliding_window"):
@@ -36,6 +37,15 @@ def config_from_hf(hf_cfg: Mapping[str, Any], dtype: Any = jnp.bfloat16):
                 f"{mt}: sliding_window={hf_cfg['sliding_window']} is not "
                 "modeled (full causal attention); outputs diverge from "
                 "transformers beyond that context length")
+        rs = hf_cfg.get("rope_scaling") or {}
+        rs_type = rs.get("rope_type", rs.get("type"))
+        if rs_type not in (None, "default", "llama3"):
+            import warnings
+
+            warnings.warn(
+                f"{mt}: rope_scaling type {rs_type!r} is not modeled "
+                "(plain RoPE used); long-context outputs diverge from "
+                "transformers")
         return LlamaConfig(
             vocab_size=hf_cfg["vocab_size"],
             dim=hf_cfg["hidden_size"],
@@ -141,8 +151,10 @@ def import_from_hf(
 
     cfg = config_from_hf(hf_cfg, dtype)
     mt = hf_cfg.get("model_type", "")
-    if mt in ("llama", "qwen2", "qwen3", "mistral", "mixtral"):
-        params = ti.import_hf_llama(state_dict, cfg.n_layers, dtype)
+    if mt in ("llama", "qwen2", "qwen3", "mistral", "mixtral", "phi3"):
+        params = ti.import_hf_llama(state_dict, cfg.n_layers, dtype,
+                                    n_heads=cfg.n_heads,
+                                    n_kv_heads=cfg.n_kv_heads)
     elif mt in ("gemma", "gemma2", "gemma3_text"):
         params = ti.import_hf_gemma(state_dict, cfg.n_layers, dtype)
     elif mt == "vit":

@@ -33,6 +33,18 @@ def import_linear(v, dtype=jnp.bfloat16):
     return jnp.asarray(_to_np(v).T).astype(dtype)
 
 
+def _gate_up_split(gate_up, down, dtype):
+    """Phi-3 fused MLP: gate_up_proj rows [gate | up] → w1/w3 + down → w2
+    (transformers Phi3MLP chunks the output as (gate, up))."""
+    w = _to_np(gate_up)
+    f = w.shape[0] // 2
+    return {
+        "w1": import_linear(w[:f], dtype),
+        "w3": import_linear(w[f:], dtype),
+        "w2": import_linear(down, dtype),
+    }
+
+
 def _moe_from(sd, p, dtype):
     """Mixtral ``block_sparse_moe`` → the framework's MoE dict: router
     (D, E) + stacked expert weights (E, K, N) for ragged_dot dispatch."""
@@ -57,12 +69,18 @@ def import_hf_llama(
     n_layers: int,
     dtype=jnp.bfloat16,
     prefix: str = "model.",
+    n_heads: int = None,
+    n_kv_heads: int = None,
 ) -> Dict[str, Any]:
     """HF LlamaForCausalLM state_dict → ao_tpu.models.llama params pytree.
 
     Weights transpose to the (K, N) convention; norms and embeddings copy
     through. Missing lm_head (tied models) is omitted — set
     ``tie_embeddings=True`` in the LlamaConfig.
+
+    Phi-3-style fused projections (``self_attn.qkv_proj`` rows ordered
+    [q | k | v], ``mlp.gate_up_proj`` rows [gate | up]) split onto the same
+    layout; the fused-qkv split needs ``n_heads``/``n_kv_heads``.
     """
     sd = {k: v for k, v in state_dict.items()}
 
@@ -75,12 +93,27 @@ def import_hf_llama(
     layers = []
     for i in range(n_layers):
         p = f"layers.{i}."
-        attn = {
-            "wq": import_linear(get(p + "self_attn.q_proj.weight"), dtype),
-            "wk": import_linear(get(p + "self_attn.k_proj.weight"), dtype),
-            "wv": import_linear(get(p + "self_attn.v_proj.weight"), dtype),
-            "wo": import_linear(get(p + "self_attn.o_proj.weight"), dtype),
-        }
+        if has(p + "self_attn.qkv_proj.weight"):
+            if n_heads is None or n_kv_heads is None:
+                raise ValueError("fused qkv_proj needs n_heads/n_kv_heads "
+                                 "(pass them or use auto.import_from_hf)")
+            w = _to_np(get(p + "self_attn.qkv_proj.weight"))
+            hd = w.shape[0] // (n_heads + 2 * n_kv_heads)
+            qh, kh = n_heads * hd, n_kv_heads * hd
+            attn = {
+                "wq": import_linear(w[:qh], dtype),
+                "wk": import_linear(w[qh:qh + kh], dtype),
+                "wv": import_linear(w[qh + kh:qh + 2 * kh], dtype),
+                "wo": import_linear(get(p + "self_attn.o_proj.weight"),
+                                    dtype),
+            }
+        else:
+            attn = {
+                "wq": import_linear(get(p + "self_attn.q_proj.weight"), dtype),
+                "wk": import_linear(get(p + "self_attn.k_proj.weight"), dtype),
+                "wv": import_linear(get(p + "self_attn.v_proj.weight"), dtype),
+                "wo": import_linear(get(p + "self_attn.o_proj.weight"), dtype),
+            }
         # Qwen2-style q/k/v biases (set qkv_bias=True in LlamaConfig)
         for nm, t in (("bq", "q_proj"), ("bk", "k_proj"), ("bv", "v_proj")):
             if has(p + f"self_attn.{t}.bias"):
@@ -95,6 +128,9 @@ def import_hf_llama(
             "attn": attn,
             "mlp": _moe_from(sd, prefix + p, dtype)
             if has(p + "block_sparse_moe.gate.weight")
+            else _gate_up_split(get(p + "mlp.gate_up_proj.weight"),
+                                get(p + "mlp.down_proj.weight"), dtype)
+            if has(p + "mlp.gate_up_proj.weight")
             else {
                 "w1": import_linear(get(p + "mlp.gate_proj.weight"), dtype),
                 "w3": import_linear(get(p + "mlp.up_proj.weight"), dtype),

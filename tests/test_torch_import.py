@@ -581,3 +581,59 @@ class TestGemma23GroundTruth:
         logits = out[0] if isinstance(out, tuple) else out
         np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
                                    atol=5e-6)
+
+
+class TestPhi3GroundTruth:
+    def test_phi3_matches_transformers(self):
+        """Phi-3 = Llama layout with FUSED qkv_proj / gate_up_proj; the
+        importer splits them ([q|k|v] rows, [gate|up] rows) and the forward
+        matches transformers.Phi3ForCausalLM logits exactly in fp32."""
+        from transformers import Phi3Config, Phi3ForCausalLM
+
+        hf = Phi3Config(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=128,
+            rms_norm_eps=1e-5, rope_theta=10000.0,
+            tie_word_embeddings=False, sliding_window=None,
+            attention_dropout=0.0, resid_pdrop=0.0, embd_pdrop=0.0,
+            pad_token_id=0, bos_token_id=1, eos_token_id=2)
+        torch.manual_seed(0)
+        m = Phi3ForCausalLM(hf).eval()
+        params = import_hf_llama(m.state_dict(), n_layers=2,
+                                 dtype=jnp.float32, n_heads=4, n_kv_heads=2)
+        cfg = llama.LlamaConfig(
+            vocab_size=256, dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+            ffn_dim=128, norm_eps=1e-5, rope_theta=10000.0,
+            tie_embeddings=False, dtype=jnp.float32)
+        toks = torch.randint(0, 256, (2, 16))
+        with torch.no_grad():
+            ref = m(toks).logits.numpy()
+        out = llama.forward(params, jnp.asarray(toks.numpy()), cfg)
+        logits = out[0] if isinstance(out, tuple) else out
+        np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
+                                   atol=5e-6)
+
+    def test_phi3_auto_config_and_import(self):
+        """auto.import_from_hf routes phi3 through the fused-split importer."""
+        from transformers import Phi3Config, Phi3ForCausalLM
+
+        from ao_tpu.integrations.auto import import_from_hf
+
+        hf = Phi3Config(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=1, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            tie_word_embeddings=False, sliding_window=None,
+            pad_token_id=0, bos_token_id=1, eos_token_id=2)
+        torch.manual_seed(1)
+        m = Phi3ForCausalLM(hf).eval()
+        params, cfg = import_from_hf(m.state_dict(), hf.to_dict(),
+                                     dtype=jnp.float32)
+        assert cfg.n_kv_heads == 2 and cfg.ffn_dim == 64
+        toks = torch.randint(0, 128, (1, 8))
+        with torch.no_grad():
+            ref = m(toks).logits.numpy()
+        logits = llama.forward(params, jnp.asarray(toks.numpy()), cfg)[0]
+        np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
+                                   atol=5e-6)
