@@ -67,6 +67,12 @@ class ServeConfig:
     repetition_penalty: float = 1.0
     frequency_penalty: float = 0.0
     presence_penalty: float = 0.0
+    # logprobs: maximum top-N alternatives the jitted steps return (static;
+    # per-request N ≤ this). 0 = no logprob outputs. When enabled, every
+    # step additionally computes a (B, vocab) log-softmax + top-k — the
+    # logprobs are taken from the distribution the picker saw (after
+    # penalties, before temperature).
+    logprobs: int = 0
     seed: int = 0
 
 
@@ -91,6 +97,12 @@ class Request:
     # stop sequences (lists of token ids); on match the matched tokens are
     # trimmed from ``generated`` and the request finishes with reason "stop"
     stop: Optional[List[List[int]]] = None
+    # logprobs: None = off; N ≥ 0 fills token_logprobs (+ top_logprobs as
+    # [(token_id, logprob)] * N per step when N > 0)
+    logprobs: Optional[int] = None
+    token_logprobs: List[float] = dataclasses.field(default_factory=list)
+    top_logprobs: List[List[Tuple[int, float]]] = dataclasses.field(
+        default_factory=list)
     # "length" | "stop" (eos or stop sequence) | "cancelled" | None (running)
     finish_reason: Optional[str] = None
 
@@ -194,6 +206,9 @@ class Engine:
             if cfg.penalties:
                 raise ValueError("speculative decoding does not support "
                                  "context penalties")
+            if cfg.logprobs > 0:
+                raise ValueError("speculative decoding does not support "
+                                 "logprob outputs")
             if cfg.decode_steps_per_call > 1:
                 raise ValueError("spec_draft and decode_steps_per_call are "
                                  "mutually exclusive")
@@ -264,9 +279,9 @@ class Engine:
             )
 
         caches = jax.tree_util.tree_map(insert, caches, scratch)
-        next_tok = self._pick(logits[0, true_len - 1][None], true_len,
-                              step, samp, pen)[0]
-        return caches, next_tok
+        next_tok, lpi = self._pick2(logits[0, true_len - 1][None], true_len,
+                                    step, samp, pen)
+        return caches, next_tok[0], lpi
 
     def _prefill_paged_impl(self, params, caches, prompt, page_ids, true_len,
                             step, samp, pen=None, *, plen):
@@ -285,9 +300,9 @@ class Engine:
                 kp.write_prompt(sk[0], page_ids),
                 vp.write_prompt(sv[0], page_ids),
             ))
-        next_tok = self._pick(logits[0, true_len - 1][None], true_len,
-                              step, samp, pen)[0]
-        return new_caches, next_tok
+        next_tok, lpi = self._pick2(logits[0, true_len - 1][None], true_len,
+                                    step, samp, pen)
+        return new_caches, next_tok[0], lpi
 
     def _step_paged_impl(self, params, caches, cur_tok, positions, active,
                          block_table, step, samp, pen=None):
@@ -296,15 +311,16 @@ class Engine:
             params, cur_tok[:, None], mcfg, positions=positions[:, None],
             kv_caches=caches, cache_index=(block_table, positions),
         )
-        nxt = self._pick(logits[:, -1], positions[0], step, samp, pen)
+        nxt, lpi = self._pick2(logits[:, -1], positions[0], step, samp, pen)
         nxt = jnp.where(active, nxt, cur_tok)
-        if pen is None:
-            return new_caches, nxt, None
-        return new_caches, nxt, self._count_picked(pen[4], nxt, active)
+        counts = (None if pen is None
+                  else self._count_picked(pen[4], nxt, active))
+        return new_caches, nxt, counts, lpi
 
     def _step_impl(self, params, caches, cur_tok, positions, active, step,
                    samp, pen=None):
-        """One decode step for all slots; returns (caches, next_tok, counts)."""
+        """One decode step for all slots; returns
+        (caches, next_tok, counts, logprob_info)."""
         mcfg = self.model_cfg
         b = self.cfg.max_batch
         pos = positions[:, None]  # (B, 1)
@@ -312,11 +328,11 @@ class Engine:
             params, cur_tok[:, None], mcfg, positions=pos,
             kv_caches=caches, cache_index=positions,
         )
-        nxt = self._pick(logits[:, -1], positions[0], step, samp, pen)
+        nxt, lpi = self._pick2(logits[:, -1], positions[0], step, samp, pen)
         nxt = jnp.where(active, nxt, cur_tok)
-        if pen is None:
-            return new_caches, nxt, None
-        return new_caches, nxt, self._count_picked(pen[4], nxt, active)
+        counts = (None if pen is None
+                  else self._count_picked(pen[4], nxt, active))
+        return new_caches, nxt, counts, lpi
 
     def _step_multi_impl(self, params, caches, cur_tok, positions, active,
                          step, samp, pen=None, block_table=None, *, k):
@@ -336,18 +352,18 @@ class Engine:
                 kv_caches=caches, cache_index=idx,
             )
             p = pen if pen is None else pen[:4] + (counts,)
-            nxt = self._pick(logits[:, -1], pos[0], step + i, samp, p)
+            nxt, lpi = self._pick2(logits[:, -1], pos[0], step + i, samp, p)
             nxt = jnp.where(active, nxt, tok)
             if counts is not None:
                 counts = self._count_picked(counts, nxt, active)
             pos = jnp.where(active, jnp.minimum(pos + 1, cap), pos)
-            return (caches, nxt, pos, counts), nxt
+            return (caches, nxt, pos, counts), (nxt, lpi)
 
         counts0 = None if pen is None else pen[4]
-        (caches, _, _, counts), toks = jax.lax.scan(
+        (caches, _, _, counts), (toks, lpis) = jax.lax.scan(
             body, (caches, cur_tok, positions, counts0),
             jnp.arange(k, dtype=jnp.int32))
-        return caches, toks, counts  # (k, B)
+        return caches, toks, counts, lpis  # toks (k, B)
 
     def _pick(self, logits, salt, step, samp=None, pen=None):
         """Greedy or sampled next-token selection.
@@ -383,6 +399,23 @@ class Engine:
         key = jax.random.fold_in(jax.random.fold_in(self._rng, step), salt)
         return sample_logits(logits, key, self.cfg.temperature,
                              self.cfg.top_k, self.cfg.top_p, self.cfg.min_p)
+
+    def _pick2(self, logits, salt, step, samp=None, pen=None):
+        """_pick plus logprob outputs when ``cfg.logprobs > 0``: returns
+        (tok, None) or (tok, (chosen_logprob, top_vals, top_ids)) —
+        logprobs taken from the post-penalty pre-temperature distribution
+        (the OpenAI-style "model logprobs" with penalties folded in)."""
+        if pen is not None:
+            from ao_tpu.serving.sampling import apply_penalties
+
+            logits = apply_penalties(logits, *pen)
+        tok = self._pick(logits, salt, step, samp)
+        if self.cfg.logprobs <= 0:
+            return tok, None
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        chosen = jnp.take_along_axis(lp, tok[:, None], -1)[:, 0]
+        tv, ti = jax.lax.top_k(lp, self.cfg.logprobs)
+        return tok, (chosen, tv, ti)
 
     def _samp_args(self, slot=None):
         """(temps, top_ks, top_ps, min_ps) jnp arrays — all slots, or one
@@ -471,9 +504,9 @@ class Engine:
                 jnp.int32(off), chunk=chunk
             )
         last = (n - 1) % chunk
-        tok = self._pick(logits[last][None], n, self._next_salt(),
-                         samp=self._samp_args(req.slot),
-                         pen=self._pen_args(req.slot))[0]
+        tok_arr, lpi = self._pick2(logits[last][None], n, self._next_salt(),
+                                   self._samp_args(req.slot),
+                                   self._pen_args(req.slot))
         if self.paged:
             ps = self.cfg.page_size
             self.caches = self._write_pages(
@@ -484,7 +517,7 @@ class Engine:
             self.caches = self._insert_scratch(
                 self.caches, scratch, jnp.int32(slot)
             )
-        return tok
+        return tok_arr[0], lpi
 
     def _seed_scratch_impl(self, scratch, caches, page_ids, *, n_pages):
         """Copy shared prefix pages from the pools into the hp scratch
@@ -565,13 +598,13 @@ class Engine:
                 self._params_for_prefill(req), scratch, toks,
                 jnp.int32(off), chunk=chunk)
         last = (n - 1 - shared_len) % chunk
-        tok = self._pick(logits[last][None], n, self._next_salt(),
-                         samp=self._samp_args(req.slot),
-                         pen=self._pen_args(req.slot))[0]
+        tok_arr, lpi = self._pick2(logits[last][None], n, self._next_salt(),
+                                   self._samp_args(req.slot),
+                                   self._pen_args(req.slot))
         # write only the tail pages the request owns
         if own:
             self._write_pages_from(scratch, own, start_pg=len(shared_pages))
-        return tok
+        return tok_arr[0], lpi
 
     def _write_pages_from(self, scratch, page_ids, start_pg):
         ps = self.cfg.page_size
@@ -634,7 +667,13 @@ class Engine:
                repetition_penalty: Optional[float] = None,
                frequency_penalty: Optional[float] = None,
                presence_penalty: Optional[float] = None,
-               stop: Optional[List] = None) -> int:
+               stop: Optional[List] = None,
+               logprobs: Optional[int] = None) -> int:
+        if logprobs is not None and self.cfg.logprobs < max(1, logprobs):
+            raise ValueError(
+                f"logprobs={logprobs} needs ServeConfig(logprobs="
+                f"{max(1, logprobs)}) or more (engine has "
+                f"{self.cfg.logprobs})")
         if not self.cfg.penalties and any(
                 x is not None for x in (repetition_penalty,
                                         frequency_penalty,
@@ -666,7 +705,8 @@ class Engine:
                       temperature=temperature, top_k=top_k, top_p=top_p,
                       min_p=min_p, repetition_penalty=repetition_penalty,
                       frequency_penalty=frequency_penalty,
-                      presence_penalty=presence_penalty, stop=stop_seqs)
+                      presence_penalty=presence_penalty, stop=stop_seqs,
+                      logprobs=logprobs)
         self._uid += 1
         self._queue.append(req)
         return req.uid
@@ -717,9 +757,10 @@ class Engine:
                 if hit is not None:
                     self._prefix_hits += 1
                     self._prefills += 1
-                    tok = self._prefill_paged_shared(req, slot, hit)
+                    tok, lpi = self._prefill_paged_shared(req, slot, hit)
                     req.generated.append(int(tok))
                     self._note_first_tok(slot, int(tok))
+                    self._note_logprobs0(req, lpi)
                     self.cur_tok[slot] = int(tok)
                     self.positions[slot] = len(req.prompt)
                     self.active[slot] = True
@@ -739,15 +780,16 @@ class Engine:
                     self._table_host[slot, :] = 0
                     self._table_host[slot, :n_pg] = ids
                     self.block_table = jnp.asarray(self._table_host)
-                    tok = self._prefill_long(req, slot, page_ids=ids)
+                    tok, lpi = self._prefill_long(req, slot, page_ids=ids)
                     if self.cfg.prefix_cache:
                         self._register_prefix(req, slot)
                 else:
-                    tok = self._prefill_long(req, slot)
+                    tok, lpi = self._prefill_long(req, slot)
                 if self.draft_model is not None:
                     self._dprefill_long(req, slot)
                 req.generated.append(int(tok))
                 self._note_first_tok(slot, int(tok))
+                self._note_logprobs0(req, lpi)
                 self.cur_tok[slot] = int(tok)
                 self.positions[slot] = len(req.prompt)
                 self.active[slot] = True
@@ -766,7 +808,7 @@ class Engine:
                 self._table_host[slot, :] = 0
                 self._table_host[slot, :n_pg] = ids
                 self.block_table = jnp.asarray(self._table_host)
-                self.caches, tok = self._prefill(
+                self.caches, tok, lpi = self._prefill(
                     self._params_for_prefill(req), self.caches, prompt,
                     jnp.asarray(ids, jnp.int32),
                     jnp.int32(len(req.prompt)), self._next_salt(),
@@ -775,7 +817,7 @@ class Engine:
                 if self.cfg.prefix_cache:
                     self._register_prefix(req, slot)
             else:
-                self.caches, tok = self._prefill(
+                self.caches, tok, lpi = self._prefill(
                     self._params_for_prefill(req), self.caches, prompt,
                     jnp.int32(slot), jnp.int32(len(req.prompt)),
                     self._next_salt(), self._samp_args(slot),
@@ -788,11 +830,21 @@ class Engine:
                     )
             req.generated.append(int(tok))
             self._note_first_tok(slot, int(tok))
+            self._note_logprobs0(req, lpi)
             self.cur_tok[slot] = int(tok)
             self.positions[slot] = len(req.prompt)
             self.active[slot] = True
             self._slots[slot] = req
             self._maybe_finish(req)
+
+    def _note_logprobs0(self, req: Request, lpi) -> None:
+        """Record the prefill-picked token's logprob info (row 0)."""
+        if lpi is None or req.logprobs is None:
+            return
+        import numpy as _np
+
+        self._record_logprobs(req, float(_np.asarray(lpi[0])[0]),
+                              _np.asarray(lpi[1])[0], _np.asarray(lpi[2])[0])
 
     def _admit_penalties(self, slot: int, req: Request) -> None:
         """Set the slot's penalty params; seed its prompt-presence row and
@@ -822,6 +874,13 @@ class Engine:
         if self.cfg.penalties:
             self._out_counts = self._out_counts.at[slot, tok].add(1)
 
+    def _record_logprobs(self, req: Request, chosen: float, tv, ti) -> None:
+        req.token_logprobs.append(chosen)
+        n = req.logprobs or 0
+        if n > 0:
+            req.top_logprobs.append(
+                [(int(t), float(v)) for t, v in zip(ti[:n], tv[:n])])
+
     def _maybe_finish(self, req: Request) -> None:
         g = req.generated
         if g and g[-1] == self.cfg.eos_id:
@@ -831,7 +890,10 @@ class Engine:
             for s in req.stop:
                 if len(g) >= len(s) and g[-len(s):] == s:
                     # trim the stop sequence from the visible output
+                    # (logprob records trim with it)
                     del g[-len(s):]
+                    del req.token_logprobs[len(g):]
+                    del req.top_logprobs[len(g):]
                     self._finish(req, "stop")
                     return
         full = int(self.positions[req.slot]) + 1 >= self.cfg.max_seq
@@ -917,15 +979,17 @@ class Engine:
             if self.paged:
                 args += (self.block_table,)
             args += (self._next_salt(), self._samp_args(), self._pen_args())
-            self.caches, nxt, counts = self._step(*args)
+            self.caches, nxt, counts, lpis = self._step(*args)
             toks_host = _np.asarray(nxt)[None]  # (1, B); ONE device read
+            if lpis is not None:
+                lpis = jax.tree_util.tree_map(lambda a: a[None], lpis)
         else:
             if not hasattr(self, "_step_multi"):
                 self._step_multi = jax.jit(
                     self._step_multi_impl, static_argnames=("k",),
                     donate_argnums=(1,),
                 )
-            self.caches, toks, counts = self._step_multi(
+            self.caches, toks, counts, lpis = self._step_multi(
                 self.params, self.caches, jnp.asarray(self.cur_tok),
                 jnp.asarray(self.positions), jnp.asarray(self.active),
                 self._next_salt(k), self._samp_args(), self._pen_args(),
@@ -934,6 +998,9 @@ class Engine:
             toks_host = _np.asarray(toks)  # (k, B); ONE device read
         if counts is not None:
             self._out_counts = counts
+        lp_host = None
+        if lpis is not None:
+            lp_host = tuple(_np.asarray(a) for a in lpis)  # (k,B) (k,B,N)x2
         for slot, req in enumerate(list(self._slots)):
             if req is None:
                 continue
@@ -942,6 +1009,10 @@ class Engine:
                 self.cur_tok[slot] = tok
                 self.positions[slot] += 1
                 req.generated.append(tok)
+                if lp_host is not None and req.logprobs is not None:
+                    self._record_logprobs(
+                        req, float(lp_host[0][i, slot]),
+                        lp_host[1][i, slot], lp_host[2][i, slot])
                 self._maybe_finish(req)
                 if req.done:
                     break

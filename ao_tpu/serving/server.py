@@ -53,7 +53,7 @@ class ServingFrontend:
     def submit(self, prompt, max_tokens: int, temperature=None,
                top_k=None, top_p=None, min_p=None, stop=None,
                repetition_penalty=None, frequency_penalty=None,
-               presence_penalty=None) -> int:
+               presence_penalty=None, logprobs=None) -> int:
         ev = threading.Event()
         with self._lock:
             uid = self.engine.submit(list(prompt), max_tokens,
@@ -61,7 +61,8 @@ class ServingFrontend:
                                      top_p=top_p, min_p=min_p, stop=stop,
                                      repetition_penalty=repetition_penalty,
                                      frequency_penalty=frequency_penalty,
-                                     presence_penalty=presence_penalty)
+                                     presence_penalty=presence_penalty,
+                                     logprobs=logprobs)
             self._events[uid] = ev
             self._requests[uid] = self.engine._queue[-1]
         return uid
@@ -123,11 +124,20 @@ class ServingFrontend:
                 else:
                     done = []
                 for req in done:
-                    self._results[req.uid] = {
+                    res = {
                         "token_ids": req.generated,
                         "finish_reason": req.finish_reason or "length",
                         "prompt_tokens": len(req.prompt),
                     }
+                    if req.logprobs is not None:
+                        res["logprobs"] = {
+                            "token_logprobs": req.token_logprobs,
+                            "top_logprobs": [
+                                {str(t): lp for t, lp in step}
+                                for step in req.top_logprobs
+                            ] if req.logprobs else None,
+                        }
+                    self._results[req.uid] = res
                     ev = self._events.get(req.uid)
                     if ev is not None:
                         ev.set()
@@ -227,6 +237,7 @@ class ServingFrontend:
                     rp = req.get("repetition_penalty")
                     fp = req.get("frequency_penalty")
                     pp = req.get("presence_penalty")
+                    lp = req.get("logprobs")
                     uid = frontend.submit(
                         prompt, int(req.get("max_tokens", 32)),
                         temperature=None if t is None else float(t),
@@ -236,7 +247,8 @@ class ServingFrontend:
                         stop=stop,
                         repetition_penalty=None if rp is None else float(rp),
                         frequency_penalty=None if fp is None else float(fp),
-                        presence_penalty=None if pp is None else float(pp))
+                        presence_penalty=None if pp is None else float(pp),
+                        logprobs=None if lp is None else int(lp))
                     if req.get("stream"):
                         self._stream(uid)
                         return
@@ -247,14 +259,17 @@ class ServingFrontend:
                 except TimeoutError as e:
                     self._json(504, {"error": str(e)})
                     return
+                choice = {
+                    "index": 0,
+                    "token_ids": out["token_ids"],
+                    "finish_reason": out["finish_reason"],
+                }
+                if "logprobs" in out:
+                    choice["logprobs"] = out["logprobs"]
                 self._json(200, {
                     "id": f"cmpl-{uid}",
                     "object": "completion",
-                    "choices": [{
-                        "index": 0,
-                        "token_ids": out["token_ids"],
-                        "finish_reason": out["finish_reason"],
-                    }],
+                    "choices": [choice],
                     "usage": {
                         "prompt_tokens": out["prompt_tokens"],
                         "completion_tokens": len(out["token_ids"]),

@@ -757,3 +757,83 @@ class TestPenalties:
         eng.run()
         eng.submit([3, 17, 42, 9], 6)  # defaults → must equal plain greedy
         assert eng.run()[0].generated == ref
+
+
+class TestLogprobs:
+    def test_greedy_logprobs_are_top1(self):
+        """Greedy chosen token == top-1 id and chosen logprob == top-1
+        value, for every generated token (prefill pick included)."""
+        params, cfg = _model()
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,), logprobs=3))
+        eng.submit([3, 17, 42, 9], 6, logprobs=2)
+        req = eng.run()[0]
+        assert len(req.token_logprobs) == len(req.generated) == 6
+        assert len(req.top_logprobs) == 6
+        for tok, lp, top in zip(req.generated, req.token_logprobs,
+                                req.top_logprobs):
+            assert len(top) == 2
+            assert top[0][0] == tok
+            assert abs(top[0][1] - lp) < 1e-6
+            assert lp <= 0.0
+
+    def test_first_logprob_matches_plain_forward(self):
+        """The prefill-picked token's logprob equals the log-softmax of a
+        plain full-sequence forward at the last prompt position."""
+        params, cfg = _model()
+        prompt = [3, 17, 42, 9]
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,), logprobs=1))
+        eng.submit(prompt, 2, logprobs=0)
+        req = eng.run()[0]
+        logits = llama.forward(params, jnp.asarray(prompt, jnp.int32)[None],
+                               cfg)[0]
+        lp = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
+        expect = float(lp[req.generated[0]])
+        assert abs(req.token_logprobs[0] - expect) < 1e-4
+        assert req.top_logprobs == []  # logprobs=0: chosen-token only
+
+    def test_multistep_matches_single(self):
+        params, cfg = _model()
+        vals = []
+        for k in (1, 4):
+            eng = Engine(params, cfg, ServeConfig(
+                max_batch=1, max_seq=64, prefill_buckets=(8,), logprobs=1,
+                decode_steps_per_call=k))
+            eng.submit([3, 17, 42, 9], 8, logprobs=1)
+            req = eng.run()[0]
+            vals.append((req.generated, req.token_logprobs))
+        assert vals[0][0] == vals[1][0]
+        np.testing.assert_allclose(vals[0][1], vals[1][1], atol=1e-5)
+
+    def test_stop_trims_logprob_records(self):
+        params, cfg = _model()
+        ref = _ref_generate(params, cfg, [3, 17, 42, 9], 8)
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,), logprobs=1))
+        eng.submit([3, 17, 42, 9], 8, stop=[ref[2]], logprobs=1)
+        req = eng.run()[0]
+        assert req.generated == ref[:2]
+        assert len(req.token_logprobs) == 2
+        assert len(req.top_logprobs) == 2
+
+    def test_exceeding_engine_budget_raises(self):
+        params, cfg = _model()
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,), logprobs=2))
+        with pytest.raises(ValueError, match="logprobs"):
+            eng.submit([1, 2], 4, logprobs=5)
+        eng2 = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,)))
+        with pytest.raises(ValueError, match="logprobs"):
+            eng2.submit([1, 2], 4, logprobs=0)
+
+    def test_mixed_batch_only_requesting_slot_records(self):
+        params, cfg = _model()
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,), logprobs=1))
+        eng.submit([3, 17, 42, 9], 6, logprobs=1)
+        eng.submit([7, 8, 9], 6)  # no logprobs requested
+        done = {r.uid: r for r in eng.run()}
+        assert len(done[0].token_logprobs) == 6
+        assert done[1].token_logprobs == []
