@@ -97,6 +97,9 @@ class Request:
     # stop sequences (lists of token ids); on match the matched tokens are
     # trimmed from ``generated`` and the request finishes with reason "stop"
     stop: Optional[List[List[int]]] = None
+    # OpenAI-style additive logit bias {token_id: bias} (needs
+    # ServeConfig(penalties=True); ±1e9 hard-bans/forces tokens)
+    logit_bias: Optional[Dict[int, float]] = None
     # logprobs: None = off; N ≥ 0 fills token_logprobs (+ top_logprobs as
     # [(token_id, logprob)] * N per step when N > 0)
     logprobs: Optional[int] = None
@@ -200,6 +203,7 @@ class Engine:
             v = model_cfg.vocab_size
             self._prompt_pres = jnp.zeros((b, v), jnp.int8)
             self._out_counts = jnp.zeros((b, v), jnp.int32)
+            self._logit_bias = jnp.zeros((b, v), jnp.float32)
         if cfg.spec_draft > 0:
             if cfg.temperature != 0.0:
                 raise ValueError("speculative decoding is greedy-only")
@@ -351,7 +355,7 @@ class Engine:
                 params, tok[:, None], mcfg, positions=pos[:, None],
                 kv_caches=caches, cache_index=idx,
             )
-            p = pen if pen is None else pen[:4] + (counts,)
+            p = pen if pen is None else pen[:4] + (counts,) + pen[5:]
             nxt, lpi = self._pick2(logits[:, -1], pos[0], step + i, samp, p)
             nxt = jnp.where(active, nxt, tok)
             if counts is not None:
@@ -429,17 +433,18 @@ class Engine:
                 jnp.asarray(m))
 
     def _pen_args(self, slot=None):
-        """(rep, freq, pres, prompt_pres, out_counts) — None when the
-        engine runs without context penalties; all slots, or one slot's
-        length-1 rows for single-row prefill picks."""
+        """(rep, freq, pres, prompt_pres, out_counts, logit_bias) — None
+        when the engine runs without context penalties; all slots, or one
+        slot's length-1 rows for single-row prefill picks."""
         if not self.cfg.penalties:
             return None
         r, f, p = self._slot_rep, self._slot_freq, self._slot_pres
-        pp, oc = self._prompt_pres, self._out_counts
+        pp, oc, lb = self._prompt_pres, self._out_counts, self._logit_bias
         if slot is not None:
             r, f, p = r[slot:slot + 1], f[slot:slot + 1], p[slot:slot + 1]
             pp, oc = pp[slot:slot + 1], oc[slot:slot + 1]
-        return (jnp.asarray(r), jnp.asarray(f), jnp.asarray(p), pp, oc)
+            lb = lb[slot:slot + 1]
+        return (jnp.asarray(r), jnp.asarray(f), jnp.asarray(p), pp, oc, lb)
 
     def _count_picked(self, out_counts, nxt, active):
         """Add the picked tokens of active rows into the output-count
@@ -668,16 +673,21 @@ class Engine:
                frequency_penalty: Optional[float] = None,
                presence_penalty: Optional[float] = None,
                stop: Optional[List] = None,
-               logprobs: Optional[int] = None) -> int:
+               logprobs: Optional[int] = None,
+               logit_bias: Optional[Dict[int, float]] = None) -> int:
         if logprobs is not None and self.cfg.logprobs < max(1, logprobs):
             raise ValueError(
                 f"logprobs={logprobs} needs ServeConfig(logprobs="
                 f"{max(1, logprobs)}) or more (engine has "
                 f"{self.cfg.logprobs})")
+        if logit_bias:
+            v = self.model_cfg.vocab_size
+            if any(not (0 <= int(t) < v) for t in logit_bias):
+                raise ValueError(f"logit_bias token ids must be in [0, {v})")
         if not self.cfg.penalties and any(
                 x is not None for x in (repetition_penalty,
                                         frequency_penalty,
-                                        presence_penalty)):
+                                        presence_penalty, logit_bias)):
             raise ValueError("this engine was built without context "
                              "penalties; set ServeConfig(penalties=True)")
         idx = 0
@@ -706,7 +716,7 @@ class Engine:
                       min_p=min_p, repetition_penalty=repetition_penalty,
                       frequency_penalty=frequency_penalty,
                       presence_penalty=presence_penalty, stop=stop_seqs,
-                      logprobs=logprobs)
+                      logprobs=logprobs, logit_bias=logit_bias)
         self._uid += 1
         self._queue.append(req)
         return req.uid
@@ -868,6 +878,10 @@ class Engine:
                             minlength=v)[:v] > 0).astype(_np.int8)
         self._prompt_pres = self._prompt_pres.at[slot].set(jnp.asarray(row))
         self._out_counts = self._out_counts.at[slot].set(0)
+        brow = _np.zeros((v,), _np.float32)
+        for t, bval in (req.logit_bias or {}).items():
+            brow[int(t)] = float(bval)
+        self._logit_bias = self._logit_bias.at[slot].set(jnp.asarray(brow))
 
     def _note_first_tok(self, slot: int, tok: int) -> None:
         """Count the prefill-picked token into the output-count buffer."""

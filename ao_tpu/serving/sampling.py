@@ -97,6 +97,7 @@ def apply_penalties(
     pres_pens: jax.Array,    # (B,) f32, 0.0 → no presence penalty
     prompt_pres: jax.Array,  # (B, V) int8: 1 where the token is in the prompt
     out_counts: jax.Array,   # (B, V) int32 per-token output counts
+    bias: Optional[jax.Array] = None,  # (B, V) f32 additive logit bias
 ) -> jax.Array:
     """Context penalties on raw logits, applied before temperature (the
     vLLM/HF processor order; greedy rows see them too).
@@ -107,6 +108,8 @@ def apply_penalties(
     - frequency/presence penalties (OpenAI semantics): subtract
       ``freq_pen * count`` and ``pres_pen * present`` over OUTPUT tokens
       only.
+    - additive per-request ``logit_bias`` (OpenAI semantics; the
+      guided-decoding primitive — ±1e9 hard-bans/forces tokens).
 
     All defaults (1.0 / 0.0 / 0.0) make this an exact identity, so a
     penalties-enabled engine reproduces the plain engine token-for-token
@@ -118,4 +121,6 @@ def apply_penalties(
     oc = out_counts.astype(jnp.float32)
     lf = lf - freq_pens[:, None] * oc
     lf = lf - pres_pens[:, None] * (oc > 0)
+    if bias is not None:
+        lf = lf + bias
     return lf

@@ -53,7 +53,8 @@ class ServingFrontend:
     def submit(self, prompt, max_tokens: int, temperature=None,
                top_k=None, top_p=None, min_p=None, stop=None,
                repetition_penalty=None, frequency_penalty=None,
-               presence_penalty=None, logprobs=None) -> int:
+               presence_penalty=None, logprobs=None,
+               logit_bias=None) -> int:
         ev = threading.Event()
         with self._lock:
             uid = self.engine.submit(list(prompt), max_tokens,
@@ -62,7 +63,8 @@ class ServingFrontend:
                                      repetition_penalty=repetition_penalty,
                                      frequency_penalty=frequency_penalty,
                                      presence_penalty=presence_penalty,
-                                     logprobs=logprobs)
+                                     logprobs=logprobs,
+                                     logit_bias=logit_bias)
             self._events[uid] = ev
             self._requests[uid] = self.engine._queue[-1]
         return uid
@@ -238,6 +240,9 @@ class ServingFrontend:
                     fp = req.get("frequency_penalty")
                     pp = req.get("presence_penalty")
                     lp = req.get("logprobs")
+                    lb = req.get("logit_bias")
+                    if lb is not None:
+                        lb = {int(k): float(v) for k, v in lb.items()}
                     uid = frontend.submit(
                         prompt, int(req.get("max_tokens", 32)),
                         temperature=None if t is None else float(t),
@@ -248,7 +253,8 @@ class ServingFrontend:
                         repetition_penalty=None if rp is None else float(rp),
                         frequency_penalty=None if fp is None else float(fp),
                         presence_penalty=None if pp is None else float(pp),
-                        logprobs=None if lp is None else int(lp))
+                        logprobs=None if lp is None else int(lp),
+                        logit_bias=lb)
                     if req.get("stream"):
                         self._stream(uid)
                         return

@@ -837,3 +837,57 @@ class TestLogprobs:
         done = {r.uid: r for r in eng.run()}
         assert len(done[0].token_logprobs) == 6
         assert done[1].token_logprobs == []
+
+
+class TestLogitBias:
+    def test_bias_forces_and_bans_tokens(self):
+        params, cfg = _model()
+        ref = _ref_generate(params, cfg, [3, 17, 42, 9], 6)
+        # force token 7 everywhere
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,), penalties=True))
+        eng.submit([3, 17, 42, 9], 4, logit_bias={7: 1e9})
+        assert eng.run()[0].generated == [7, 7, 7, 7]
+        # ban the greedy first choice → first token differs from ref
+        eng2 = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,), penalties=True))
+        eng2.submit([3, 17, 42, 9], 4, logit_bias={ref[0]: -1e9})
+        out = eng2.run()[0].generated
+        assert out[0] != ref[0]
+        assert ref[0] not in out
+
+    def test_bias_is_per_request(self):
+        """A biased slot must not leak into its unbiased batchmate."""
+        params, cfg = _model()
+        ref = _ref_generate(params, cfg, [3, 17, 42, 9], 6)
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(8,), penalties=True))
+        eng.submit([3, 17, 42, 9], 6)
+        eng.submit([7, 8, 9], 6, logit_bias={5: 1e9})
+        done = {r.uid: r for r in eng.run()}
+        assert done[0].generated == ref
+        assert done[1].generated == [5] * 6
+
+    def test_bias_without_flag_raises(self):
+        params, cfg = _model()
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,)))
+        with pytest.raises(ValueError, match="penalties"):
+            eng.submit([1, 2], 4, logit_bias={1: 5.0})
+
+    def test_bias_bad_token_id_raises(self):
+        params, cfg = _model()
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,), penalties=True))
+        with pytest.raises(ValueError, match="token ids"):
+            eng.submit([1, 2], 4, logit_bias={9999: 1.0})
+
+    def test_slot_reuse_clears_bias(self):
+        params, cfg = _model()
+        ref = _ref_generate(params, cfg, [3, 17, 42, 9], 6)
+        eng = Engine(params, cfg, ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(8,), penalties=True))
+        eng.submit([7, 8], 4, logit_bias={5: 1e9})
+        eng.run()
+        eng.submit([3, 17, 42, 9], 6)
+        assert eng.run()[0].generated == ref
