@@ -139,14 +139,45 @@ def _fp8_grouped(x, w: Float8Array, group_sizes, out_dtype):
 
 @implements("grouped_matmul", Int4Array)
 def _int4_grouped(x, w: Int4Array, group_sizes, out_dtype):
-    """int4 grouped: unpack is two vector ops; groupwise scales along K make
-    an epilogue impossible, so dequant happens before the ragged dot (the
-    HBM read of packed nibbles is still the 4-bit win)."""
+    """int4 grouped: magic/magic8 expert stacks take the FUSED grouped
+    kernels (ops/pallas/grouped_matmul.py — masked dense-per-expert, the
+    packed nibbles stream straight from HBM) at decode token counts; the
+    fallback dequantizes before the ragged dot (compute-bound at prefill
+    T, where the bf16 MXU path is fine)."""
     out_dtype = out_dtype or x.dtype
     if w.ndim != 3:
         raise ValueError(f"grouped_matmul needs (E, K, N) weights, got {w.shape}")
     if w.act_pre_scale is not None:
         x = x * w.act_pre_scale.astype(x.dtype)
+
+    from ao_tpu.ops import kernels
+
+    t = x.shape[0]
+    if kernels._use_pallas() and t <= 256 and w.layout in ("magic", "magic8"):
+        from ao_tpu.ops.pallas import UnsupportedShape
+        from ao_tpu.ops.pallas import grouped_matmul as gk
+
+        ids = token_expert_ids(group_sizes, t)
+        try:
+            if (w.layout == "magic8" and w.act_quant is not None
+                    and w.act_quant.dtype == "int8"
+                    and w.act_quant.symmetric):
+                qx, sx, zx = quantize_activation(x, w.act_quant)
+                if zx is None:
+                    y = gk.int4_grouped_w4a8_pallas(
+                        qx, sx, w.qdata, w.scale, w.zero_point, ids,
+                        w.group_size, w.zero_point_domain,
+                    )
+                    return y.astype(out_dtype)
+            if w.layout == "magic":
+                y = gk.int4_grouped_magic_pallas(
+                    x, w.qdata, w.scale, w.zero_point, ids,
+                    w.group_size, w.zero_point_domain,
+                )
+                return y.astype(out_dtype)
+        except UnsupportedShape:
+            pass
+
     y = jax.lax.ragged_dot(
         x, w.dequantize(x.dtype), group_sizes,
         preferred_element_type=jnp.float32,

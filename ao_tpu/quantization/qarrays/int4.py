@@ -80,7 +80,16 @@ def pack_int4_magic(u: jax.Array, group_size: int) -> jax.Array:
     groups {g' ≡ j (mod 4)} in natural order as bf16 values 128+u — nibble→
     bf16 costs 3 integer ops per TWO weights, with no int→float converts.
     Requires (K/group_size) % 4 == 0.
+
+    Leading batch dims (expert stacks, (E, K, N)) pack per-slice: since each
+    slice's group count is a multiple of 4, the flattened (E*K, N) reshape
+    never mixes experts within a word block, so the 2-D path is exact.
     """
+    if u.ndim > 2:
+        lead = u.shape[:-2]
+        k, n = u.shape[-2:]
+        w2 = pack_int4_magic(u.reshape(-1, n), group_size)
+        return w2.reshape(*lead, k // 8, n)
     k, n = u.shape
     g = group_size
     ngroups = k // g
@@ -98,6 +107,11 @@ def pack_int4_magic(u: jax.Array, group_size: int) -> jax.Array:
 
 def unpack_int4_magic(word: jax.Array, group_size: int) -> jax.Array:
     """Inverse of :func:`pack_int4_magic`; returns uint8 values 0..15 (K, N)."""
+    if word.ndim > 2:
+        lead = word.shape[:-2]
+        kw, n = word.shape[-2:]
+        u2 = unpack_int4_magic(word.reshape(-1, n), group_size)
+        return u2.reshape(*lead, 8 * kw, n)
     kw, n = word.shape
     g = group_size
     nt = 8 * kw // (4 * g)
@@ -124,7 +138,15 @@ def pack_int4_magic8(u: jax.Array, group_size: int) -> jax.Array:
     ``(word >> 4) & 0x0F0F0F0F`` plane B) — so true i8×i8→i32 MXU dots run
     at exact K MACs with one shift+mask per plane.
     Requires K % 8 == 0, (K/group_size) % 2 == 0, group_size % 8 == 0.
+
+    Leading batch dims pack per-slice via the flattened reshape (exact —
+    per-slice group counts are even, so word rows never straddle slices).
     """
+    if u.ndim > 2:
+        lead = u.shape[:-2]
+        k, n = u.shape[-2:]
+        w2 = pack_int4_magic8(u.reshape(-1, n), group_size)
+        return w2.reshape(*lead, k // 8, n)
     k, n = u.shape
     g = group_size
     ngroups = k // g
@@ -143,6 +165,11 @@ def pack_int4_magic8(u: jax.Array, group_size: int) -> jax.Array:
 
 def unpack_int4_magic8(word: jax.Array, group_size: int) -> jax.Array:
     """Inverse of :func:`pack_int4_magic8`; returns uint8 values 0..15 (K, N)."""
+    if word.ndim > 2:
+        lead = word.shape[:-2]
+        kw, n = word.shape[-2:]
+        u2 = unpack_int4_magic8(word.reshape(-1, n), group_size)
+        return u2.reshape(*lead, 8 * kw, n)
     kw, n = word.shape
     k = kw * 8
     g = group_size
@@ -246,16 +273,17 @@ class Int4Array(QuantizedArray):
             raise ValueError(zero_point_domain)
 
         # "magic" (int32-word) layout feeds the fastest fused bf16 kernel
-        # (2-D, K/g % 4 == 0); int8-activation weights instead take the
-        # 2-plane "magic8" layout whose bitcast feeds i8×i8→i32 MXU dots;
-        # otherwise fall back to split-halves
+        # (K/g % 4 == 0; 3-D expert stacks feed the fused GROUPED kernel,
+        # ops/pallas/grouped_matmul.py); int8-activation weights instead
+        # take the 2-plane "magic8" layout whose bitcast feeds i8×i8→i32
+        # MXU dots; otherwise fall back to split-halves
         if layout == "auto":
             if (act_quant is not None and act_quant.dtype == "int8"
-                    and act_quant.symmetric and hp.ndim == 2
+                    and act_quant.symmetric and hp.ndim in (2, 3)
                     and k % 8 == 0 and (k // group_size) % 2 == 0
                     and group_size % 8 == 0):
                 layout = "magic8"
-            elif hp.ndim == 2 and (k // group_size) % 4 == 0:
+            elif hp.ndim in (2, 3) and (k // group_size) % 4 == 0:
                 layout = "magic"
             else:
                 layout = "halves"

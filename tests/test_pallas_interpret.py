@@ -302,3 +302,79 @@ class TestInterpretLut4:
         qa = CodebookArray.from_hp(w, bits=4, scale_block=64, lut_block=128)
         assert qa.layout == "magic" and qa.codebook.ndim == 2
         _pallas_vs_emulated(x, qa, 40)
+
+
+class TestInterpretGroupedMatmul:
+    """Fused int4 grouped GEMMs over magic-packed expert stacks
+    (ops/pallas/grouped_matmul.py) vs the dequant+ragged_dot dispatch."""
+
+    E, T, GK, GN, G = 3, 8, 256, 128, 32
+
+    def _setup(self, act_quant=None):
+        from ao_tpu.quantization.qarrays.int4 import Int4Array
+
+        w = jax.random.normal(
+            jax.random.PRNGKey(1), (self.E, self.GK, self.GN), jnp.float32
+        ) * 0.02
+        x = jax.random.normal(
+            jax.random.PRNGKey(0), (self.T, self.GK), jnp.bfloat16
+        )
+        qa = Int4Array.from_hp(w, group_size=self.G, act_quant=act_quant)
+        return x, qa
+
+    def _fused_vs_ragged(self, x, qa, gs, min_db):
+        from ao_tpu.moe.grouped import grouped_matmul
+        from ao_tpu.ops import kernels
+
+        with kernels.backend("xla"):
+            ref = grouped_matmul(x, qa, gs).astype(jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            with kernels.backend("pallas"):
+                y = grouped_matmul(x, qa, gs).astype(jnp.float32)
+        err = compute_error(ref, y)
+        assert err > min_db, float(err)
+
+    def test_wo_magic_grouped(self):
+        x, qa = self._setup()
+        assert qa.layout == "magic"
+        gs = jnp.array([3, 1, 4], jnp.int32)
+        self._fused_vs_ragged(x, qa, gs, 45)
+
+    def test_wo_magic_grouped_empty_expert(self):
+        """Empty experts contribute nothing (mask all-zero)."""
+        x, qa = self._setup()
+        gs = jnp.array([0, 8, 0], jnp.int32)
+        self._fused_vs_ragged(x, qa, gs, 45)
+
+    def test_w4a8_magic8_grouped(self):
+        from ao_tpu.quantization.qarrays.common import ActQuantSpec
+
+        x, qa = self._setup(
+            ActQuantSpec(dtype="int8", granularity="per_token",
+                         symmetric=True))
+        assert qa.layout == "magic8"
+        gs = jnp.array([2, 5, 1], jnp.int32)
+        # int8 activation quantization bounds the SQNR (same contract as
+        # the 2-D W4A8 kernel: the int core itself is exact)
+        self._fused_vs_ragged(x, qa, gs, 35)
+
+    def test_grouped_large_t_falls_back(self):
+        """T > 256 stays on the ragged_dot path (compute-bound regime)."""
+        from ao_tpu.moe.grouped import grouped_matmul
+        from ao_tpu.ops import kernels
+        from ao_tpu.quantization.qarrays.int4 import Int4Array
+
+        w = jax.random.normal(
+            jax.random.PRNGKey(1), (2, self.GK, self.GN), jnp.float32
+        ) * 0.02
+        qa = Int4Array.from_hp(w, group_size=self.G)
+        x = jax.random.normal(
+            jax.random.PRNGKey(0), (512, self.GK), jnp.bfloat16
+        )
+        gs = jnp.array([300, 212], jnp.int32)
+        with kernels.backend("xla"):
+            ref = grouped_matmul(x, qa, gs).astype(jnp.float32)
+        # no interpret guard needed: the fallback is pure XLA
+        with kernels.backend("pallas"):
+            y = grouped_matmul(x, qa, gs).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(y))
