@@ -207,9 +207,11 @@ def _codebook_transform(weight: jax.Array, config: CodebookWeightOnlyConfig):
 
 
 from ao_tpu.ops.dispatch import implements  # noqa: E402
+from ao_tpu.ops.linear import frozen_weight_ste  # noqa: E402
 
 
 @implements("linear", CodebookArray)
+@frozen_weight_ste
 def _codebook_linear(x: jax.Array, w: CodebookArray, b: Optional[jax.Array]):
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])

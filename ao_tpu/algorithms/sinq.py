@@ -148,9 +148,11 @@ def _sinq_transform(weight: jax.Array, config: SINQConfig):
 # linear impl: dual scales defeat an epilogue (both live along K), so
 # dequant+matmul — the packed nibbles still carry the 4-bit HBM win
 from ao_tpu.ops.dispatch import implements  # noqa: E402
+from ao_tpu.ops.linear import frozen_weight_ste  # noqa: E402
 
 
 @implements("linear", SINQArray)
+@frozen_weight_ste
 def _sinq_linear(x: jax.Array, w: SINQArray, b: Optional[jax.Array]):
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])

@@ -170,9 +170,11 @@ def _gguf_transform(weight: jax.Array, config: GGUFWeightOnlyConfig):
 
 
 from ao_tpu.ops.dispatch import implements  # noqa: E402
+from ao_tpu.ops.linear import frozen_weight_ste  # noqa: E402
 
 
 @implements("linear", GGUFQuantizedArray)
+@frozen_weight_ste
 def _gguf_linear(x: jax.Array, w: GGUFQuantizedArray, b: Optional[jax.Array]):
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])

@@ -21,13 +21,16 @@ lets XLA fuse the gather+multiply into the ragged-dot epilogue.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ao_tpu.ops.act_quant import quantize_activation
 from ao_tpu.ops.dispatch import implements, lookup
+from ao_tpu.ops.linear import zero_cotangents
 from ao_tpu.quantization.qarrays.base import QuantizedArray
 from ao_tpu.quantization.qarrays.float8 import Float8Array
 from ao_tpu.quantization.qarrays.int4 import Int4Array
@@ -59,6 +62,44 @@ def grouped_matmul(
     return y.astype(out_dtype or x.dtype)
 
 
+def frozen_grouped_ste(impl):
+    """Explicit backward for the quantized grouped matmuls: the containers
+    are frozen (see ops.linear.frozen_weight_ste — same contract), and the
+    fused Pallas grouped kernels / activation rounding would otherwise
+    break or zero ``jax.grad`` w.r.t. the token activations. The backward
+    is the straight-through ragged linear
+
+        dx[t] = (dy[t] @ deq(W[e(t)])^T) * act_pre_scale
+    """
+
+    @functools.wraps(impl)
+    def wrapped(x, w, group_sizes, out_dtype=None):
+        @jax.custom_vjp
+        def f(x, w, gs):
+            return impl(x, w, gs, out_dtype)
+
+        def fwd(x, w, gs):
+            return f(x, w, gs), (jnp.zeros((0,), x.dtype), w, gs)
+
+        def bwd(res, g):
+            xdt, w, gs = res
+            wd = w.dequantize(jnp.bfloat16)
+            dx = jax.lax.ragged_dot(
+                g.astype(jnp.bfloat16), wd.transpose(0, 2, 1), gs,
+                preferred_element_type=jnp.float32,
+            )
+            aps = getattr(w, "act_pre_scale", None)
+            if aps is not None:
+                dx = dx * aps.astype(dx.dtype)
+            return (dx.astype(xdt.dtype), zero_cotangents(w),
+                    np.zeros(gs.shape, jax.dtypes.float0))
+
+        f.defvjp(fwd, bwd)
+        return f(x, w, group_sizes)
+
+    return wrapped
+
+
 def _is_per_expert_rowwise(scale_shape, w_shape) -> bool:
     e, _, n = w_shape
     return tuple(scale_shape) == (e, 1, n)
@@ -71,6 +112,7 @@ def _epilogue_scale(y, scale, group_sizes):
 
 
 @implements("grouped_matmul", Int8Array)
+@frozen_grouped_ste
 def _int8_grouped(x, w: Int8Array, group_sizes, out_dtype):
     out_dtype = out_dtype or x.dtype
     if w.ndim != 3:
@@ -109,6 +151,7 @@ def _int8_grouped(x, w: Int8Array, group_sizes, out_dtype):
 
 
 @implements("grouped_matmul", Float8Array)
+@frozen_grouped_ste
 def _fp8_grouped(x, w: Float8Array, group_sizes, out_dtype):
     out_dtype = out_dtype or x.dtype
     if w.ndim != 3:
@@ -138,6 +181,7 @@ def _fp8_grouped(x, w: Float8Array, group_sizes, out_dtype):
 
 
 @implements("grouped_matmul", Int4Array)
+@frozen_grouped_ste
 def _int4_grouped(x, w: Int4Array, group_sizes, out_dtype):
     """int4 grouped: magic/magic8 expert stacks take the FUSED grouped
     kernels (ops/pallas/grouped_matmul.py — masked dense-per-expert, the
@@ -186,6 +230,7 @@ def _int4_grouped(x, w: Int4Array, group_sizes, out_dtype):
 
 
 @implements("grouped_matmul", MXArray)
+@frozen_grouped_ste
 def _mx_grouped(x, w: MXArray, group_sizes, out_dtype):
     out_dtype = out_dtype or x.dtype
     y = jax.lax.ragged_dot(
@@ -196,6 +241,7 @@ def _mx_grouped(x, w: MXArray, group_sizes, out_dtype):
 
 
 @implements("grouped_matmul", NVFP4Array)
+@frozen_grouped_ste
 def _nvfp4_grouped(x, w: NVFP4Array, group_sizes, out_dtype):
     out_dtype = out_dtype or x.dtype
     y = jax.lax.ragged_dot(

@@ -11,10 +11,12 @@ Pallas on TPU / XLA-native integer dots / emulated dequant+dot.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ao_tpu.ops import kernels
 from ao_tpu.ops.act_quant import quantize_activation
@@ -51,12 +53,77 @@ def _maybe_bias(y, b):
     return y if b is None else y + b.astype(y.dtype)
 
 
+def zero_cotangents(tree):
+    """Zero cotangent pytree for a container: float0 for integer payloads
+    (qdata, metadata), plain zeros for the float leaves (scales)."""
+    def z(t):
+        if hasattr(t, "dtype") and jnp.issubdtype(t.dtype, jnp.inexact):
+            return jnp.zeros_like(t)
+        if hasattr(t, "shape"):
+            return np.zeros(t.shape, jax.dtypes.float0)
+        return None
+    return jax.tree_util.tree_map(z, tree)
+
+
+def frozen_weight_ste(impl):
+    """Give an inference-container linear impl an explicit backward.
+
+    Inference containers are frozen during training (QLoRA bases, PTQ
+    deployments): the forward may route through fused Pallas kernels that
+    define no VJP, or through activation rounding whose natural gradient is
+    zero. Both would break ``jax.grad`` w.r.t. the ACTIVATIONS — the one
+    gradient that must keep flowing so deeper layers/adapters train. The
+    backward is the straight-through linear
+
+        dx = (dy @ deq(W)^T) * act_pre_scale,   db = sum(dy)
+
+    (ref analog: nf4_tensor.py:1063 ``LinearNF4.backward`` — grad only to
+    the input; torchao's inference subclasses are likewise frozen.) The
+    container's own leaves get zero cotangents — training flows that DO
+    learn qparams use the training containers (training/{qat,float8,
+    quantized_training}.py), which carry their own custom VJPs.
+    """
+
+    @jax.custom_vjp
+    def f(x, w, b):
+        return impl(x, w, b)
+
+    def fwd(x, w, b):
+        # dtype carriers as 0-sized arrays: cotangent dtypes must match the
+        # primals exactly, and residual leaves must be jax types
+        xdt = jnp.zeros((0,), x.dtype)
+        bdt = None if b is None else jnp.zeros((0,), b.dtype)
+        return impl(x, w, b), (xdt, w, bdt)
+
+    def bwd(res, g):
+        xdt, w, bdt = res
+        g2 = g.reshape(-1, g.shape[-1])
+        wd = w.dequantize(jnp.bfloat16)
+        dx2 = jnp.matmul(g2.astype(jnp.bfloat16), wd.T,
+                         preferred_element_type=jnp.float32)
+        aps = getattr(w, "act_pre_scale", None)
+        if aps is not None:
+            dx2 = dx2 * aps.astype(dx2.dtype)
+        dx = dx2.reshape(*g.shape[:-1], wd.shape[0]).astype(xdt.dtype)
+        db = None if bdt is None else g2.sum(0).astype(bdt.dtype)
+        return dx, zero_cotangents(w), db
+
+    f.defvjp(fwd, bwd)
+
+    @functools.wraps(impl)
+    def wrapped(x, w, b):
+        return f(x, w, b)
+
+    return wrapped
+
+
 # ---------------------------------------------------------------------------
 # Int8
 # ---------------------------------------------------------------------------
 
 
 @implements("linear", Int8Array)
+@frozen_weight_ste
 def _int8_linear(x: jax.Array, w: Int8Array, b):
     x2, lead = _flatten_batch(x)
     if w.act_pre_scale is not None:
@@ -91,6 +158,7 @@ def _int8_linear(x: jax.Array, w: Int8Array, b):
 
 
 @implements("linear", Int4Array)
+@frozen_weight_ste
 def _int4_linear(x: jax.Array, w: Int4Array, b):
     x2, lead = _flatten_batch(x)
     if w.act_pre_scale is not None:
@@ -136,6 +204,7 @@ def _int4_linear(x: jax.Array, w: Int4Array, b):
 
 
 @implements("linear", Float8Array)
+@frozen_weight_ste
 def _float8_linear(x: jax.Array, w: Float8Array, b):
     x2, lead = _flatten_batch(x)
     if w.act_pre_scale is not None:
@@ -165,6 +234,7 @@ def _float8_linear(x: jax.Array, w: Float8Array, b):
 
 
 @implements("linear", MXArray)
+@frozen_weight_ste
 def _mx_linear(x: jax.Array, w: MXArray, b):
     """(ref analog: MXTensor mm impls mx_tensor.py; EMULATED-equivalent path:
     both sides dequantize blockwise and the dot runs in bf16 — on TPU the MXU
@@ -209,6 +279,7 @@ def _mx_linear(x: jax.Array, w: MXArray, b):
 
 
 @implements("linear", NVFP4Array)
+@frozen_weight_ste
 def _nvfp4_linear(x: jax.Array, w: NVFP4Array, b):
     x2, lead = _flatten_batch(x)
     if w.act_quant:
@@ -249,6 +320,7 @@ from ao_tpu.quantization.qarrays.nf4 import NF4Array  # noqa: E402
 
 
 @implements("linear", IntxArray)
+@frozen_weight_ste
 def _intx_linear(x: jax.Array, w: IntxArray, b):
     x2, lead = _flatten_batch(x)
     if w.act_quant is not None:
@@ -290,6 +362,7 @@ def try_lut4_linear(x2, word, scalers, codebook, group_size):
 
 
 @implements("linear", NF4Array)
+@frozen_weight_ste
 def _nf4_linear(x: jax.Array, w: NF4Array, b):
     """(ref: LinearNF4 nf4_tensor.py:1063 dequant + hp matmul; on TPU the
     magic-layout codes instead feed the fused 16-entry-LUT kernel so the
@@ -315,6 +388,7 @@ from ao_tpu.sparsity.sparse24 import Sparse24Array, Sparse24Int4Array  # noqa: E
 
 
 @implements("linear", Sparse24Int4Array)
+@frozen_weight_ste
 def _sparse24_int4_linear(x, w, b):
     """Dequant(+decompress) then MXU matmul; the fused metadata-gather
     Pallas kernel is deliberately absent on v5e (2:4 expansion is VPU-bound
@@ -324,6 +398,7 @@ def _sparse24_int4_linear(x, w, b):
 
 
 @implements("linear", Sparse24Array)
+@frozen_weight_ste
 def _sparse24_linear(x, w: Sparse24Array, b):
     x2, lead = _flatten_batch(x)
     y = jnp.matmul(x2, w.dequantize(x2.dtype))
@@ -331,6 +406,7 @@ def _sparse24_linear(x, w: Sparse24Array, b):
 
 
 @implements("linear", BlockSparseArray)
+@frozen_weight_ste
 def _blocksparse_linear(x, w: BlockSparseArray, b):
     x2, lead = _flatten_batch(x)
     backend = kernels.get_backend()

@@ -25,6 +25,8 @@ run decode_suite  python benchmarks/decode_suite.py      # incl nf4 row
 run train_bench   python benchmarks/train_bench.py 4 4096
 run sam_bench     python benchmarks/sam_bench.py 4
 run diffusion     python benchmarks/diffusion_bench.py
+run moe_grouped   python benchmarks/moe_grouped_bench.py 8
+run moe_grouped64 python benchmarks/moe_grouped_bench.py 64
 run spec_bench    python benchmarks/spec_bench.py
 run attn_sol      python benchmarks/attn_sol.py
 run serving       python benchmarks/serving_bench.py

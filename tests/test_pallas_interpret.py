@@ -378,3 +378,64 @@ class TestInterpretGroupedMatmul:
         with kernels.backend("pallas"):
             y = grouped_matmul(x, qa, gs).astype(jnp.float32)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(y))
+
+
+class TestFrozenWeightSTE:
+    """Inference containers carry an explicit straight-through backward
+    (ops.linear.frozen_weight_ste): fused Pallas forwards define no VJP and
+    activation rounding has zero natural gradient, but QLoRA-style training
+    over frozen quantized bases still needs dL/dx flowing."""
+
+    def _mk(self, **kw):
+        from ao_tpu.quantization.qarrays.int4 import Int4Array
+
+        w = jax.random.normal(jax.random.PRNGKey(1), (K, N), jnp.float32) * 0.02
+        x = jax.random.normal(jax.random.PRNGKey(0), (M, K), jnp.bfloat16)
+        return x, Int4Array.from_hp(w, group_size=32, **kw)
+
+    def test_grad_through_fused_matches_xla(self):
+        x, qa = self._mk()
+
+        def loss(x):
+            return jnp.sum(linear(x, qa).astype(jnp.float32) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            with kernels.backend("pallas"):
+                g_fused = jax.grad(loss)(x).astype(jnp.float32)
+        with kernels.backend("xla"):
+            g_xla = jax.grad(loss)(x).astype(jnp.float32)
+        scale = float(jnp.max(jnp.abs(g_xla)))
+        assert float(jnp.max(jnp.abs(g_fused - g_xla))) < 0.05 * scale
+
+    def test_w4a8_act_rounding_grad_nonzero(self):
+        """Dynamic-act rounding used to silently zero dL/dx; the STE
+        backward restores it."""
+        from ao_tpu.quantization.qarrays.common import ActQuantSpec
+
+        x, qa = self._mk(act_quant=ActQuantSpec(
+            dtype="int8", granularity="per_token", symmetric=True))
+        with kernels.backend("xla"):
+            g = jax.grad(lambda x: jnp.sum(
+                linear(x, qa).astype(jnp.float32) ** 2))(x)
+        assert float(jnp.linalg.norm(g.astype(jnp.float32))) > 1e-3
+
+    def test_grouped_fused_grad(self):
+        from ao_tpu.moe.grouped import grouped_matmul
+        from ao_tpu.quantization.qarrays.int4 import Int4Array
+
+        w3 = jax.random.normal(
+            jax.random.PRNGKey(2), (3, K, N), jnp.float32) * 0.02
+        qg = Int4Array.from_hp(w3, group_size=32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (M, K), jnp.bfloat16)
+        gs = jnp.array([3, 1, 4], jnp.int32)
+
+        def loss(x):
+            return jnp.sum(grouped_matmul(x, qg, gs).astype(jnp.float32) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            with kernels.backend("pallas"):
+                g_fused = jax.grad(loss)(x).astype(jnp.float32)
+        with kernels.backend("xla"):
+            g_xla = jax.grad(loss)(x).astype(jnp.float32)
+        scale = float(jnp.max(jnp.abs(g_xla)))
+        assert float(jnp.max(jnp.abs(g_fused - g_xla))) < 0.05 * scale
