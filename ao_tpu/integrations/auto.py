@@ -22,12 +22,13 @@ import jax.numpy as jnp
 def config_from_hf(hf_cfg: Mapping[str, Any], dtype: Any = jnp.bfloat16):
     """HF config dict → the matching ao_tpu model config.
 
-    Supported ``model_type``: llama, qwen2, qwen3 (QK-norm), mistral (Llama layout),
+    Supported ``model_type``: llama, qwen2, qwen3 (QK-norm), qwen3_moe
+    (QK-norm + routed experts), mistral (Llama layout),
     mixtral (MoE), phi3 (fused qkv/gate_up), gemma, gemma2, gemma3_text,
     vit, sam.
     """
     mt = hf_cfg.get("model_type", "")
-    if mt in ("llama", "qwen2", "qwen3", "mistral", "mixtral", "phi3"):
+    if mt in ("llama", "qwen2", "qwen3", "qwen3_moe", "mistral", "mixtral", "phi3"):
         from ao_tpu.models.llama import LlamaConfig
 
         if hf_cfg.get("sliding_window"):
@@ -63,10 +64,14 @@ def config_from_hf(hf_cfg: Mapping[str, Any], dtype: Any = jnp.bfloat16):
             )) if hf_cfg.get("rope_scaling") else None,
             qkv_bias=bool(hf_cfg.get("attention_bias", False)
                           or mt == "qwen2"),
-            qk_norm=(mt == "qwen3"),
+            qk_norm=(mt in ("qwen3", "qwen3_moe")),
             qk_head_dim=hf_cfg.get("head_dim"),
-            n_experts=hf_cfg.get("num_local_experts", 0),
+            n_experts=hf_cfg.get("num_local_experts",
+                                 hf_cfg.get("num_experts", 0)
+                                 if mt == "qwen3_moe" else 0),
             top_k_experts=hf_cfg.get("num_experts_per_tok", 2),
+            norm_topk_experts=bool(hf_cfg.get("norm_topk_prob", True))
+            if mt == "qwen3_moe" else True,
             dtype=dtype,
         )
     if mt in ("gemma", "gemma2", "gemma3_text"):
@@ -151,7 +156,7 @@ def import_from_hf(
 
     cfg = config_from_hf(hf_cfg, dtype)
     mt = hf_cfg.get("model_type", "")
-    if mt in ("llama", "qwen2", "qwen3", "mistral", "mixtral", "phi3"):
+    if mt in ("llama", "qwen2", "qwen3", "qwen3_moe", "mistral", "mixtral", "phi3"):
         params = ti.import_hf_llama(state_dict, cfg.n_layers, dtype,
                                     n_heads=cfg.n_heads,
                                     n_kv_heads=cfg.n_kv_heads)

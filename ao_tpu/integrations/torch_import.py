@@ -45,6 +45,26 @@ def _gate_up_split(gate_up, down, dtype):
     }
 
 
+def _qwen_moe_from(sd, p, dtype):
+    """Qwen3-MoE ``mlp`` → the framework's MoE dict: router = ``mlp.gate``,
+    experts stacked from ``mlp.experts.{j}.{gate,up,down}_proj`` (the
+    Qwen3MoeSparseMoeBlock layout — per-expert Qwen3MoeMLP modules)."""
+    b = p + "mlp."
+    n_experts = 0
+    while b + f"experts.{n_experts}.gate_proj.weight" in sd:
+        n_experts += 1
+    stack = lambda nm: jnp.stack([
+        import_linear(sd[b + f"experts.{j}.{nm}.weight"], dtype)
+        for j in range(n_experts)
+    ])
+    return {
+        "router": import_linear(sd[b + "gate.weight"], jnp.float32),
+        "w_gate": stack("gate_proj"),
+        "w_up": stack("up_proj"),
+        "w_down": stack("down_proj"),
+    }
+
+
 def _moe_from(sd, p, dtype):
     """Mixtral ``block_sparse_moe`` → the framework's MoE dict: router
     (D, E) + stacked expert weights (E, K, N) for ragged_dot dispatch."""
@@ -128,6 +148,8 @@ def import_hf_llama(
             "attn": attn,
             "mlp": _moe_from(sd, prefix + p, dtype)
             if has(p + "block_sparse_moe.gate.weight")
+            else _qwen_moe_from(sd, prefix + p, dtype)
+            if has(p + "mlp.experts.0.gate_proj.weight")
             else _gate_up_split(get(p + "mlp.gate_up_proj.weight"),
                                 get(p + "mlp.down_proj.weight"), dtype)
             if has(p + "mlp.gate_up_proj.weight")

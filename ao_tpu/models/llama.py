@@ -47,6 +47,9 @@ class LlamaConfig:
     # top-k routed expert FFN (ao_tpu.moe) — the Mixtral/Llama4-style family
     n_experts: int = 0
     top_k_experts: int = 2
+    # renormalize the top-k router probs (Mixtral always; Qwen3-MoE's
+    # ``norm_topk_prob``)
+    norm_topk_experts: bool = True
     # Qwen2-style biases on the q/k/v projections
     qkv_bias: bool = False
     # Qwen3-style per-head RMSNorm on q/k (before RoPE) and a head_dim
@@ -92,7 +95,8 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> Dict[str, Any]:
             mlp_params = init_moe_params(
                 ks[4],
                 MoEConfig(dim=d, ffn_dim=cfg.ffn_dim,
-                          n_experts=cfg.n_experts, top_k=cfg.top_k_experts),
+                          n_experts=cfg.n_experts, top_k=cfg.top_k_experts,
+                          norm_topk=cfg.norm_topk_experts),
             )
             mlp_params = jax.tree.map(
                 lambda x: x.astype(cfg.dtype), mlp_params
@@ -352,7 +356,8 @@ def mlp(layer: Dict[str, Any], x: jax.Array, cfg=None) -> jax.Array:
         from ao_tpu.moe.layer import MoEConfig, moe_forward
 
         mcfg = MoEConfig(dim=cfg.dim, ffn_dim=cfg.ffn_dim,
-                         n_experts=cfg.n_experts, top_k=cfg.top_k_experts)
+                         n_experts=cfg.n_experts, top_k=cfg.top_k_experts,
+                         norm_topk=cfg.norm_topk_experts)
         return moe_forward(layer, x, mcfg)
     h = jax.nn.silu(linear(x, layer["w1"])) * linear(x, layer["w3"])
     if "r4" in layer:

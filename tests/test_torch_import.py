@@ -637,3 +637,38 @@ class TestPhi3GroundTruth:
         logits = llama.forward(params, jnp.asarray(toks.numpy()), cfg)[0]
         np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
                                    atol=5e-6)
+
+
+class TestQwen3MoeGroundTruth:
+    def test_qwen3_moe_matches_transformers(self):
+        """Qwen3-MoE: QK-norm attention + mlp.gate router + stacked
+        per-expert gate/up/down projections (norm_topk_prob renorm) match
+        transformers exactly in fp32, via the auto config router."""
+        from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+        from ao_tpu.integrations.auto import import_from_hf
+
+        hf = Qwen3MoeConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            moe_intermediate_size=96, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            max_position_embeddings=128, rms_norm_eps=1e-5,
+            rope_theta=10000.0, num_experts=4, num_experts_per_tok=2,
+            norm_topk_prob=True, mlp_only_layers=[], decoder_sparse_step=1,
+            tie_word_embeddings=False, attention_bias=False,
+            sliding_window=None, use_sliding_window=False)
+        torch.manual_seed(0)
+        m = Qwen3MoeForCausalLM(hf).eval()
+        params, cfg = import_from_hf(m.state_dict(), hf.to_dict(),
+                                     dtype=jnp.float32)
+        assert cfg.qk_norm and cfg.n_experts == 4
+        assert cfg.norm_topk_experts
+        assert "router" in params["layers"][0]["mlp"]
+        assert params["layers"][0]["mlp"]["w_gate"].shape == (4, 64, 96)
+        toks = torch.randint(0, 256, (2, 12))
+        with torch.no_grad():
+            ref = m(toks).logits.numpy()
+        out = llama.forward(params, jnp.asarray(toks.numpy()), cfg)
+        logits = out[0] if isinstance(out, tuple) else out
+        np.testing.assert_allclose(np.asarray(logits, np.float32), ref,
+                                   atol=5e-6)
