@@ -84,16 +84,18 @@ def _grouped_magic_kernel(ids_ref, x0, x1, x2, x3, w_ref, s_ref, b_ref,
     nt = 8 * tkw // (4 * g)
     xr = (x0, x1, x2, x3)
     s = s_ref[:].astype(jnp.float32)
-    b = b_ref[:].astype(jnp.float32)
+    # rows decode UNSHIFTED to 128+u; -136 recenter folded into the bias
+    # row in f32 (see int4_matmul._magic_kernel)
+    b = b_ref[:].astype(jnp.float32) - 136.0 * s
     eacc_ref[:] = jnp.zeros_like(eacc_ref)
     # identical bit-surgery to int4_matmul._magic_kernel: plane j of a word
-    # block holds groups {g' ≡ j mod 4}; rows decode to bf16 128+u -> u-8
+    # block holds groups {g' ≡ j mod 4}; rows decode to bf16 128+u
     for j in range(4):
         shifted = w if j == 0 else (w >> (4 * j))
         for t in range(nt):
             wr0, wr1 = t * g // 2, (t + 1) * g // 2
             ow = (shifted[wr0:wr1] & 0x000F000F) | 0x43004300
-            c = pltpu.bitcast(ow, jnp.bfloat16) - jnp.bfloat16(136.0)
+            c = pltpu.bitcast(ow, jnp.bfloat16)
             r0 = t * g
             pg = jnp.dot(xr[j][:, r0:r0 + g], c,
                          preferred_element_type=jnp.float32)

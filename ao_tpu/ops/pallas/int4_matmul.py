@@ -19,9 +19,11 @@ fused by XLA). Accumulation is f32 in VMEM scratch across the K grid dim.
 Three kernels, selected by the container layout:
   * int32 "magic" layout (default for 2-D weight-only) — nibble→bf16 via
     integer bit-ops + bitcast, per-group post-dot scaling, in-kernel
-    lane-reduced affine bias; 69.2% of the int4-bytes roofline at M=8
-    4096² g=128 on v5e (15.0us linear-level, benchmarks/gemm_sol.py — the
-    canonical table; the measured DMA ceiling itself is ~90% of roofline).
+    lane-reduced affine bias; 81.0% of the int4-bytes roofline at M=8
+    4096² g=128 on v5e (12.85us linear-level, benchmarks/gemm_sol.py — the
+    canonical table; the measured DMA ceiling itself is ~90% of roofline,
+    so the kernel sits at ~90% of achievable). M=512 prefill: 99us, 88%
+    of the COMPUTE roofline (beats bf16 dense ~145us).
   * int32 "magic8" layout (auto for int8-activation weights) — W4A8 on
     the int8 MXU, 82.9% SoL (12.5us, ~93% of the DMA ceiling); see the
     W4A8 section below.
@@ -259,7 +261,9 @@ def _int4_wo_matmul_impl(x, packed, s, b, *, group_size, out_dtype,
 # with each group's dot lets Mosaic pipeline VPU against MXU.
 #
 # Measured on v5e (M=8, K=N=4096, g=128, gemm_sol.py linear-level):
-# 15.0us = 69.2% of the int4-bytes roofline, vs 11.6us pure-DMA floor
+# 12.85us = 81.0% of the int4-bytes roofline (the -136 recenter folded
+# into the f32 bias row instead of a bf16 subtract over the weight plane
+# bought 15.0 -> 12.85us; SQNR 53.0dB), vs 11.6us pure-DMA floor
 # (the DMA engine itself tops out at ~90% of roofline — bf16 dense
 # reaches 89.8%; normalized to that ceiling the kernel is at ~77% of
 # achievable) and 19.7us for the split-half two-plane kernel. Post-dot
@@ -280,13 +284,17 @@ def _magic_kernel(x0, x1, x2, x3, w_ref, s_ref, b_ref, out_ref,
     nt = 8 * tkw // (4 * g)
     xr = (x0, x1, x2, x3)
     s = s_ref[:].astype(jnp.float32)  # DMA'd bf16, applied in f32
-    b = b_ref[:].astype(jnp.float32)
+    # rows decode UNSHIFTED to 128+u; the -136 recenter folds into the
+    # bias row in f32 HERE (cheap (ngf, tn) op) rather than a bf16
+    # subtract over the whole weight plane (one VPU op per 2 weights on
+    # the hot path) or a bf16 rounding of the big bias (-20dB)
+    b = b_ref[:].astype(jnp.float32) - 136.0 * s
     for j in range(4):
         shifted = w if j == 0 else (w >> (4 * j))
         for t in range(nt):
             wr0, wr1 = t * g // 2, (t + 1) * g // 2
             ow = (shifted[wr0:wr1] & 0x000F000F) | 0x43004300
-            c = pltpu.bitcast(ow, jnp.bfloat16) - jnp.bfloat16(136.0)
+            c = pltpu.bitcast(ow, jnp.bfloat16)
             r0 = t * g
             pg = jnp.dot(xr[j][:, r0:r0 + g], c,
                          preferred_element_type=jnp.float32)
