@@ -193,19 +193,20 @@ def _nvfp4_impl(x, word, sw):
     return _run(_nv_kernel, x, word, sw, sw.shape[0], jnp.bfloat16)
 
 
-def nvfp4_wo_matmul_pallas(x, word, scale_e4m3, per_tensor_scale):
-    """x (M, K) hp; word i32 (K/8, N) fp4-magic; scale_e4m3 (K/16, N);
-    per-tensor f32 scalar folded into the activation."""
+def nvfp4_wo_matmul_pallas(x, word, scale_words, per_tensor_scale):
+    """x (M, K) hp; word i32 (K/8, N) fp4-magic; scale_words i32 (K/32, N)
+    pre-packed e4m3 pair-words (qarrays/fp4.pack_nvfp4_scale_pairs — packed
+    at quantize time, zero per-call prep); per-tensor f32 scalar applied
+    POST-DOT on the (M, N) output (linearity: y = pts * (x @ (S .* C)))."""
     if x.ndim != 2 or word.ndim != 2:
         raise UnsupportedShape("kernel handles 2-D only")
     m, k = x.shape
     kw, n = word.shape
     if k != 8 * kw or k % 64 != 0 or n % 128 != 0:
         raise UnsupportedShape(f"nvfp4 magic needs K%64==0, got {k}x{n}")
-    x = x.astype(jnp.float32)
+    if scale_words.dtype != jnp.int32:
+        raise UnsupportedShape("nvfp4 magic layout needs pre-packed scales")
+    y = _nvfp4_impl(x.astype(jnp.bfloat16), word, scale_words)
     if per_tensor_scale is not None:
-        x = x * per_tensor_scale.astype(jnp.float32)
-    # pack scale byte pairs (rows 2r, 2r+1) into one i32 word each
-    sb = jax.lax.bitcast_convert_type(scale_e4m3, jnp.uint8).astype(jnp.int32)
-    sw = sb[0::2] | (sb[1::2] << 16)  # (K/32, N)
-    return _nvfp4_impl(x.astype(jnp.bfloat16), word, sw)
+        y = y.astype(jnp.float32) * per_tensor_scale.astype(jnp.float32)
+    return y

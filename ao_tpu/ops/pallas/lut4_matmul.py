@@ -10,19 +10,22 @@ Layout: the int4 "magic" word layout (qarrays/int4.py pack_int4_magic) —
 plane j of word block t covers quantization group 4t+j; extracting plane
 nibbles of the (g/2, tn) word slice gives TWO code halfwords per i32.
 
-LUT construction (per plane slice, ~49 integer lane-ops per 2 weights):
-    masks  m_i = halfword-expanded bit i of each nibble      (4 x 3 ops)
-    leaves v_h = C(2h) ^ (m_0 & (C(2h) ^ C(2h+1)))           (8 x 2 ops)
-    tree   v   = a ^ (m_i & (a ^ b))  over bits 1..3         (7 x 3 ops)
-where C(t) is the bf16 bit pattern of codebook[t] duplicated into both
-16-bit halves — 16 scalar SMEM loads per kernel instance, so RUNTIME
-codebooks (k-means LUTs) work without recompilation. One pltpu.bitcast
-i32→bf16 then yields the decoded weight rows in natural group order.
+LUT construction (per plane slice, ~36 lane-ops per 2 weights):
+    masks  m_i = bf16 {0,1} pairs: (bit_i-pair * 0x3F80) bitcast (4 x 3 ops)
+    leaves v_h = c_2h + m_0 * (c_2h+1 - c_2h)  scalar c/d     (8 x 1 FMA)
+    tree   v   = a + m_i * (b - a)  over bits 1..3            (7 x 2 ops)
+with the codebook values as 16 f32 SMEM scalars (bf16 grid points), so
+RUNTIME codebooks (k-means LUTs) work without recompilation. Every
+select is a PACKED bf16 op (v5e runs bf16 elementwise 2-per-lane); each
+non-leaf select adds one bf16 rounding of a value difference (~2^-9
+relative), far below the 4-bit quantization error. (The earlier integer
+XOR select tree — exact but ~51 lane-ops/2w since every op is a 1-per-
+lane i32 op — measured 78.9us at M=8 4096²; see git history.)
 
 Per-group scalers (K/g, N) multiply the f32 partial dots exactly like the
 int4 magic kernel; there is no affine bias (the codebook carries sign).
 
-The VPU cost (~25 lane-ops/weight vs int4's ~3) makes this slower than
+The VPU cost (~18 lane-ops/weight vs int4's ~1.4) makes this slower than
 the int4 kernel but far faster than the dequantize+matmul fallback
 (which streams the full bf16 weight through HBM); measure with
 benchmarks/gemm_sol.py on hardware.
@@ -41,35 +44,48 @@ from ao_tpu.ops.pallas import UnsupportedShape
 
 
 def lut_words_arr(codebook: jax.Array) -> jax.Array:
-    """Flat float codebook(s), 16 entries each → (1, ceil/128*128) i32: the
-    bf16 bit pattern of each value duplicated into both 16-bit halves.
-    Traceable (runtime codebooks — k-means LUTs — work under jit)."""
-    cb = codebook.reshape(-1).astype(jnp.bfloat16)
+    """Flat float codebook(s), 16 entries each → (1, ceil/128*128) f32 of
+    the bf16-ROUNDED values (exact bf16 grid points, carried as f32 SMEM
+    scalars). Traceable (runtime codebooks — k-means LUTs — work under
+    jit)."""
+    cb = codebook.reshape(-1).astype(jnp.bfloat16).astype(jnp.float32)
     if cb.shape[0] % 16:
         raise ValueError("codebook size must be a multiple of 16")
-    u16 = jax.lax.bitcast_convert_type(cb, jnp.uint16).astype(jnp.uint32)
-    words = (u16 | (u16 << 16)).astype(jnp.int32)
-    pad = (-words.shape[0]) % 128
-    return jnp.pad(words, (0, pad)).reshape(1, -1)
+    pad = (-cb.shape[0]) % 128
+    return jnp.pad(cb, (0, pad)).reshape(1, -1)
 
 
 def _decode_lut(ow, cvals):
     """ow: i32 (rows, tn) with one code nibble in each 16-bit half →
-    i32 bf16-pattern pairs via the masked select tree. ``cvals`` are 16
-    scalar i32 bf16-pattern pairs (SMEM loads)."""
-    masks = []
+    bf16 (2*rows, tn) decoded values via an FMA select tree. ``cvals`` are
+    16 f32 SMEM scalars (bf16 grid points).
+
+    The masks become bf16 {0,1} PAIRS via one integer multiply
+    (bi * 0x3F803F80 keeps the halves carry-free) + bitcast, and every
+    select is a packed bf16 FMA ``a + m*(b-a)`` — v5e executes bf16
+    elementwise ops 2-per-lane, so the float tree costs ~36 lane-ops per
+    2 weights vs ~51 for the integer XOR tree (measured 78.9us → see
+    module docstring). The scalar leaf constants c/d fold in SREGs. Each
+    non-leaf select adds one bf16 rounding of a VALUE DIFFERENCE (~2^-9
+    relative) — far below the 4-bit quantization error."""
+    mf = []
     for i in range(4):
         bi = (ow >> i) & 0x00010001
-        masks.append((bi << 16) - bi)
-    # leaves over code bit 0 (the xors are scalar-scalar — negligible)
-    vals = [
-        (masks[0] & (cvals[2 * h] ^ cvals[2 * h + 1])) ^ cvals[2 * h]
-        for h in range(8)
-    ]
+        # (b_hi*2^16 + b_lo) * 0x3F80 = b_hi*0x3F80*2^16 + b_lo*0x3F80 —
+        # carry-free since 0x3F80 < 2^16 and the halves' products don't
+        # overlap (multiplying by the DOUBLED constant 0x3F803F80 would
+        # cross-carry when both bits are set)
+        mf.append(pltpu.bitcast(bi * 0x3F80, jnp.bfloat16))
+    # leaves over code bit 0: v_h = c_2h + m0 * (c_2h+1 - c_2h), scalar c/d
+    vals = []
+    for h in range(8):
+        c0 = cvals[2 * h].astype(jnp.bfloat16)
+        d = (cvals[2 * h + 1] - cvals[2 * h]).astype(jnp.bfloat16)
+        vals.append(c0 + mf[0] * d)
     # tree over bits 1..3
     for level in range(1, 4):
-        m = masks[level]
-        vals = [a ^ (m & (a ^ b)) for a, b in zip(vals[0::2], vals[1::2])]
+        m = mf[level]
+        vals = [a + m * (b - a) for a, b in zip(vals[0::2], vals[1::2])]
     return vals[0]
 
 
@@ -98,7 +114,7 @@ def _lut4_kernel(x0, x1, x2, x3, w_ref, s_ref, lut_ref, out_ref, acc_ref, *,
                 cvals = [lut_ref[0, base + i] for i in range(16)]
             wr0, wr1 = t * g // 2, (t + 1) * g // 2
             ow = shifted[wr0:wr1] & 0x000F000F
-            c = pltpu.bitcast(_decode_lut(ow, cvals), jnp.bfloat16)
+            c = _decode_lut(ow, cvals)  # bf16 (g, tn), natural order
             r0 = t * g
             pg = jnp.dot(xr[j][:, r0:r0 + g], c,
                          preferred_element_type=jnp.float32)

@@ -123,3 +123,26 @@ def unpack_fp4_magic(word: jax.Array) -> jax.Array:
         planes.append(pj.reshape(kw * 2, n))
     rc = jnp.concatenate(planes, axis=0)
     return _remap_fp4_magic(rc)
+
+
+def pack_nvfp4_scale_pairs(scale_e4m3: jax.Array) -> jax.Array:
+    """e4m3 block scales (K/16, N) -> int32 pair-words (K/32, N).
+
+    Word row r holds the BYTES of scale rows (2r, 2r+1) at bits [0:8) and
+    [16:24) — the layout the fused NVFP4 kernel consumes directly with one
+    masked shift + bitcast (fp4_matmul._nv_kernel). Packed once at
+    quantize time so no per-call prep rides the decode path."""
+    kb, n = scale_e4m3.shape
+    if kb % 2 != 0:
+        raise ValueError(f"scale rows {kb} must be even")
+    sb = jax.lax.bitcast_convert_type(scale_e4m3, jnp.uint8).astype(jnp.int32)
+    return sb[0::2] | (sb[1::2] << 16)
+
+
+def unpack_nvfp4_scale_pairs(sw: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_nvfp4_scale_pairs` -> e4m3 (K/16, N)."""
+    kw, n = sw.shape
+    b = jnp.stack([sw & 0xFF, (sw >> 16) & 0xFF], axis=1)  # (K/32, 2, N)
+    return jax.lax.bitcast_convert_type(
+        b.reshape(2 * kw, n).astype(jnp.uint8), jnp.float8_e4m3fn
+    )

@@ -97,11 +97,17 @@ class NVFP4Array(QuantizedArray):
         )
         codes, bscale, pts = nvfp4_quantize(hp, block_size, per_tensor)
         # "magic" int32 word layout feeds the fused Pallas kernel; defined
-        # for 2-D weights blocked along K with K % 64 == 0
+        # for 2-D weights blocked along K with K % 64 == 0. Its block
+        # scales are stored PRE-PACKED as int32 pair-words so the kernel
+        # path has zero per-call scale prep (pack_nvfp4_scale_pairs).
         if rank == 2 and block_dim == rank - 2 and hp.shape[-2] % 64 == 0:
-            from ao_tpu.quantization.qarrays.fp4 import pack_fp4_magic
+            from ao_tpu.quantization.qarrays.fp4 import (
+                pack_fp4_magic,
+                pack_nvfp4_scale_pairs,
+            )
 
             qdata = pack_fp4_magic(codes)
+            bscale = pack_nvfp4_scale_pairs(bscale)
         else:
             qdata = pack_fp4(codes, NVFP4_BLOCK, axis=block_dim)
         return cls(
@@ -128,11 +134,22 @@ class NVFP4Array(QuantizedArray):
         block_dim = self.block_size.index(NVFP4_BLOCK)
         return unpack_fp4(self.qdata, NVFP4_BLOCK, axis=block_dim)
 
+    def block_scale_e4m3(self) -> jax.Array:
+        """The (K/16, N) e4m3 block scales, unpacking the magic layout's
+        pre-packed int32 pair-words if present."""
+        if self.scale.dtype == jnp.int32:
+            from ao_tpu.quantization.qarrays.fp4 import (
+                unpack_nvfp4_scale_pairs,
+            )
+
+            return unpack_nvfp4_scale_pairs(self.scale)
+        return self.scale
+
     def dequantize(self, output_dtype=None) -> jax.Array:
         out_dtype = output_dtype or self.dtype
         codes = self.unpack()
         v = decode_fp4_e2m1(codes, jnp.float32)
-        scale_f = self.scale.astype(jnp.float32)
+        scale_f = self.block_scale_e4m3().astype(jnp.float32)
         if self.per_tensor_scale is not None:
             scale_f = scale_f * self.per_tensor_scale
 
