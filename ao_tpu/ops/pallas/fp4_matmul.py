@@ -10,28 +10,35 @@ Packing ("fp4 magic", see qarrays/fp4.py pack_fp4_magic): i32 words
 (K/8, N); plane j = logical rows [j*K/4, (j+1)*K/4); word-row r holds the
 remapped codes of rows (j*K/4 + 2r, j*K/4 + 2r + 1) at bits [4j] / [16+4j].
 Code remap swaps the e2m1 em-field 0 <-> 1 so the in-kernel construction
-  bits16 = ((c & 7) << 6) | ((c & 8) << 12) + (base + scale_exp) << 7
+  bits16 = ((c & 7) << 6) | ((c & 8) << 12) + 0x3F00 (per nonzero half)
 is exact for every nonzero value ((1+m/2) * 2^(e-1) lands on the bf16
-grid) and zero is detectable as em == 1 (one shared OR-reduce per word
-covers all 8 nibbles; the mask is applied in the integer domain).
+grid). TRUE-ZERO codes (em == 1 after remap, detected by one shared
+OR-reduce per word) are killed by DENORMAL FLUSH: the exponent base is
+added as the masked carry-free constant (tj<<14)-(tj<<8), so zero codes
+keep exponent field 0 and the v5e MXU flushes them to exact 0 — no
+halfword mask expand, no final AND (the round-2 mask chain measured
+7.5us of a 20.3us kernel in an on-chip ablation).
 
-Scales:
-  * MXFP4 (e8m0, 32-block): pure powers of two — folded into the bf16
-    exponent with an integer 3-D broadcast ADD before the bitcast. No
-    per-group dots, no floating multiply.
-  * NVFP4 (e4m3, 16-block): the scale byte pair is packed into i32 words
-    outside, constructed to bf16 in-kernel ((s & 0x7F) << 4 | exp bias),
-    and multiplied into the plane with a 16-row broadcast; the f32
-    per-tensor scale folds into the activation outside.
+Block scales apply POST-DOT as f32 rows on the (M, tn) accumulator — the
+int4 magic kernel's group-scale structure:
+  * MXFP4 (e8m0, 32-block): raw uint8 bytes DMA into the kernel (1/4 the
+    bytes of the round-2 pre-built i32 sadd array) and become exact
+    power-of-two f32 rows via one shift+bitcast.
+  * NVFP4 (e4m3, 16-block): byte pairs packed into i32 words at quantize
+    time (pack_nvfp4_scale_pairs), constructed to bf16 rows in-kernel
+    ((s & 0x7F) << 4 | exp bias); the f32 per-tensor scale is applied on
+    the (M, N) output (linearity: y = pts * (x @ (S .* C))).
 
-Measured on v5e (M=8, K=N=4096): mxfp4 23.6us and BIT-EXACT vs the
-emulated dequant reference (the integer exponent-add reproduces it
-identically); nvfp4 37us at 49.8dB vs emulated (one bf16 rounding from
-the scale multiply). Both against 468us for the emulated dequant+matmul
-path and 46us bf16 dense. The VPU op-count floor (~7 lane-ops/nibble for
-construct+mask+scale vs ~3 for int4, plus nvfp4's per-element bf16
-multiply) puts fp4 at 1.6-2.5x the int4 kernel's ~15us — the e2m1→bf16
-bit-layout gap is the structural cost on a VPU with no sub-word SIMD.
+Measured on v5e (M=8, K=N=4096, 2026-08): mxfp4 22.7us and BIT-EXACT vs
+the emulated dequant reference (flush-kill + power-of-two f32 scale rows
+reproduce it identically); nvfp4 26.0us at 49.4dB (one bf16 rounding in
+the e4m3 row construction) — down from 36.5us for the round-2
+per-element scale multiply. Both against 468us for the emulated
+dequant+matmul path and 45.8us bf16 dense. The remaining gap to the int4
+kernel's 12.85us is the per-block dot+FMA structure (~128-256 16/32-row
+MXU dots per tile; interleaved-accumulator and VMEM-vs-local-acc
+variants measured within 0.2us — the overhead is per-dot issue, not the
+dependency chain) plus the e2m1 field split.
 """
 
 from __future__ import annotations
@@ -46,17 +53,30 @@ from jax.experimental.pallas import tpu as pltpu
 from ao_tpu.ops.pallas import UnsupportedShape
 
 
-def _common_planes(w, j, t8):
+def _e2m1_plane(w, t8, j):
+    """Plane-j e2m1 codes -> bf16 rows (1+m/2)*2^(e-1), with TRUE-ZERO
+    codes killed by DENORMAL FLUSH: the exponent base 0x3F00 is added as a
+    MASKED CONSTANT (tj<<14)-(tj<<8) — carry-free per half — so zero codes
+    keep exponent field 0 (bits 0x0040|sign) and the v5e MXU/VPU flush
+    them to exact +/-0.0 (flush measured on-chip; on a gen that honored
+    denormals they'd contribute 2^-127 relative ~1 — negligible either
+    way). This replaces the halfword mask-expand + AND of the round-2
+    kernel: the zero-kill rides the base add for 0 extra vector ops."""
     ow = w if j == 0 else (w >> (4 * j))
     em = (ow & 0x00070007) << 6
     sg = (ow & 0x00080008) << 12
-    bits = em + sg
     tj = (t8 >> (4 * j)) & 0x00010001
-    return bits, tj
+    mbase = (tj << 14) - (tj << 8)  # 0x3F00 per nonzero half
+    return pltpu.bitcast((em + sg) + mbase, jnp.bfloat16)
 
 
-def _mx_kernel(x0, x1, x2, x3, w_ref, sadd_ref, out_ref, acc_ref, *,
+def _mx_kernel(x0, x1, x2, x3, w_ref, su8_ref, out_ref, acc_ref, *,
                out_dtype):
+    """MXFP4 with the e8m0 block scale applied POST-DOT as f32 rows on the
+    (M, tn) accumulator (the int4 magic kernel's group-scale structure at
+    32-row granularity) — scales DMA as raw uint8 (1/4 the bytes of the
+    round-2 pre-built i32 sadd array) and become exact power-of-two f32
+    rows via one shift+bitcast."""
     w = w_ref[:]
     tkw, tn = w.shape
     nb = tkw // 16  # 32-row e8m0 blocks per plane
@@ -65,44 +85,54 @@ def _mx_kernel(x0, x1, x2, x3, w_ref, sadd_ref, out_ref, acc_ref, *,
     z = w ^ 0x11111111
     t8 = (z | (z >> 1) | (z >> 2)) & 0x11111111
 
+    # e8m0 byte e -> f32 2^(e-127) exactly: the in-plane construction
+    # carries (1+m/2)*2^(e2m1_e - 1), so c*s = (1+m/2)*2^(e2m1_e + e - 128)
+    # — identical to the emulated dequant
+    sexp = su8_ref[:].astype(jnp.int32)  # (4*nb, tn) plane-major
+    s = pltpu.bitcast(sexp << 23, jnp.float32)
+
     acc_ref[:] = jnp.zeros_like(acc_ref)
-    sadd = sadd_ref[:]  # (4*nb, tn) i32, plane-major
     for j in range(4):
-        bits, tj = _common_planes(w, j, t8)
-        b3 = bits.reshape(nb, 16, tn) + sadd[j * nb:(j + 1) * nb][:, None, :]
-        bits = b3.reshape(tkw, tn) & ((tj << 16) - tj)
-        c = pltpu.bitcast(bits, jnp.bfloat16)
-        acc_ref[:] += jnp.dot(xr[j][:], c, preferred_element_type=jnp.float32)
+        c = _e2m1_plane(w, t8, j)  # (2*tkw, tn) = (1+m/2)*2^(e-1)
+        for t in range(nb):
+            r0 = 32 * t
+            pg = jnp.dot(xr[j][:, r0:r0 + 32], c[r0:r0 + 32],
+                         preferred_element_type=jnp.float32)
+            acc_ref[:] += s[j * nb + t][None, :] * pg
 
     out_ref[:] = acc_ref[:].astype(out_dtype)
 
 
 def _nv_kernel(x0, x1, x2, x3, w_ref, sw_ref, out_ref, acc_ref, *,
                out_dtype):
+    """NVFP4 with the e4m3 block scale applied POST-DOT as f32 rows on the
+    (M, tn) accumulator — the int4 magic kernel's group-scale structure at
+    16-row granularity — instead of the round-2 per-element bf16 multiply
+    over the weight plane (measured 36.5us vs 26.0us for post-dot at M=8
+    4096² before the flush-kill). Trades 16-row MXU dots (memory-bound
+    shapes leave the MXU idle) for ~2 VPU lane-ops/weight + the repeat."""
     w = w_ref[:]
     tkw, tn = w.shape
-    nb = tkw // 8  # 16-row e4m3 blocks per plane
+    nbs = tkw // 8  # 16-row e4m3 blocks per plane
     xr = (x0, x1, x2, x3)
 
     z = w ^ 0x11111111
     t8 = (z | (z >> 1) | (z >> 2)) & 0x11111111
 
-    # e4m3 scale bytes (pairs packed per i32) -> bf16 rows: value
+    # e4m3 scale bytes (pairs packed per i32) -> f32 rows: value
     # (1+m/8)*2^(e-7) has bf16 bits ((c&0x7F)<<4) + (120<<7)
-    sw = sw_ref[:]  # (4*nb/2, tn) i32, plane-major row pairs
+    sw = sw_ref[:]  # (4*nbs/2, tn) i32, plane-major row pairs
     sbits = ((sw & 0x007F007F) << 4) + 0x3C003C00
-    sbf = pltpu.bitcast(sbits, jnp.bfloat16)  # (4*nb, tn)
+    s = pltpu.bitcast(sbits, jnp.bfloat16).astype(jnp.float32)  # (4*nbs, tn)
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     for j in range(4):
-        bits, tj = _common_planes(w, j, t8)
-        bits = (bits + (0x3F003F00)) & ((tj << 16) - tj)
-        c = pltpu.bitcast(bits, jnp.bfloat16)  # value (1+m/2)*2^(e-1)
-        # row-repeat + 2-D multiply: measurably cheaper than the
-        # (nb, 16, tn) broadcast form on v5e (37us vs 50us end-to-end)
-        sexp = jnp.repeat(sbf[j * nb:(j + 1) * nb], 16, axis=0)
-        c = c * sexp
-        acc_ref[:] += jnp.dot(xr[j][:], c, preferred_element_type=jnp.float32)
+        c = _e2m1_plane(w, t8, j)  # (2*tkw, tn) = (1+m/2)*2^(e-1)
+        for t in range(nbs):
+            r0 = 16 * t
+            pg = jnp.dot(xr[j][:, r0:r0 + 16], c[r0:r0 + 16],
+                         preferred_element_type=jnp.float32)
+            acc_ref[:] += s[j * nbs + t][None, :] * pg
 
     out_ref[:] = acc_ref[:].astype(out_dtype)
 
@@ -168,11 +198,11 @@ def _run(kernel, x, word, scale_arr, scale_rows, out_dtype):
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _mxfp4_impl(x, word, sexp):
-    # per-half exponent add: base 62<<7 + (e8m0 - 63)<<7, both halves
-    d = (jnp.maximum(sexp, 63) - 63) << 7
-    sadd = (d + (d << 16)) + 0x1F001F00
-    return _run(_mx_kernel, x, word, sadd, sexp.shape[0], jnp.bfloat16)
+def _mxfp4_impl(x, word, scale_u8):
+    # raw e8m0 bytes straight to the kernel: the exponent-add words are
+    # built in-kernel (1/4 the scale DMA of a pre-built i32 sadd array)
+    return _run(_mx_kernel, x, word, scale_u8, scale_u8.shape[0],
+                jnp.bfloat16)
 
 
 def mxfp4_wo_matmul_pallas(x, word, scale_u8):
@@ -184,8 +214,11 @@ def mxfp4_wo_matmul_pallas(x, word, scale_u8):
     kw, n = word.shape
     if k != 8 * kw or k % 128 != 0 or n % 128 != 0:
         raise UnsupportedShape(f"mxfp4 magic needs K%128==0, got {k}x{n}")
+    if (k // 32) % 32 != 0:
+        # uint8 scale tiles need a (32, 128)-aligned sublane count
+        raise UnsupportedShape(f"mxfp4 magic needs K%1024==0 scales, K={k}")
     return _mxfp4_impl(x.astype(jnp.bfloat16), word,
-                       scale_u8.astype(jnp.int32))
+                       scale_u8.astype(jnp.uint8))
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -205,7 +238,12 @@ def nvfp4_wo_matmul_pallas(x, word, scale_words, per_tensor_scale):
     if k != 8 * kw or k % 64 != 0 or n % 128 != 0:
         raise UnsupportedShape(f"nvfp4 magic needs K%64==0, got {k}x{n}")
     if scale_words.dtype != jnp.int32:
-        raise UnsupportedShape("nvfp4 magic layout needs pre-packed scales")
+        # back-compat: containers restored from pre-pack-at-quantize-time
+        # checkpoints carry raw e4m3 (K/16, N) scales — pack on the fly
+        # (the same cheap op that used to run per call)
+        from ao_tpu.quantization.qarrays.fp4 import pack_nvfp4_scale_pairs
+
+        scale_words = pack_nvfp4_scale_pairs(scale_words)
     y = _nvfp4_impl(x.astype(jnp.bfloat16), word, scale_words)
     if per_tensor_scale is not None:
         y = y.astype(jnp.float32) * per_tensor_scale.astype(jnp.float32)

@@ -252,25 +252,28 @@ def _int4_wo_matmul_impl(x, packed, s, b, *, group_size, out_dtype,
 # a word block holds the rows of quantization groups {g' ≡ j mod 4} in natural
 # order. Per plane j and group-chunk t the kernel does
 #     ow = ((w >> 4j) & 0x000F000F) | 0x43004300        # 3 int ops / 2 weights
-#     c  = bitcast_bf16(ow) - 136.0                     # rows = 128+u -> u-8
+#     c  = bitcast_bf16(ow)                             # rows = 128 + u, EXACT
 #     acc += s[4t+j] * dot(x_j[t], c)                   # scale in f32 post-dot
-# so the per-weight VPU cost is ~1.9 ops (no int->float converts) and the
-# groupwise scale multiplies an (M, tn) f32 accumulator, not the weights.
-# The affine bias (zp domain normalized to w = u*s + b) is exact via one
-# extra dot: sum_k x_k b[g,n] = xsum @ (b + 8s). Interleaving extraction
-# with each group's dot lets Mosaic pipeline VPU against MXU.
+#     acc += xsum_j[t] * b2'[4t+j]                      # bias row absorbs -136s
+# so the per-weight VPU cost is ~1.4 ops (no int->float converts, no
+# recenter subtract on the weight plane) and the groupwise scale multiplies
+# an (M, tn) f32 accumulator, not the weights. The rows decode UNSHIFTED to
+# 128+u; the -136*s recenter (128 bitcast offset + the u-8 symmetric zero)
+# folds into the affine-bias row b2' = b + 8s - 136s applied via the exact
+# per-group activation sums: sum_k x_k * (128 + u_k) * s + xsum * b2'
+# = sum_k x_k (u_k s + b). Interleaving extraction with each group's dot
+# lets Mosaic pipeline VPU against MXU.
 #
 # Measured on v5e (M=8, K=N=4096, g=128, gemm_sol.py linear-level):
-# 12.85us = 81.0% of the int4-bytes roofline (the -136 recenter folded
-# into the f32 bias row instead of a bf16 subtract over the weight plane
-# bought 15.0 -> 12.85us; SQNR 53.0dB), vs 11.6us pure-DMA floor
-# (the DMA engine itself tops out at ~90% of roofline — bf16 dense
-# reaches 89.8%; normalized to that ceiling the kernel is at ~77% of
+# 12.85us = 81.0% of the int4-bytes roofline (folding the recenter into
+# the bias row bought 15.0 -> 12.85us; SQNR 53.0dB), vs 11.6us pure-DMA
+# floor (the DMA engine itself tops out at ~90% of roofline — bf16 dense
+# reaches 89.8%; normalized to that ceiling the kernel is at ~90% of
 # achievable) and 19.7us for the split-half two-plane kernel. Post-dot
 # f32 scaling beats pre-rounded bf16 weights by ~2.4dB; the affine bias
 # is an in-kernel f32 lane reduction (see _w4a8 notes — an (m, ngf) xsum
 # INPUT is a v5e Mosaic pathology and an MXU bias dot loses precision).
-# At M=512 (prefill) it also beats the bf16 dense matmul (127 vs ~145us
+# At M=512 (prefill) it also beats the bf16 dense matmul (99 vs ~145us
 # in the same harness). The remaining SoL gap is the nibble→bf16 VPU
 # cost — the magic8 W4A8 kernel below sidesteps it on the int8 MXU.
 

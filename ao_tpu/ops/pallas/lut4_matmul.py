@@ -10,25 +10,31 @@ Layout: the int4 "magic" word layout (qarrays/int4.py pack_int4_magic) —
 plane j of word block t covers quantization group 4t+j; extracting plane
 nibbles of the (g/2, tn) word slice gives TWO code halfwords per i32.
 
-LUT construction (per plane slice, ~36 lane-ops per 2 weights):
-    masks  m_i = bf16 {0,1} pairs: (bit_i-pair * 0x3F80) bitcast (4 x 3 ops)
-    leaves v_h = c_2h + m_0 * (c_2h+1 - c_2h)  scalar c/d     (8 x 1 FMA)
-    tree   v   = a + m_i * (b - a)  over bits 1..3            (7 x 2 ops)
-with the codebook values as 16 f32 SMEM scalars (bf16 grid points), so
-RUNTIME codebooks (k-means LUTs) work without recompilation. Every
-select is a PACKED bf16 op (v5e runs bf16 elementwise 2-per-lane); each
-non-leaf select adds one bf16 rounding of a value difference (~2^-9
-relative), far below the 4-bit quantization error. (The earlier integer
-XOR select tree — exact but ~51 lane-ops/2w since every op is a 1-per-
-lane i32 op — measured 78.9us at M=8 4096²; see git history.)
+LUT construction — integer XOR select tree (~53 lane-ops per 2 weights):
+    masks  m_i = halfword-expanded bit i of each nibble      (4 x 4 ops)
+    leaves v_h = c_2h ^ (m_0 & (c_2h ^ c_2h+1))              (8 x 2 ops)
+    tree   v   = a ^ (m_i & (a ^ b))  over bits 1..3         (7 x 3 ops)
+where c_t are the bf16 bit patterns of the codebook entries duplicated
+into both 16-bit halves, carried as RUNTIME i32 SMEM scalars — scalar
+XORs run on SREGs, so k-means LUTs work under jit without recompiling
+and without any per-element cost. One pltpu.bitcast i32→bf16 then yields
+the decoded rows in natural group order, BIT-EXACT vs the bf16-rounded
+codebook (no arithmetic on values, only on bit patterns).
 
 Per-group scalers (K/g, N) multiply the f32 partial dots exactly like the
 int4 magic kernel; there is no affine bias (the codebook carries sign).
 
-The VPU cost (~18 lane-ops/weight vs int4's ~1.4) makes this slower than
-the int4 kernel but far faster than the dequantize+matmul fallback
-(which streams the full bf16 weight through HBM); measure with
-benchmarks/gemm_sol.py on hardware.
+Measured on v5e (K=N=4096, g=64, this structure, 2026-08): M=8 78.9us
+(~27 i32 lane-ops/weight vs the int4 magic kernel's ~1.4) — ~14% SoL of
+the 4-bit roofline, 6x faster than the 468us dequantize+matmul fallback
+and 6.8x faster than the bf16 FMA-select-tree variant it replaces
+(536us — Mosaic does NOT keep bf16 arithmetic packed 2-per-lane on v5e;
+see git history). It is SLOWER than bf16 dense (45.8us at M=8, 89.5us at
+M=512 vs 238us here): a generic 16-entry runtime LUT costs ~15 sub-lane
+selects per weight and the VPU has no sub-word SIMD, so NF4/codebook
+containers trade decode speed for the 4x memory saving — this kernel is
+the fastest NF4 execution path at every M, but pick Int4WeightOnly when
+decode latency (not checkpoint memory) is the constraint.
 """
 
 from __future__ import annotations
@@ -44,49 +50,44 @@ from ao_tpu.ops.pallas import UnsupportedShape
 
 
 def lut_words_arr(codebook: jax.Array) -> jax.Array:
-    """Flat float codebook(s), 16 entries each → (1, ceil/128*128) f32 of
-    the bf16-ROUNDED values (exact bf16 grid points, carried as f32 SMEM
-    scalars). Traceable (runtime codebooks — k-means LUTs — work under
-    jit)."""
-    cb = codebook.reshape(-1).astype(jnp.bfloat16).astype(jnp.float32)
+    """Flat float codebook(s), 16 entries each → (1, ceil/128*128) i32 of
+    the bf16 bit patterns duplicated into both 16-bit halves (SMEM scalar
+    words for the in-kernel XOR select tree). Traceable (runtime
+    codebooks — k-means LUTs — work under jit)."""
+    cb = codebook.reshape(-1).astype(jnp.bfloat16)
     if cb.shape[0] % 16:
         raise ValueError("codebook size must be a multiple of 16")
-    pad = (-cb.shape[0]) % 128
-    return jnp.pad(cb, (0, pad)).reshape(1, -1)
+    bits = jax.lax.bitcast_convert_type(cb, jnp.uint16).astype(jnp.uint32)
+    words = jax.lax.bitcast_convert_type(bits | (bits << 16), jnp.int32)
+    pad = (-words.shape[0]) % 128
+    return jnp.pad(words, (0, pad)).reshape(1, -1)
 
 
-def _decode_lut(ow, cvals):
+def _decode_lut(ow, cwords):
     """ow: i32 (rows, tn) with one code nibble in each 16-bit half →
-    bf16 (2*rows, tn) decoded values via an FMA select tree. ``cvals`` are
-    16 f32 SMEM scalars (bf16 grid points).
-
-    The masks become bf16 {0,1} PAIRS via one integer multiply
-    (bi * 0x3F803F80 keeps the halves carry-free) + bitcast, and every
-    select is a packed bf16 FMA ``a + m*(b-a)`` — v5e executes bf16
-    elementwise ops 2-per-lane, so the float tree costs ~36 lane-ops per
-    2 weights vs ~51 for the integer XOR tree (measured 78.9us → see
-    module docstring). The scalar leaf constants c/d fold in SREGs. Each
-    non-leaf select adds one bf16 rounding of a VALUE DIFFERENCE (~2^-9
-    relative) — far below the 4-bit quantization error."""
-    mf = []
+    bf16 (2*rows, tn) decoded values via the masked XOR select tree.
+    ``cwords`` are 16 i32 SMEM scalars (bf16 bit pattern of each entry in
+    both halves); scalar XORs between them fold on SREGs, and every
+    vector op is a plain i32 AND/XOR/shift, sub-lane safe (no carries
+    cross the halfword boundary). Decode is BIT-EXACT vs indexing the
+    bf16-rounded codebook."""
+    masks = []
     for i in range(4):
         bi = (ow >> i) & 0x00010001
-        # (b_hi*2^16 + b_lo) * 0x3F80 = b_hi*0x3F80*2^16 + b_lo*0x3F80 —
-        # carry-free since 0x3F80 < 2^16 and the halves' products don't
-        # overlap (multiplying by the DOUBLED constant 0x3F803F80 would
-        # cross-carry when both bits are set)
-        mf.append(pltpu.bitcast(bi * 0x3F80, jnp.bfloat16))
-    # leaves over code bit 0: v_h = c_2h + m0 * (c_2h+1 - c_2h), scalar c/d
+        # halfword-expand bit i: (bi<<16) - bi maps {0,1}x{0,1} halves to
+        # {0x0000,0xFFFF} each (the high half's lost carry is exactly the
+        # low half's borrow — see round-2 notes)
+        masks.append((bi << 16) - bi)
+    # leaves over code bit 0: v_h = c_2h ^ (m0 & (c_2h ^ c_2h+1))
     vals = []
     for h in range(8):
-        c0 = cvals[2 * h].astype(jnp.bfloat16)
-        d = (cvals[2 * h + 1] - cvals[2 * h]).astype(jnp.bfloat16)
-        vals.append(c0 + mf[0] * d)
+        c0, c1 = cwords[2 * h], cwords[2 * h + 1]
+        vals.append((masks[0] & (c0 ^ c1)) ^ c0)
     # tree over bits 1..3
     for level in range(1, 4):
-        m = mf[level]
-        vals = [a + m * (b - a) for a, b in zip(vals[0::2], vals[1::2])]
-    return vals[0]
+        m = masks[level]
+        vals = [a ^ (m & (a ^ b)) for a, b in zip(vals[0::2], vals[1::2])]
+    return pltpu.bitcast(vals[0], jnp.bfloat16)
 
 
 def _lut4_kernel(x0, x1, x2, x3, w_ref, s_ref, lut_ref, out_ref, acc_ref, *,
@@ -114,7 +115,7 @@ def _lut4_kernel(x0, x1, x2, x3, w_ref, s_ref, lut_ref, out_ref, acc_ref, *,
                 cvals = [lut_ref[0, base + i] for i in range(16)]
             wr0, wr1 = t * g // 2, (t + 1) * g // 2
             ow = shifted[wr0:wr1] & 0x000F000F
-            c = _decode_lut(ow, cvals)  # bf16 (g, tn), natural order
+            c = _decode_lut(ow, cvals)  # bf16 (g, tn), natural order, exact
             r0 = t * g
             pg = jnp.dot(xr[j][:, r0:r0 + g], c,
                          preferred_element_type=jnp.float32)

@@ -54,6 +54,24 @@ def test_int4_magic_vs_halves_kernels():
     assert compute_error(ym, yh) > 40.0
 
 
+def test_int4_magic_nonzero_mean_activations():
+    """The unshifted 128+u decode adds a ~128*s*sum(x) common-mode term per
+    group that the folded -136*s bias FMA cancels; with ZERO-mean x the
+    cancellation error hides. Post-GELU/ReLU MLP inputs are strongly
+    non-centered — bound the f32 cancellation error in that regime (abs of
+    gaussian ~ half-normal, mean 0.8*sigma) at large K."""
+    w = jax.random.normal(KEY, (4096, 2048), jnp.float32) * 0.02
+    x = jnp.abs(jax.random.normal(KEY, (8, 4096), jnp.float32)).astype(
+        jnp.bfloat16)
+    qm = Int4Array.from_hp(w, 128)
+    assert qm.layout == "magic"
+    with kernels.backend("pallas"):
+        y = linear(x, qm)
+    with kernels.backend("emulated"):
+        y_ref = linear(x, qm)
+    assert compute_error(y_ref, y) > 40.0
+
+
 @pytest.mark.parametrize("m", [1, 8, 64])
 def test_mxfp4_kernel_matches_emulated(m):
     from ao_tpu.quantization.qarrays.mx import MXArray
