@@ -86,8 +86,12 @@ class NVFP4Array(QuantizedArray):
         per_tensor: bool = True,
         act_quant: bool = False,
         act_per_tensor_scale: Optional[jax.Array] = None,
+        fixed_per_tensor_scale: Optional[jax.Array] = None,
         dequant_dtype: str = "bfloat16",
     ) -> "NVFP4Array":
+        """``fixed_per_tensor_scale`` overrides the amax-derived per-tensor
+        scale — the QAT range-learning handoff (learned scale lands in the
+        container instead of being re-derived; ref: qat/api.py:269-305)."""
         rank = hp.ndim
         block_dim = block_dim % rank
         if hp.shape[block_dim] % NVFP4_BLOCK != 0:
@@ -95,7 +99,9 @@ class NVFP4Array(QuantizedArray):
         block_size = tuple(
             NVFP4_BLOCK if i == block_dim else 1 for i in range(rank)
         )
-        codes, bscale, pts = nvfp4_quantize(hp, block_size, per_tensor)
+        codes, bscale, pts = nvfp4_quantize(
+            hp, block_size, per_tensor,
+            fixed_per_tensor_scale=fixed_per_tensor_scale)
         # "magic" int32 word layout feeds the fused Pallas kernel; defined
         # for 2-D weights blocked along K with K % 64 == 0. Its block
         # scales are stored PRE-PACKED as int32 pair-words so the kernel

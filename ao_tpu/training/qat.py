@@ -29,16 +29,20 @@ from ao_tpu.quantization.qarrays.base import QuantizedArray, meta, qarray_datacl
 class FakeQuantizeSpec:
     """What to fake-quantize and how. (ref: FakeQuantizeConfig qat/)
 
-    kinds: int4_tinygemm | int8_per_channel | int8_per_token_act |
+    kinds: int4_tinygemm | int8_per_channel | int8_per_token_act | intx |
     fp8_rowwise | mx (elem_dtype selects fp8/fp6/fp4) | mx_act | nvfp4.
-    ``range_learning`` makes scale/zero-point TRAINABLE leaves on the
-    QATWeight with LSQ-style gradients (ref: LearnableFakeQuantize and the
+    ``range_learning`` makes the qparams TRAINABLE leaves on the QATWeight
+    with LSQ-style gradients (ref: LearnableFakeQuantize and the
     learned-scale handoff qat/api.py:269-305); supported for
-    int4_tinygemm and int8_per_channel."""
+    int4_tinygemm (scale+zp), int8_per_channel / intx / fp8_rowwise
+    (scale), and nvfp4 (the fp32 per-tensor scale — block e4m3 scales are
+    re-derived from it each step, matching the container's two-level
+    scheme)."""
 
     kind: str = "int4_tinygemm"
     group_size: int = 128
     elem_dtype: str = "float8_e4m3fn"  # for mx kinds
+    bits: int = 4  # for intx
     range_learning: bool = False
 
 
@@ -47,17 +51,24 @@ def infer_fake_quant_specs(base: AOBaseConfig) -> Tuple[Optional[FakeQuantizeSpe
     (ref: _infer_fake_quantize_configs qat/fake_quantize_config.py:345)"""
     from ao_tpu.quantization.configs import (
         Float8DynamicActivationFloat8WeightConfig,
+        Float8WeightOnlyConfig,
         Int4WeightOnlyConfig,
         Int8DynamicActivationInt8WeightConfig,
         Int8WeightOnlyConfig,
+        IntxWeightOnlyConfig,
     )
 
     if isinstance(base, Int4WeightOnlyConfig):
         return FakeQuantizeSpec("int4_tinygemm", base.group_size), None
     if isinstance(base, Int8WeightOnlyConfig):
         return FakeQuantizeSpec("int8_per_channel"), None
+    if isinstance(base, IntxWeightOnlyConfig):
+        return FakeQuantizeSpec("intx", base.group_size,
+                                bits=base.bit_width), None
     if isinstance(base, Int8DynamicActivationInt8WeightConfig):
         return FakeQuantizeSpec("int8_per_channel"), FakeQuantizeSpec("int8_per_token_act")
+    if isinstance(base, Float8WeightOnlyConfig):
+        return FakeQuantizeSpec("fp8_rowwise"), None
     if isinstance(base, Float8DynamicActivationFloat8WeightConfig):
         return FakeQuantizeSpec("fp8_rowwise"), FakeQuantizeSpec("fp8_rowwise")
 
@@ -98,6 +109,12 @@ def apply_fake_quant(t: jax.Array, spec: FakeQuantizeSpec, is_weight: bool) -> j
         bs = (1,) * (t.ndim - 1) + (t.shape[-1],)
         s, zp = P.choose_qparams_affine(t, P.MappingType.SYMMETRIC, bs, "int8")
         return P.fake_quantize_affine(t, bs, s, None, -128, 127)
+    if spec.kind == "intx":
+        bs = (1,) * (t.ndim - 2) + (spec.group_size, 1)
+        qmin, qmax = P.dtype_range(f"int{spec.bits}")
+        s, _ = P.choose_qparams_affine(
+            t, P.MappingType.SYMMETRIC, bs, quant_min=qmin, quant_max=qmax)
+        return P.fake_quantize_affine(t, bs, s, None, qmin, qmax)
     if spec.kind == "fp8_rowwise":
         if is_weight:
             bs = (1,) * (t.ndim - 2) + (t.shape[-2], 1)
@@ -151,6 +168,22 @@ def init_learned_qparams(w: jax.Array, spec: FakeQuantizeSpec):
         bs = (1,) * (w.ndim - 2) + (w.shape[-2], 1)
         s, _ = P.choose_qparams_affine(w, P.MappingType.SYMMETRIC, bs, "int8")
         return s.astype(jnp.float32), None
+    if spec.kind == "intx":
+        bs = (1,) * (w.ndim - 2) + (spec.group_size, 1)
+        qmin, qmax = P.dtype_range(f"int{spec.bits}")
+        s, _ = P.choose_qparams_affine(
+            w, P.MappingType.SYMMETRIC, bs, quant_min=qmin, quant_max=qmax)
+        return s.astype(jnp.float32), None
+    if spec.kind == "fp8_rowwise":
+        bs = (1,) * (w.ndim - 2) + (w.shape[-2], 1)
+        s = P.choose_scale_float8(w, bs, jnp.float8_e4m3fn)
+        return s.astype(jnp.float32), None
+    if spec.kind == "nvfp4":
+        # learned leaf = the fp32 per-tensor scale; e4m3 block scales are
+        # re-derived from it every step (two-level, nvfp4_tensor.py:756)
+        amax = jnp.max(jnp.abs(w.astype(jnp.float32)))
+        pts = jnp.maximum(amax / (448.0 * 6.0), 1e-12)
+        return pts.astype(jnp.float32), None
     raise NotImplementedError(f"range learning for {spec.kind}")
 
 
@@ -186,6 +219,62 @@ def fake_quant_learned(w, scale, zp, spec: FakeQuantizeSpec):
             return q * s
 
         return P.apply_blockwise(w, bs, _fq, scale).astype(w.dtype)
+    if spec.kind == "intx":
+        bs = (1,) * (w.ndim - 2) + (spec.group_size, 1)
+        qmin, qmax = P.dtype_range(f"int{spec.bits}")
+        lo, hi = float(qmin), float(qmax)
+
+        def _fq(xb, s):
+            xb = xb.astype(jnp.float32)
+            s = jnp.maximum(s, P.EPS)
+            v = xb / s
+            r = jnp.round(v)
+            inside = (r >= lo) & (r <= hi)
+            q = jnp.where(inside, v + sg(r - v), sg(jnp.clip(r, lo, hi)))
+            return q * s
+
+        return P.apply_blockwise(w, bs, _fq, scale).astype(w.dtype)
+    if spec.kind == "fp8_rowwise":
+        bs = (1,) * (w.ndim - 2) + (w.shape[-2], 1)
+        fmax = 448.0  # e4m3 max
+
+        def _fq(xb, s):
+            xb = xb.astype(jnp.float32)
+            s = jnp.maximum(s, P.EPS)
+            v = xb / s
+            c = jnp.clip(v, -fmax, fmax)
+            r = c.astype(jnp.float8_e4m3fn).astype(jnp.float32)  # grid round
+            inside = jnp.abs(v) <= fmax
+            q = jnp.where(inside, v + sg(r - v), sg(r))
+            return q * s
+
+        return P.apply_blockwise(w, bs, _fq, scale).astype(w.dtype)
+    if spec.kind == "nvfp4":
+        from ao_tpu.quantization.qarrays.fp4 import (
+            decode_fp4_e2m1,
+            encode_fp4_e2m1,
+        )
+
+        blk = (1,) * (w.ndim - 2) + (16, 1)
+        wf = w.astype(jnp.float32)
+        pts = jnp.maximum(scale.astype(jnp.float32), 1e-12)
+        amax = P.block_reduce(wf, blk, "absmax")
+        bs_soft = jnp.clip(amax / 6.0 / pts, 1e-12, 448.0)
+        # e4m3 rounding of the block scale with a straight-through delta so
+        # d(block_scale)/d(pts) keeps the continuous amax/6/pts path
+        bs_r = bs_soft.astype(jnp.float8_e4m3fn).astype(jnp.float32)
+        bscale = bs_soft + sg(bs_r - bs_soft)
+
+        def _fq(xb, b_):
+            total = b_ * pts
+            v = xb / total
+            c = jnp.clip(v, -6.0, 6.0)
+            r = decode_fp4_e2m1(encode_fp4_e2m1(c), jnp.float32)
+            inside = jnp.abs(v) <= 6.0
+            q = jnp.where(inside, v + sg(r - v), sg(r))
+            return q * total
+
+        return P.apply_blockwise(wf, blk, _fq, bscale).astype(w.dtype)
     raise NotImplementedError(f"range learning for {spec.kind}")
 
 
@@ -302,6 +391,87 @@ def _convert_learned(w: QATWeight, base) -> QuantizedArray:
             act_quant=None,
             _shape=tuple(wt.shape),
             _dequant_dtype="bfloat16",
+        )
+
+    from ao_tpu.quantization.configs import (
+        Float8DynamicActivationFloat8WeightConfig,
+        Float8WeightOnlyConfig,
+        IntxWeightOnlyConfig,
+    )
+
+    if isinstance(base, IntxWeightOnlyConfig):
+        from ao_tpu.quantization.qarrays.intx import IntxArray, pack_bitplanes
+
+        g, bits = base.group_size, base.bit_width
+        bs = (1,) * (wt.ndim - 2) + (g, 1)
+        qmin, qmax = P.dtype_range(f"int{bits}")
+
+        def _q(xb, s_):
+            return jnp.clip(jnp.round(xb / s_), float(qmin), float(qmax))
+
+        q = P.apply_blockwise(wt, bs, _q, s).astype(jnp.int8)
+        if base.packed:
+            u = (q.astype(jnp.int32) - qmin).astype(jnp.uint8)
+            qdata = pack_bitplanes(u, bits, axis=-2)
+        else:
+            qdata = q
+        return IntxArray(
+            qdata=qdata,
+            scale=s.astype(jnp.float32),
+            zero_point=None,
+            block_size=bs,
+            bits=bits,
+            packed=base.packed,
+            act_quant=None,
+            _shape=tuple(wt.shape),
+            _dequant_dtype="bfloat16",
+        )
+    if isinstance(base, (Float8WeightOnlyConfig,
+                         Float8DynamicActivationFloat8WeightConfig)):
+        # learned spec is rowwise — the container is emitted rowwise even
+        # if the base config names another granularity (documented: range
+        # learning fixes the qparam layout at prepare time)
+        from ao_tpu.quantization.qarrays.common import ActQuantSpec, canon_dtype
+        from ao_tpu.quantization.qarrays.float8 import Float8Array
+
+        dt = canon_dtype(base.float8_dtype)
+        bs = (1,) * (wt.ndim - 2) + (wt.shape[-2], 1)
+        sc = jnp.maximum(s.astype(jnp.float32), P.EPS)
+        q = P.quantize_float8(wt, bs, sc, dt)
+        act_quant = None
+        if isinstance(base, Float8DynamicActivationFloat8WeightConfig):
+            act_quant = ActQuantSpec(
+                dtype=base.float8_dtype,
+                granularity="per_token",
+                value_lb=base.activation_value_lb,
+                value_ub=base.activation_value_ub,
+            )
+        return Float8Array(
+            qdata=q,
+            scale=sc,
+            act_scale=None,
+            act_pre_scale=None,
+            block_size=bs,
+            act_quant=act_quant,
+            _shape=tuple(wt.shape),
+            _dequant_dtype="bfloat16",
+        )
+
+    from ao_tpu.prototype.mx import (
+        NVFP4DynamicActivationNVFP4WeightConfig,
+        NVFP4WeightOnlyConfig,
+    )
+
+    if isinstance(base, (NVFP4WeightOnlyConfig,
+                         NVFP4DynamicActivationNVFP4WeightConfig)):
+        from ao_tpu.quantization.qarrays.nvfp4 import NVFP4Array
+
+        return NVFP4Array.from_hp(
+            w.weight,
+            per_tensor=True,
+            act_quant=isinstance(base, NVFP4DynamicActivationNVFP4WeightConfig),
+            fixed_per_tensor_scale=jnp.maximum(
+                s.astype(jnp.float32), 1e-12),
         )
     raise NotImplementedError(
         f"learned-qparam convert for {type(base).__name__}"

@@ -205,6 +205,79 @@ class TestQAT:
         e_qat = float(jnp.mean((linear(x, conv["wq"]) - y_true) ** 2))
         assert e_qat < e_ptq, (e_qat, e_ptq)
 
+    @pytest.mark.parametrize("fmt", ["intx3", "intx2-packed", "fp8-wo",
+                                     "fp8-dyn", "nvfp4", "nvfp4-dyn"])
+    def test_qat_range_learning_breadth(self, fmt):
+        """Learned qparams convert into the FULL container set — intx,
+        fp8, NVFP4 — matching GPTQ's emission breadth (ref: the learned
+        scale handoff qat/api.py:269-305 feeds any base config)."""
+        from ao_tpu.prototype.mx import (
+            NVFP4DynamicActivationNVFP4WeightConfig,
+            NVFP4WeightOnlyConfig,
+        )
+        from ao_tpu.quantization.qarrays.float8 import Float8Array
+        from ao_tpu.quantization.qarrays.intx import IntxArray
+        from ao_tpu.quantization.qarrays.nvfp4 import NVFP4Array
+
+        base, container = {
+            "intx3": (ao_tpu.IntxWeightOnlyConfig(bit_width=3,
+                                                  group_size=32), IntxArray),
+            "intx2-packed": (ao_tpu.IntxWeightOnlyConfig(
+                bit_width=2, group_size=32, packed=True), IntxArray),
+            "fp8-wo": (ao_tpu.Float8WeightOnlyConfig(), Float8Array),
+            "fp8-dyn": (ao_tpu.Float8DynamicActivationFloat8WeightConfig(),
+                        Float8Array),
+            "nvfp4": (NVFP4WeightOnlyConfig(), NVFP4Array),
+            "nvfp4-dyn": (NVFP4DynamicActivationNVFP4WeightConfig(),
+                          NVFP4Array),
+        }[fmt]
+        k = jax.random.PRNGKey(11)
+        w = jax.random.normal(k, (64, 48), jnp.float32) * 0.05
+        x = jax.random.normal(jax.random.PRNGKey(12), (64, 64), jnp.float32)
+        y_true = x @ w
+
+        prep = ao_tpu.quantize_(
+            {"wq": w}, QATConfig(base, step="prepare", range_learning=True))
+        assert prep["wq"].scale is not None
+
+        def loss(p):
+            return jnp.mean((linear(x, p["wq"]) - y_true) ** 2)
+
+        # the LSQ path is live: scale gradients are nonzero and finite
+        g0 = jax.grad(loss)(prep)
+        gs = float(jnp.linalg.norm(g0["wq"].scale))
+        assert gs > 0 and np.isfinite(gs), gs
+
+        # a few qparam-only steps must not diverge. Adam's step size is
+        # ~lr regardless of gradient magnitude, so lr must be sized
+        # RELATIVE to the scale leaf (fp8 row scales ~1e-4, nvfp4
+        # per-tensor ~1e-5 — an absolute 1e-3 lr would swamp them)
+        lr = 0.02 * float(jnp.mean(jnp.abs(prep["wq"].scale)))
+        opt = optax.adam(lr)
+        state = opt.init(prep)
+
+        @jax.jit
+        def step(p, s):
+            g = jax.grad(loss)(p)
+            g = {"wq": g["wq"].replace(
+                weight=jnp.zeros_like(g["wq"].weight))}
+            upd, s = opt.update(g, s)
+            return optax.apply_updates(p, upd), s
+
+        for _ in range(25):
+            prep, state = step(prep, state)
+
+        conv = ao_tpu.quantize_(prep, QATConfig(base, step="convert"))
+        assert isinstance(conv["wq"], container), type(conv["wq"])
+        yq = linear(x, conv["wq"])
+        thresh = {"intx3": 8.0, "intx2-packed": 3.0, "fp8-wo": 25.0,
+                  "fp8-dyn": 22.0, "nvfp4": 12.0, "nvfp4-dyn": 10.0}[fmt]
+        assert float(compute_error(y_true, yq)) > thresh
+        # fake-quant forward tracks the converted container's forward —
+        # the handoff is faithful, not a re-derivation
+        y_fq = linear(x, prep["wq"])
+        assert float(compute_error(y_fq, yq)) > 18.0
+
 
 class TestLowBitAdam:
     @pytest.mark.parametrize("bits", [8, 4, "fp8"])
