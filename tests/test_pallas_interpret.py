@@ -439,3 +439,42 @@ class TestFrozenWeightSTE:
             g_xla = jax.grad(loss)(x).astype(jnp.float32)
         scale = float(jnp.max(jnp.abs(g_xla)))
         assert float(jnp.max(jnp.abs(g_fused - g_xla))) < 0.05 * scale
+
+
+class TestExperimentalV6eKernels:
+    """Interpret-mode parity for the EXPERIMENTAL kernels that lose to the
+    XLA paths on v5e (no native fp8 MXU) and target fp8-native TPUs —
+    "auto" never selects them here, so CPU interpret mode is the only
+    hermetic gate that their dataflow stays correct (decision recorded in
+    PARITY.md "v5e-dead kernels")."""
+
+    def test_fp8_blockwise_interpret_parity(self):
+        from ao_tpu.quantization.qarrays.common import ActQuantSpec
+        from ao_tpu.quantization.qarrays.float8 import Float8Array
+
+        k, n = 256, 256
+        w = jax.random.normal(jax.random.PRNGKey(1), (k, n),
+                              jnp.float32) * 0.02
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, k), jnp.bfloat16)
+        qw = Float8Array.from_hp(
+            w, block_size=(128, 128),
+            act_quant=ActQuantSpec(dtype="float8_e4m3fn",
+                                   granularity="per_group:128"))
+        ref = linear(x, qw).astype(jnp.float32)  # emulated/XLA reference
+        with pltpu.force_tpu_interpret_mode():
+            with kernels.backend("pallas"):
+                y = linear(x, qw).astype(jnp.float32)
+        assert compute_error(ref, y) > 30.0
+
+    def test_bsr_interpret_parity(self):
+        from ao_tpu.sparsity.blocksparse import BlockSparseArray
+
+        w = jax.random.normal(jax.random.PRNGKey(2), (256, 256),
+                              jnp.float32) * 0.05
+        qw = BlockSparseArray.from_hp(w, blocksize=128, keep_fraction=0.5)
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 256), jnp.bfloat16)
+        ref = jnp.matmul(x.astype(jnp.float32), qw.dequantize(jnp.float32))
+        with pltpu.force_tpu_interpret_mode():
+            with kernels.backend("pallas"):
+                y = linear(x, qw).astype(jnp.float32)
+        assert compute_error(ref, y) > 30.0
