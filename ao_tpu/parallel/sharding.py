@@ -101,8 +101,17 @@ DEFAULT_TP_RULES: ShardingRules = (
     (r"(^|\.)(wo|w2|down|proj|fc2|out_proj|o_proj|down_proj)$", "row"),
     # HF llama-style names
     (r"(^|\.)(q_proj|k_proj|v_proj|gate_proj|up_proj)$", "col"),
-    # embeddings / head: shard the model (last) dim; vocab gather local
-    (r"(^|\.)(embed|lm_head|head|patch_embed|pos_embed)$", "col"),
+    # embedding tables: shard the VOCAB axis (Megatron-style
+    # VocabParallelEmbedding — GSPMD lowers the lookup to a masked local
+    # gather + one all-reduce) so the residual stream stays tp-REPLICATED.
+    # Dim-sharding the table instead makes every layer re-all-gather the
+    # normed activation for each of q/k/v/w1/w3: measured 3.2x the
+    # collective bytes and 5 extra collectives per layer on the compiled
+    # HLO (see parallel/hlo_stats.py + dryrun collective check).
+    (r"(^|\.)embed$", "row"),
+    # output heads / patch+pos embeds: shard the model/output dim
+    # (vocab-parallel logits for lm_head)
+    (r"(^|\.)(lm_head|head|patch_embed|pos_embed)$", "col"),
     # conv patchify weights (HWIO): shard output channels
     (r"(^|\.)patch_embed\.kernel$", "col"),
     # MoE router + norms + biases are tiny: replicate silently

@@ -64,17 +64,46 @@ def measure_single_chip_step():
     return us, cfg
 
 
-def project(step_us, cfg, batch=8):
+def load_hlo_anchor():
+    """Collective structure extracted from the compiled TP forward by
+    ``dryrun_multichip`` (per-step all-reduce count per layer + payload
+    bytes/elem). When present, the projection's formula is ANCHORED: the
+    per-layer collective count and payload element size come from the
+    compiler's own output, not this file's assumptions."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", "collective_stats.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        st = json.load(f)
+    # cross-check: the dryrun's own formula must reproduce the HLO payload
+    c = st["cfg"]
+    elems = c["batch_local"] * c["seq"] * c["dim"]
+    per_ar = st["per_allreduce_payload_bytes"]
+    assert 1.0 <= per_ar / elems <= 4.5, st
+    return {
+        "allreduce_per_layer": st["allreduce_per_layer"],
+        "bytes_per_elem": st["payload_bytes_per_elem"],
+        "source": path,
+    }
+
+
+def project(step_us, cfg, batch=8, anchor=None):
     spec = detect_tpu_spec()
+    # per-layer collective structure: HLO-anchored when the dryrun has
+    # recorded it, else the analytic default (2 all-reduces of bf16
+    # activations per layer)
+    ar_per_layer = anchor["allreduce_per_layer"] if anchor else 2.0
+    bytes_per_elem = anchor["bytes_per_elem"] if anchor else 2.0
     rows = {}
     for n in (1, 2, 4, 8, 16, 32):
         compute_us = step_us / n
-        # two collective rounds per layer, each moving B*dim*2 bytes
-        # around the ring: ring all-reduce wire bytes ≈ 2*(n-1)/n * size
-        size = batch * cfg.dim * 2
+        # each all-reduce moves B*dim*bytes_per_elem payload around the
+        # ring: ring all-reduce wire bytes ≈ 2*(n-1)/n * size
+        size = batch * cfg.dim * bytes_per_elem
         wire = 2 * (n - 1) / n * size
         link_gbps = spec.ici_gbps if n <= 8 else DCN_GBPS
-        coll_us = cfg.n_layers * 2 * wire / (link_gbps * 1e3)
+        coll_us = cfg.n_layers * ar_per_layer * wire / (link_gbps * 1e3)
         total = compute_us + coll_us
         eff = step_us / (n * total)
         rows[n] = {"step_us": round(total, 1),
@@ -84,13 +113,15 @@ def project(step_us, cfg, batch=8):
 
 
 def main():
+    anchor = load_hlo_anchor()
     step_us, cfg = measure_single_chip_step()
-    name, rows = project(step_us, cfg)
+    name, rows = project(step_us, cfg, anchor=anchor)
     ok8 = rows[8]["efficiency"] >= 0.85
     print(json.dumps({
         "metric": "projected TP scaling efficiency (int4-WO decode)",
         "measured_1chip_step_us": round(step_us, 1),
         "chip_spec": name,
+        "hlo_anchor": anchor or "none (run dryrun_multichip first)",
         "projection": rows,
         "meets_85pct_at_8_chips": ok8,
     }))
