@@ -29,16 +29,25 @@ int4 magic kernel's group-scale structure:
     ((s & 0x7F) << 4 | exp bias); the f32 per-tensor scale is applied on
     the (M, N) output (linearity: y = pts * (x @ (S .* C))).
 
-Measured on v5e (M=8, K=N=4096, 2026-08): mxfp4 22.7us and BIT-EXACT vs
-the emulated dequant reference (flush-kill + power-of-two f32 scale rows
-reproduce it identically); nvfp4 26.0us at 49.4dB (one bf16 rounding in
-the e4m3 row construction) — down from 36.5us for the round-2
+Measured on v5e (M=8, K=N=4096, 2026-08): mxfp4 22.7-24.9us and BIT-EXACT
+vs the emulated dequant reference (flush-kill + power-of-two f32 scale
+rows reproduce it identically); nvfp4 26.0-28.5us at 49.4dB (one bf16
+rounding in the e4m3 row construction) — down from 36.5us for the round-2
 per-element scale multiply. Both against 468us for the emulated
-dequant+matmul path and 45.8us bf16 dense. The remaining gap to the int4
-kernel's 12.85us is the per-block dot+FMA structure (~128-256 16/32-row
-MXU dots per tile; interleaved-accumulator and VMEM-vs-local-acc
-variants measured within 0.2us — the overhead is per-dot issue, not the
-dependency chain) plus the e2m1 field split.
+dequant+matmul path and 45.8us bf16 dense. M<8 pads to a full 8-sublane
+tile (_tile_m): Mosaic ran the M=1 tile at 76us/168us before the pad.
+
+Structure ablation (on-chip, M=8 4096², 2026-08 round 3): the e2m1
+DECODE ITSELF is the floor — decode + unscaled plane dot measures
+22.5us, so the per-block dot + post-dot f32 scale FMA structure (this
+kernel, 24.9us) pays only ~2.4us for all 128 block scales. Folding the
+scale as a bf16 row-multiply into the decoded plane (exact, one dot per
+plane) measured 38.4-41.3us in repeat/broadcast/chunked variants — the
+(k/4, tn) element-wise multiply costs far more than the small-dot issue
+overhead it removes, and fewer, bigger dots also lose the VPU/MXU
+pipelining of the block loop. Remaining gap to the int4 kernel's 12.85us
+is decode ops: e2m1 needs ~6 i32 lane-ops/weight (field split + masked
+exponent-base zero-kill + sign placement) vs int4 magic's ~1.4.
 """
 
 from __future__ import annotations
@@ -137,8 +146,19 @@ def _nv_kernel(x0, x1, x2, x3, w_ref, sw_ref, out_ref, acc_ref, *,
     out_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _tile_m(m):
+    """Pad tiny M up to a full 8-sublane tile: Mosaic handles (1, x)
+    operands poorly here — measured on v5e (4096², 2026-08) M=1 ran at
+    76us (mxfp4) / 168us (nvfp4) vs 24.9/28.5 at M=8, so decode-latency
+    callers were 3-6x off the kernel's real speed. Padding M→8 makes M<8
+    cost exactly the M=8 time."""
+    if m < 8:
+        return 8
+    return m if m <= 256 else 256
+
+
 def _pick_tn_fp4(m, k, n, scale_rows):
-    tm = m if m <= 256 else 256
+    tm = _tile_m(m)
 
     def vmem_bytes(tn):
         return (
@@ -161,7 +181,7 @@ def _run(kernel, x, word, scale_arr, scale_rows, out_dtype):
     tn = _pick_tn_fp4(m, k, n, scale_rows)
     xs4 = [x[:, j * (k // 4):(j + 1) * (k // 4)] for j in range(4)]
 
-    tm = m if m <= 256 else 256
+    tm = _tile_m(m)
     pad_m = (-m) % tm
     if pad_m:
         xs4 = [jnp.pad(xj, ((0, pad_m), (0, 0))) for xj in xs4]

@@ -123,8 +123,16 @@ def _lut4_kernel(x0, x1, x2, x3, w_ref, s_ref, lut_ref, out_ref, acc_ref, *,
     out_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _tile_m(m):
+    """Pad tiny M up to a full 8-sublane tile (same v5e Mosaic behavior as
+    fp4_matmul._tile_m: M=1 measured 89.5us vs 80.4us at M=8)."""
+    if m < 8:
+        return 8
+    return m if m <= 256 else 256
+
+
 def _pick_tn(m, k, n, group_size):
-    tm = m if m <= 256 else 256
+    tm = _tile_m(m)
     ngf = k // group_size
 
     def vmem_bytes(tn):
@@ -154,7 +162,7 @@ def _lut4_impl(x, word, s, lutw, *, group_size, groups_per_lut, out_dtype):
     xg = x.reshape(m, ngf // 4, 4, g)
     xs4 = [xg[:, :, j].reshape(m, k // 4) for j in range(4)]
 
-    tm = m if m <= 256 else 256
+    tm = _tile_m(m)
     pad_m = (-m) % tm
     if pad_m:
         xs4 = [jnp.pad(xj, ((0, pad_m), (0, 0))) for xj in xs4]

@@ -42,11 +42,13 @@ _MIDPOINTS = (NF4_CODEBOOK[1:] + NF4_CODEBOOK[:-1]) / 2.0  # (15,)
 
 
 def _nearest_code(xn: jax.Array) -> jax.Array:
-    """Index of the nearest codebook entry: count midpoints below x."""
-    return jnp.sum(
-        xn[..., None] > _MIDPOINTS.reshape((1,) * xn.ndim + (15,)),
-        axis=-1,
-    ).astype(jnp.uint8)
+    """Index of the nearest codebook entry: count midpoints below x.
+
+    Binary search (searchsorted) rather than a broadcast against the 15
+    midpoints: the broadcast materializes a (…, 15) intermediate — a 15x
+    memory blowup that OOMs when quantizing full-model weights on-chip.
+    """
+    return jnp.searchsorted(_MIDPOINTS, xn, side="left").astype(jnp.uint8)
 
 
 @qarray_dataclass

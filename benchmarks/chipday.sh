@@ -32,4 +32,8 @@ run attn_sol      python benchmarks/attn_sol.py
 run serving       python benchmarks/serving_bench.py
 run ppl_ladder    python benchmarks/ppl_delta.py       # incl kv-int8/int4 rows
 
+# throughput-regression gate vs the last COMMITTED chipday dir: fails the
+# battery if any tok/s (or kernel us) row regressed >15%
+run regression    python benchmarks/regression_check.py "$out"
+
 echo "done: $out"

@@ -58,10 +58,12 @@ def main():
         def mutate(args, i):
             return (args[0], args[1] + 0.01 * (i + 1)) + args[2:]
 
-        us = device_time_us(
-            lambda p_, x_: dit.forward(p_, x_, t, y, cfg),
-            p, x, iters=3, mutate=mutate,
-        )
+        # jit the denoise step — a sampler always runs it compiled; the
+        # first committed run of this bench timed the EAGER forward, which
+        # penalizes exactly the configs that add fusable element-wise work
+        # (dyn-act quant ran 0.27x; jitted, the same config beats bf16)
+        f = jax.jit(lambda p_, x_: dit.forward(p_, x_, t, y, cfg))
+        us = device_time_us(f, p, x, iters=3, mutate=mutate)
         # CPU smoke: the op_profile busy-time is 0 off-device
         return max(us / 1e3, 1e-6)  # ms per denoise step
 
