@@ -153,6 +153,30 @@ def main():
         params_real, cfg_real, jnp.asarray(eval_toks), "real")
     report["real"] = {"bf16_ppl": round(base_real, 4), "rows": rows_real}
 
+    # ---- task accuracy (the reference pairs every ppl row with a
+    # winogrande accuracy row; cloze over held-out committed text is the
+    # zero-egress analog — see ao_tpu/eval/cloze.py) ----
+    from ao_tpu.eval.cloze import cloze_accuracy
+
+    def acc_of(p):
+        return cloze_accuracy(
+            lambda b: llama.forward(p, b, cfg_real)[0], eval_toks,
+            context_len=96, cont_len=32, n_items=24 if SMOKE else 96)
+
+    acc_rows = {"bf16": round(acc_of(params_real), 4)}
+    print(f"[real] cloze acc bf16 {acc_rows['bf16']:.4f}")
+    for name, cfg_fn in (LADDER[:1] if SMOKE else LADDER):
+        qp = ao_tpu.quantize_(params_real, cfg_fn())
+        acc_rows[name] = round(acc_of(qp), 4)
+        print(f"[real] cloze acc {name:14s} {acc_rows[name]:.4f} "
+              f"(drop {acc_rows['bf16'] - acc_rows[name]:+.4f})")
+    if not SMOKE:
+        # 8-bit must stay near bf16; 3-bit may not beat 8-bit beyond the
+        # task's sampling noise (96 items => +-~0.05 at 1 sigma)
+        assert acc_rows["bf16"] - acc_rows["int8-WO"] < 0.05
+        assert acc_rows["intx-3bit"] <= acc_rows["int8-WO"] + 0.06
+    report["real"]["cloze_acc"] = acc_rows
+
     # ---- 2. Zipf synthetic ladder (hermetic CI parity) ----
     VOCAB = 512
     cfg_syn = make_cfg(VOCAB)
