@@ -78,7 +78,7 @@ def int8_wo_matmul(x, qw, sw, zw, wbs):
     """x (M, K) hp; qw int8 (K, N); sw rank-preserved scale."""
     k, n = qw.shape[-2], qw.shape[-1]
     if zw is None and sw.shape == (1, n):
-        if _use_pallas() and x.ndim == 2:
+        if _use_pallas() and x.ndim == 2 and x.shape[0] <= 256:
             from ao_tpu.ops.pallas import UnsupportedShape
             from ao_tpu.ops.pallas.int8_matmul import int8_wo_matmul_pallas
 
@@ -168,7 +168,13 @@ def int4_wo_matmul(x, packed, scale, zp, group_size, zp_domain, layout=None):
     inference (int32 = magic) — pass the container's layout for magic8."""
     if layout is None:
         layout = "magic" if packed.dtype == jnp.int32 else "halves"
-    if _use_pallas() and layout != "magic8":
+    # The fused WO kernels tile M at <=256 and re-read + re-decode the
+    # whole packed weight per M-tile, so they are DECODE kernels: past one
+    # tile the XLA dequant+matmul amortizes the weight-side work over M
+    # instead (measured: DiT-XL denoise step at M=2048 ran 0.53x bf16
+    # through the fused kernel vs ~1x dequant; decode M<=256 the kernel
+    # wins 3.6x). Same gate on the int8/fp4/LUT WO dispatches.
+    if _use_pallas() and layout != "magic8" and x.shape[0] <= 256:
         from ao_tpu.ops.pallas import UnsupportedShape
 
         try:

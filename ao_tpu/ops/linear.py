@@ -165,6 +165,38 @@ def _int4_linear(x: jax.Array, w: Int4Array, b):
         x2 = x2 * w.act_pre_scale.astype(x2.dtype)
     if w.act_quant is not None:
         qx, sx, zx = quantize_activation(x2, w.act_quant)
+        if w.act_quant.dtype == "int8" and x2.shape[0] > 512:
+            # Prefill W4A8: ONE native int8 MXU dot (2x bf16 peak) beats
+            # both the group-split magic8 kernel (per-group epilogue FMAs,
+            # measured 0.89x bf16 at M=2048 4096²) and bf16 dequant (1.0x).
+            # The per-GROUP int4 scales can't feed a single int8 dot, so
+            # requantize to per-channel int8 on the fly. The per-channel
+            # scale comes ANALYTICALLY from the group qparams (|w| over a
+            # group's 16 grid points is maxed at an endpoint: max(|b|,
+            # |15s+b|)) — no reduction over the dequantized weight, so the
+            # whole unpack→dequant→requant chain is one fused elementwise
+            # pass (an absmax over materialized f32 w_dq measured 1.03x
+            # bf16; this measures ~1.6x). The extra 8-bit grid error rides
+            # ~48dB below the int4 error.
+            from ao_tpu.quantization import primitives as P
+
+            sg = w.scale.astype(jnp.float32)
+            if w.zero_point_domain is P.ZeroPointDomain.FLOAT:
+                bg = w.zero_point.astype(jnp.float32)
+            elif w.zero_point is None:
+                bg = -8.0 * sg
+            else:
+                bg = -(8.0 + w.zero_point.astype(jnp.float32)) * sg
+            bound = jnp.maximum(jnp.abs(bg), jnp.abs(15.0 * sg + bg))
+            s8 = jnp.max(bound, axis=0, keepdims=True) / 127.0  # (1, N)
+            s8 = jnp.maximum(s8, 1e-12)
+            w_dq = w.dequantize(jnp.float32)
+            qw8 = jnp.clip(jnp.round(w_dq / s8), -127, 127).astype(jnp.int8)
+            y = kernels.int8_dynamic_matmul(
+                qx, sx, zx, qw8, s8, None, (w_dq.shape[0], 1),
+                out_dtype=x.dtype,
+            )
+            return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
         if (w.act_quant.dtype == "int8" and zx is None
                 and w.layout == "magic8" and kernels._use_pallas()):
             # TRUE W4A8: i8 activations x magic8 int4 planes on the int8
@@ -258,7 +290,9 @@ def _mx_linear(x: jax.Array, w: MXArray, b):
             vx, bs, lambda v, s: v * s, e8m0_decode(sx)
         ).astype(x.dtype)
     if (w.elem_dtype == "float4_e2m1fn" and w.layout == "magic"
-            and kernels._use_pallas()):
+            and kernels._use_pallas() and x2.shape[0] <= 256):
+        # M gate: see kernels.int4_wo_matmul — WO kernels are decode
+        # kernels; prefill M amortizes dequant through XLA instead
         from ao_tpu.ops.pallas import UnsupportedShape
 
         try:
@@ -294,7 +328,8 @@ def _nvfp4_linear(x: jax.Array, w: NVFP4Array, b):
         vx = decode_fp4_e2m1(codes, jnp.float32)
         total = bscale.astype(jnp.float32) * (pts if pts is not None else 1.0)
         x2 = P.apply_blockwise(vx, bs, lambda v, s: v * s, total).astype(x.dtype)
-    if w.layout == "magic" and kernels._use_pallas():
+    if w.layout == "magic" and kernels._use_pallas() and x2.shape[0] <= 256:
+        # M gate: see kernels.int4_wo_matmul
         from ao_tpu.ops.pallas import UnsupportedShape
 
         try:
@@ -345,7 +380,8 @@ def try_lut4_linear(x2, word, scalers, codebook, group_size):
     containers (NF4, shared/groupwise codebooks). Returns the (M, N) bf16
     product, or None if the pallas backend is off or the shape is
     unsupported (callers fall back to dequant+matmul)."""
-    if not kernels._use_pallas():
+    if not kernels._use_pallas() or x2.shape[0] > 256:
+        # M gate: see kernels.int4_wo_matmul
         return None
     from ao_tpu.ops.pallas import UnsupportedShape
 

@@ -507,29 +507,41 @@ def _int4_w4a8_impl(xq, word, s, b, *, group_size, out_dtype):
         xb = jnp.pad(xb, ((0, pad_m), (0, 0)))
     mp = m + pad_m
 
-    grid = (mp // tm, n // tn, 1)
     cost = pl.CostEstimate(
         flops=2 * mp * k * n,
         bytes_accessed=mp * k + kw * n * 4 + 2 * ngf * n * 2 + mp * n * 4,
         transcendentals=0,
     )
+    # Grid order decides which operand stays VMEM-resident between steps.
+    # Decode (one M tile): n sweeps, weight blocks stream once — order
+    # irrelevant. Prefill (many M tiles): put N OUTER and M INNER so the
+    # weight/scale blocks' index maps are constant across the inner M
+    # sweep and Mosaic elides their re-fetch — weights then DMA once
+    # TOTAL instead of once per M tile (the re-read made the fused path
+    # 0.5x bf16 on a DiT-XL M=2048 step; x re-reads cost only
+    # n_tiles * M*K int8 bytes, far smaller at prefill shapes).
+    m_tiles, n_tiles = mp // tm, n // tn
+    if m_tiles > 1:
+        grid = (n_tiles, m_tiles, 1)
+        xmap = lambda j, i, kk: (i, 0)      # noqa: E731
+        wmap = lambda j, i, kk: (0, j)      # noqa: E731
+        omap = lambda j, i, kk: (i, j)      # noqa: E731
+    else:
+        grid = (m_tiles, n_tiles, 1)
+        xmap = lambda i, j, kk: (i, 0)      # noqa: E731
+        wmap = lambda i, j, kk: (0, j)      # noqa: E731
+        omap = lambda i, j, kk: (i, j)      # noqa: E731
     out = pl.pallas_call(
         functools.partial(_w4a8_kernel, group_size=g, out_dtype=out_dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tm, k // 2), lambda i, j, kk: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, k // 2), lambda i, j, kk: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kw, tn), lambda i, j, kk: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ngf, tn), lambda i, j, kk: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ngf, tn), lambda i, j, kk: (0, j),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, k // 2), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, k // 2), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kw, tn), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ngf, tn), wmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ngf, tn), wmap, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tm, tn), omap, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(

@@ -60,6 +60,26 @@ def default_filter(fqn: str, leaf: Any) -> bool:
     return last in _LINEAR_KEY_NAMES
 
 
+# Leaves at or above this size run their quantize handler under jit: XLA
+# fuses the handler's op chain so eager per-op temporaries (several full
+# (K, N) f32/i32 buffers each) never coexist in HBM — quantizing an 8B-dim
+# model's large leaves eagerly OOMed a 16G chip with the bf16 model
+# resident. Small leaves stay eager (no compile cost in tests).
+_JIT_HANDLER_MIN_ELEMS = 1 << 20
+
+
+def _run_handler(handler, leaf, cfg):
+    if (
+        isinstance(leaf, jax.Array)
+        and leaf.size >= _JIT_HANDLER_MIN_ELEMS
+    ):
+        try:
+            return jax.jit(lambda l: handler(l, cfg))(leaf)
+        except jax.errors.TracerBoolConversionError:
+            pass  # handler branches on values — run it eagerly
+    return handler(leaf, cfg)
+
+
 def quantize_(
     params: Any,
     config: AOBaseConfig,
@@ -81,11 +101,11 @@ def quantize_(
             if not filter_fn(fqn, leaf) and fqn not in config.fqn_to_config:
                 return leaf
             handler = get_quantize_handler(cfg)
-            return handler(leaf, cfg)
+            return _run_handler(handler, leaf, cfg)
         if not filter_fn(fqn, leaf):
             return leaf
         handler = get_quantize_handler(config)
-        return handler(leaf, config)
+        return _run_handler(handler, leaf, config)
 
     return jax.tree_util.tree_map_with_path(
         transform, params, is_leaf=lambda x: isinstance(x, QuantizedArray)

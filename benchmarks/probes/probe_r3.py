@@ -1,4 +1,5 @@
 """Round-3 kernel probes: fp4 M=1 cliff + compute-bound int8 MXU lowering."""
+import sys; sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp, time, json
 from ao_tpu.utils.timing import device_time_us
 

@@ -100,8 +100,8 @@ def main():
             if key not in base_rows:
                 continue
             b, v = base_rows[key], r[metric]
-            if not b:
-                continue
+            if not b or not v:
+                continue  # zero/absent measurements can't form a ratio
             ratio = (v / b) if higher else (b / v)
             compared += 1
             if ratio < 1.0 - TOLERANCE:

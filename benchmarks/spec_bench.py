@@ -81,6 +81,25 @@ def main():
         "tokens_per_round": round(n_tok / rounds, 2),
     }), flush=True)
 
+    # Acceptance here is a RANDOM-INIT artifact: at vocab 128k the top-2
+    # logit gap of an untrained model is tiny, so 4-bit noise flips the
+    # argmax almost always (measured 1.0 accept for an identical draft and
+    # ~0.7 for int4 on trained/small-vocab models — see ppl_delta.py's
+    # trained-model spec row). The acceptance-INDEPENDENT statement of
+    # this measurement is the breakeven curve: one spec round (k drafts +
+    # wide verify) costs r plain steps, so spec wins per accepted-token
+    # whenever accept > (r - 1) / k.
+    plain_step_us = us_plain / steps
+    round_us = us_spec / rounds
+    r = round_us / plain_step_us
+    print(json.dumps({
+        "config": f"spec_round_overhead_k{k}",
+        "plain_step_us": round(plain_step_us, 1),
+        "spec_round_us": round(round_us, 1),
+        "rounds_per_plain_step": round(r, 3),
+        "breakeven_accept": round(max((r - 1.0) / k, 0.0), 3),
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()
