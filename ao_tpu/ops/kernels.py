@@ -78,7 +78,7 @@ def int8_wo_matmul(x, qw, sw, zw, wbs):
     """x (M, K) hp; qw int8 (K, N); sw rank-preserved scale."""
     k, n = qw.shape[-2], qw.shape[-1]
     if zw is None and sw.shape == (1, n):
-        if _use_pallas() and x.ndim == 2 and x.shape[0] <= 256:
+        if _use_pallas() and x.ndim == 2 and x.shape[0] <= 1024:
             from ao_tpu.ops.pallas import UnsupportedShape
             from ao_tpu.ops.pallas.int8_matmul import int8_wo_matmul_pallas
 
@@ -169,12 +169,14 @@ def int4_wo_matmul(x, packed, scale, zp, group_size, zp_domain, layout=None):
     if layout is None:
         layout = "magic" if packed.dtype == jnp.int32 else "halves"
     # The fused WO kernels tile M at <=256 and re-read + re-decode the
-    # whole packed weight per M-tile, so they are DECODE kernels: past one
-    # tile the XLA dequant+matmul amortizes the weight-side work over M
-    # instead (measured: DiT-XL denoise step at M=2048 ran 0.53x bf16
-    # through the fused kernel vs ~1x dequant; decode M<=256 the kernel
-    # wins 3.6x). Same gate on the int8/fp4/LUT WO dispatches.
-    if _use_pallas() and layout != "magic8" and x.shape[0] <= 256:
+    # whole packed weight per M-tile — cheap while the re-reads
+    # ((M/256) x 0.5B/weight) undercut XLA's dequant materialization
+    # (~4B/weight f32 round-trip), which flips around M~2k: measured
+    # DiT-XL M=2048 ran 0.53x bf16 through the fused kernel vs 0.68x
+    # XLA-dequant, while generate()'s M=1024 prefill ran ~2x FASTER
+    # fused (decode_suite e2e 2767 vs 1445 tok/s when a 256 gate pushed
+    # prefill to XLA). Gate at 1024. Same on int8/fp4/LUT WO dispatches.
+    if _use_pallas() and layout != "magic8" and x.shape[0] <= 1024:
         from ao_tpu.ops.pallas import UnsupportedShape
 
         try:

@@ -174,10 +174,12 @@ def _int4_linear(x: jax.Array, w: Int4Array, b):
             # scale comes ANALYTICALLY from the group qparams (|w| over a
             # group's 16 grid points is maxed at an endpoint: max(|b|,
             # |15s+b|)) — no reduction over the dequantized weight, so the
-            # whole unpack→dequant→requant chain is one fused elementwise
-            # pass (an absmax over materialized f32 w_dq measured 1.03x
-            # bf16; this measures ~1.6x). The extra 8-bit grid error rides
-            # ~48dB below the int4 error.
+            # whole unpack→dequant→requant chain is one fused pass — the
+            # Pallas requant kernel (magic8 layout) measures 1.31x bf16 at
+            # M=2048 4096² (274.8us; the XLA fallback chain whose f32
+            # dequant materializes measured 1.03x). The extra 8-bit grid
+            # error rides ~48dB below the int4 error (20.0dB end-to-end,
+            # same as the kernel path).
             from ao_tpu.quantization import primitives as P
 
             sg = w.scale.astype(jnp.float32)
@@ -190,11 +192,26 @@ def _int4_linear(x: jax.Array, w: Int4Array, b):
             bound = jnp.maximum(jnp.abs(bg), jnp.abs(15.0 * sg + bg))
             s8 = jnp.max(bound, axis=0, keepdims=True) / 127.0  # (1, N)
             s8 = jnp.maximum(s8, 1e-12)
-            w_dq = w.dequantize(jnp.float32)
-            qw8 = jnp.clip(jnp.round(w_dq / s8), -127, 127).astype(jnp.int8)
+            kk = x2.shape[1]
+            qw8 = None
+            if w.layout == "magic8" and kernels._use_pallas():
+                from ao_tpu.ops.pallas import UnsupportedShape
+
+                try:
+                    from ao_tpu.ops.pallas.int4_matmul import (
+                        int4_magic8_requant_int8_pallas,
+                    )
+
+                    qw8 = int4_magic8_requant_int8_pallas(
+                        w.qdata, sg, bg, s8, w.group_size)
+                except (ImportError, UnsupportedShape):
+                    qw8 = None
+            if qw8 is None:
+                w_dq = w.dequantize(jnp.float32)
+                qw8 = jnp.clip(jnp.round(w_dq / s8), -127,
+                               127).astype(jnp.int8)
             y = kernels.int8_dynamic_matmul(
-                qx, sx, zx, qw8, s8, None, (w_dq.shape[0], 1),
-                out_dtype=x.dtype,
+                qx, sx, zx, qw8, s8, None, (kk, 1), out_dtype=x.dtype,
             )
             return _unflatten_batch(_maybe_bias(y.astype(x.dtype), b), lead)
         if (w.act_quant.dtype == "int8" and zx is None
@@ -290,9 +307,8 @@ def _mx_linear(x: jax.Array, w: MXArray, b):
             vx, bs, lambda v, s: v * s, e8m0_decode(sx)
         ).astype(x.dtype)
     if (w.elem_dtype == "float4_e2m1fn" and w.layout == "magic"
-            and kernels._use_pallas() and x2.shape[0] <= 256):
-        # M gate: see kernels.int4_wo_matmul — WO kernels are decode
-        # kernels; prefill M amortizes dequant through XLA instead
+            and kernels._use_pallas() and x2.shape[0] <= 1024):
+        # M gate: see kernels.int4_wo_matmul
         from ao_tpu.ops.pallas import UnsupportedShape
 
         try:
@@ -328,7 +344,7 @@ def _nvfp4_linear(x: jax.Array, w: NVFP4Array, b):
         vx = decode_fp4_e2m1(codes, jnp.float32)
         total = bscale.astype(jnp.float32) * (pts if pts is not None else 1.0)
         x2 = P.apply_blockwise(vx, bs, lambda v, s: v * s, total).astype(x.dtype)
-    if w.layout == "magic" and kernels._use_pallas() and x2.shape[0] <= 256:
+    if w.layout == "magic" and kernels._use_pallas() and x2.shape[0] <= 1024:
         # M gate: see kernels.int4_wo_matmul
         from ao_tpu.ops.pallas import UnsupportedShape
 
@@ -380,7 +396,7 @@ def try_lut4_linear(x2, word, scalers, codebook, group_size):
     containers (NF4, shared/groupwise codebooks). Returns the (M, N) bf16
     product, or None if the pallas backend is off or the shape is
     unsupported (callers fall back to dequant+matmul)."""
-    if not kernels._use_pallas() or x2.shape[0] > 256:
+    if not kernels._use_pallas() or x2.shape[0] > 1024:
         # M gate: see kernels.int4_wo_matmul
         return None
     from ao_tpu.ops.pallas import UnsupportedShape

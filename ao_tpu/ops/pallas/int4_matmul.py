@@ -22,8 +22,11 @@ Three kernels, selected by the container layout:
     lane-reduced affine bias; 81.0% of the int4-bytes roofline at M=8
     4096² g=128 on v5e (12.85us linear-level, benchmarks/gemm_sol.py — the
     canonical table; the measured DMA ceiling itself is ~90% of roofline,
-    so the kernel sits at ~90% of achievable). M=512 prefill: 99us, 88%
-    of the COMPUTE roofline (beats bf16 dense ~145us).
+    so the kernel sits at ~90% of achievable). At M=512 the kernel ties
+    bf16 dense (~99us vs 97us measured) and past one 256-row M tile it
+    re-reads the packed weight per tile, so auto-dispatch gates it to
+    M<=256 and routes prefill through XLA dequant+matmul
+    (kernels.int4_wo_matmul).
   * int32 "magic8" layout (auto for int8-activation weights) — W4A8 on
     the int8 MXU, 82.9% SoL (12.5us, ~93% of the DMA ceiling); see the
     W4A8 section below.
@@ -605,3 +608,87 @@ def int4_wo_matmul_pallas(x, packed, scale, zp, group_size, zp_domain):
     return _int4_wo_matmul_impl(
         x, packed, s, b, group_size=group_size, out_dtype=jnp.bfloat16
     )
+
+
+# ---------------------------------------------------------------------------
+# magic8 → per-channel int8 requantization (prefill W4A8 feeder)
+# ---------------------------------------------------------------------------
+
+
+def _requant_kernel(w_ref, a_ref, b_ref, out_ref, *, group_size: int):
+    """word (g*PP/8... (pp*g/8? — block holds PP group-pairs) magic8 →
+    natural-order int8 rows (2*PP*g, tn):
+    out[k] = round(a'[g(k)] * u[k] + b'[g(k)]), a'/b' the per-group
+    dequant params pre-divided by the per-channel int8 scale."""
+    w = w_ref[:]
+    kwb, tn = w.shape
+    g = group_size
+    npairs = 8 * kwb // (2 * g)  # pairs in THIS block
+    a8 = pltpu.bitcast(w & 0x0F0F0F0F, jnp.int8)         # (4kwb, tn) plane A
+    b8 = pltpu.bitcast((w >> 4) & 0x0F0F0F0F, jnp.int8)  # plane B
+    aa = a_ref[:].astype(jnp.float32)
+    bb = b_ref[:].astype(jnp.float32)
+    for t in range(npairs):
+        ua = a8[t * g:(t + 1) * g].astype(jnp.float32)
+        va = jnp.round(ua * aa[2 * t][None, :] + bb[2 * t][None, :])
+        out_ref[2 * t * g:(2 * t + 1) * g] = jnp.clip(
+            va, -127.0, 127.0).astype(jnp.int8)
+        ub = b8[t * g:(t + 1) * g].astype(jnp.float32)
+        vb = jnp.round(ub * aa[2 * t + 1][None, :] + bb[2 * t + 1][None, :])
+        out_ref[(2 * t + 1) * g:(2 * t + 2) * g] = jnp.clip(
+            vb, -127.0, 127.0).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size",))
+def _requant_impl(word, a_rows, b_rows, *, group_size):
+    kw, n = word.shape
+    k = 8 * kw
+    g = group_size
+    ngf = a_rows.shape[0]
+    npairs = ngf // 2
+    tn = 512 if n % 512 == 0 else (256 if n % 256 == 0 else 128)
+    # tile K over group-pairs so the out block stays small (a full-K out
+    # block is 2*kw*tn int8 + 4*kw*tn word bytes — 22M scoped VMEM at
+    # K=14336, past the 16M limit)
+    pp = npairs
+    while pp > 1 and (2 * pp * g * tn + pp * g // 2 * tn * 4) > 4 << 20:
+        pp //= 2
+    while npairs % pp:
+        pp -= 1
+    grid = (npairs // pp, n // tn)
+    return pl.pallas_call(
+        functools.partial(_requant_kernel, group_size=group_size),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((pp * g // 4, tn), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * pp, tn), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * pp, tn), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2 * pp * g, tn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, n), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * n, bytes_accessed=kw * n * 4 + k * n, transcendentals=0),
+    )(word, a_rows, b_rows)
+
+
+def int4_magic8_requant_int8_pallas(word, scale, bias, s8, group_size):
+    """magic8 words (K/8, N) + per-group dequant params w = u*scale + bias
+    ((K/g, N) each) + per-channel int8 scale s8 (1, N) → int8 (K, N) with
+    w ≈ qw8 * s8. One fused pass over the packed bytes (reads 0.5B/weight,
+    writes 1B/weight) — the XLA unpack→dequant→requant chain materializes
+    the f32 (K, N) dequant (measured: it capped prefill W4A8 at ~1.0x bf16
+    where this kernel's output feeds a native int8 dot at ~1.6x)."""
+    if word.ndim != 2:
+        raise UnsupportedShape("requant kernel handles 2-D only")
+    kw, n = word.shape
+    g = group_size
+    if n % 128 != 0 or (8 * kw // g) % 2 != 0 or g % 8 != 0:
+        raise UnsupportedShape(f"magic8 requant misaligned (K={8*kw}, g={g})")
+    inv = 1.0 / s8
+    a_rows = (scale.astype(jnp.float32) * inv).astype(jnp.float32)
+    b_rows = (bias.astype(jnp.float32) * inv).astype(jnp.float32)
+    return _requant_impl(word, a_rows, b_rows, group_size=g)

@@ -50,3 +50,55 @@ def device_time_us(fn: Callable, *args, iters: int = 3, warmup: int = 1,
             continue
         busy_ps += float(prog.get("metrics", {}).get("rawTime", 0) or 0)
     return busy_ps / 1e6 / iters  # ps → us
+
+
+def device_op_breakdown(fn: Callable, *args, iters: int = 3, warmup: int = 1,
+                        top: int = 20):
+    """Per-op device-time breakdown of ``fn(*args)``: list of
+    ``{"op", "us", "pct"}`` rows, largest first (us is per-iteration).
+
+    The where-does-the-time-go companion to :func:`device_time_us`
+    (ref analog: torchao's ``profiler_runner``, torchao/utils.py:145)."""
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+
+    tmp = tempfile.mkdtemp(prefix="aotpu_prof_")
+    with jax.profiler.trace(tmp):
+        outs = [fn(*args) for _ in range(iters)]
+        jax.block_until_ready(outs)
+
+    files = glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True)
+    from xprof.convert import raw_to_tool_data as rtd
+
+    data, _ = rtd.xspace_to_tool_data(files, "op_profile", {})
+    prof = json.loads(data)
+    root = prof.get("byProgram", prof)
+
+    rows = {}
+
+    def walk(node):
+        kids = node.get("children") or []
+        if not kids:  # leaf op
+            ps = float(node.get("metrics", {}).get("rawTime", 0) or 0)
+            if ps > 0 and node.get("name") != "IDLE":
+                rows[node.get("name", "?")] = (
+                    rows.get(node.get("name", "?"), 0.0) + ps)
+            return
+        for c in kids:
+            if c.get("name") == "IDLE":
+                continue
+            walk(c)
+
+    for prog in root.get("children", []):
+        if prog.get("name") == "IDLE":
+            continue
+        walk(prog)
+
+    total = sum(rows.values()) or 1.0
+    out_rows = [
+        {"op": k, "us": round(v / 1e6 / iters, 2),
+         "pct": round(100.0 * v / total, 1)}
+        for k, v in sorted(rows.items(), key=lambda kv: -kv[1])[:top]
+    ]
+    return out_rows

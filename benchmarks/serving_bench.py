@@ -80,6 +80,38 @@ def main():
         print(json.dumps({"config": name,
                           "tok_s_e2e": round(tok_s, 1)}), flush=True)
 
+    # n-gram (prompt-lookup) spec decode: acceptance comes from prompt
+    # self-similarity, so measure it on a repetitive prompt (the regime
+    # the feature exists for) and commit accept_rate next to tok/s —
+    # the docs' speedup claim traces here
+    import random
+
+    rng = random.Random(1)
+    pat = [rng.randrange(mcfg.vocab_size) for _ in range(10)]
+    rep_prompt = (pat * 10)[:100]
+
+    def bench_prompt(scfg):
+        eng = Engine(qp, mcfg, scfg)
+        for _ in range(16):
+            eng.submit(list(rep_prompt), 24)
+        eng.step()  # warm compiles outside the timed region
+        t0 = time.perf_counter()
+        done = eng.run()
+        dt = time.perf_counter() - t0
+        return sum(len(r.generated) for r in done) / dt, eng.stats()
+
+    base_tok, _ = bench_prompt(
+        ServeConfig(max_batch=16, max_seq=256, prefill_buckets=(128,)))
+    spec_tok, st = bench_prompt(
+        ServeConfig(max_batch=16, max_seq=256, prefill_buckets=(128,),
+                    spec_draft=4))
+    print(json.dumps({
+        "config": "slots_ngram_spec4_repetitive_prompt",
+        "tok_s_e2e": round(spec_tok, 1),
+        "speedup_vs_plain": round(spec_tok / max(base_tok, 1e-9), 3),
+        "accept_rate": st.get("spec_accept_rate"),
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()

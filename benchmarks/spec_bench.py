@@ -100,6 +100,31 @@ def main():
         "breakeven_accept": round(max((r - 1.0) / k, 0.0), 3),
     }), flush=True)
 
+    # The deployable draft SHAPE: a much smaller model (here 2 of 8
+    # layers, int4) — a same-size int4 draft only cuts weight bytes 4x,
+    # so k=4 drafts already cost ~1.7 plain steps before the verify
+    draft_cfg = llama.LlamaConfig(
+        vocab_size=cfg.vocab_size, dim=cfg.dim, n_layers=max(cfg.n_layers // 4, 1),
+        n_heads=cfg.n_heads, n_kv_heads=cfg.n_kv_heads, ffn_dim=cfg.ffn_dim,
+        tie_embeddings=cfg.tie_embeddings,
+    )
+    dsmall = ao_tpu.quantize_(
+        jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                     llama.init_params(jax.random.PRNGKey(7), draft_cfg)),
+        ao_tpu.Int4WeightOnlyConfig(group_size=128))
+    us_small = max(device_time_us(
+        lambda p_, d_, pr: generate_speculative(
+            p_, d_, pr, cfg, draft_cfg, rounds, max_seq, k=k),
+        params, dsmall, prompt, iters=3, mutate=mutate), 1e-3)
+    r2 = (us_small / rounds) / plain_step_us
+    print(json.dumps({
+        "config": f"spec_round_overhead_smalldraft_k{k}",
+        "draft_layers": draft_cfg.n_layers,
+        "spec_round_us": round(us_small / rounds, 1),
+        "rounds_per_plain_step": round(r2, 3),
+        "breakeven_accept": round(max((r2 - 1.0) / k, 0.0), 3),
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()

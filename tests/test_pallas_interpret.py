@@ -96,6 +96,41 @@ class TestInterpretKernels:
             pytest.skip("nvfp4 did not pick the magic layout")
         _pallas_vs_emulated(x, qa, 35)
 
+    def test_magic8_requant_int8(self):
+        """The prefill-W4A8 feeder: packed magic8 → per-channel int8 must
+        match the XLA unpack→dequant→requant chain (1 LSB rounding-boundary
+        wobble allowed — kernel rounds a'·u+b' in one f32 FMA)."""
+        import numpy as np
+
+        from ao_tpu.ops.pallas.int4_matmul import (
+            int4_magic8_requant_int8_pallas,
+        )
+        from ao_tpu.quantization import primitives as P
+        from ao_tpu.quantization.qarrays.common import ActQuantSpec
+        from ao_tpu.quantization.qarrays.int4 import Int4Array
+
+        k, n, g = 512, 256, 64
+        w = jax.random.normal(jax.random.PRNGKey(0), (k, n), jnp.float32)
+        q = Int4Array.from_hp(
+            w * 0.02, group_size=g,
+            act_quant=ActQuantSpec("int8", granularity="per_token"))
+        assert q.layout == "magic8"
+        sg = q.scale.astype(jnp.float32)
+        if q.zero_point_domain is P.ZeroPointDomain.FLOAT:
+            bg = q.zero_point.astype(jnp.float32)
+        elif q.zero_point is None:
+            bg = -8.0 * sg
+        else:
+            bg = -(8.0 + q.zero_point.astype(jnp.float32)) * sg
+        bound = jnp.maximum(jnp.abs(bg), jnp.abs(15.0 * sg + bg))
+        s8 = jnp.maximum(jnp.max(bound, 0, keepdims=True) / 127.0, 1e-12)
+        ref = jnp.clip(jnp.round(q.dequantize(jnp.float32) / s8),
+                       -127, 127).astype(jnp.int8)
+        with pltpu.force_tpu_interpret_mode():
+            got = int4_magic8_requant_int8_pallas(q.qdata, sg, bg, s8, g)
+        diff = np.abs(np.asarray(got, np.int32) - np.asarray(ref, np.int32))
+        assert diff.max() <= 1 and (diff > 0).mean() < 0.01
+
 
 class TestInterpretDecodeAttention:
     def _reference(self, q, k, v, lengths, sm_scale):
