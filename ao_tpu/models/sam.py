@@ -325,24 +325,60 @@ def encode_image(params: Dict[str, Any], images: jax.Array,
     ws = cfg.window_size
     pad_h = (-h) % ws
     pad_w = (-w) % ws
-    for i, lp in enumerate(params["layers"]):
-        shortcut = x
-        xa = _layernorm(x, lp["ln1"], cfg.norm_eps)
-        if i in cfg.global_attn_layers:
-            xa = xa.reshape(b, h * w, d)
-            xa = _mha(lp["attn"], xa, xa, cfg.n_heads, rel_side=h)
-            xa = xa.reshape(b, h, w, d)
-        else:
-            if pad_h or pad_w:
-                xa = jnp.pad(xa, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-            hp, wp = h + pad_h, w + pad_w
-            win = _window_partition(xa, ws)
-            win = _mha(lp["attn"], win, win, cfg.n_heads, rel_side=ws)
-            xa = _window_merge(win, ws, b, hp, wp)[:, :h, :w]
-        x = shortcut + xa
-        hmid = _layernorm(x, lp["ln2"], cfg.norm_eps)
+    hp, wp = h + pad_h, w + pad_w
+
+    # The residual stream stays WINDOW-PARTITIONED across consecutive
+    # windowed layers and merges back only around global-attention layers:
+    # the 6-D partition/merge transposes measured ~1.4ms each on v5e
+    # (device_op_breakdown, ~29% of the SAM-B/512 encoder step when done
+    # per layer, 8+8 of them) — runs of windowed layers need one each.
+    # Numerics are IDENTICAL to per-layer partitioning: every in-run op is
+    # per-token, and pad rows influence real tokens only as attention
+    # keys/values, which enter as exact zeros both ways (per-layer code
+    # zero-pads the NORMED branch; here the normed branch is multiplied by
+    # the pad-validity mask — pad-row residual drift never escapes).
+    if pad_h or pad_w:
+        v2d = ((jnp.arange(hp) < h)[:, None]
+               & (jnp.arange(wp) < w)[None, :])
+        vmask = _window_partition(
+            jnp.broadcast_to(v2d[None, :, :, None], (b, hp, wp, 1)
+                             ).astype(cfg.dtype), ws)  # (b*nw, ws*ws, 1)
+    else:
+        vmask = None
+
+    def _mlp(xin, lp):
+        hmid = _layernorm(xin, lp["ln2"], cfg.norm_eps)
         hmid = jax.nn.gelu(linear(hmid, lp["mlp"]["w1"]) + lp["mlp"]["b1"])
-        x = x + linear(hmid, lp["mlp"]["w2"]) + lp["mlp"]["b2"]
+        return xin + linear(hmid, lp["mlp"]["w2"]) + lp["mlp"]["b2"]
+
+    layers = params["layers"]
+    glb = set(cfg.global_attn_layers)
+    i, n_layers = 0, len(layers)
+    while i < n_layers:
+        if i in glb:
+            lp = layers[i]
+            xa = _layernorm(x, lp["ln1"], cfg.norm_eps).reshape(b, h * w, d)
+            xa = _mha(lp["attn"], xa, xa, cfg.n_heads, rel_side=h)
+            x = x + xa.reshape(b, h, w, d)
+            x = _mlp(x, lp)
+            i += 1
+            continue
+        # windowed run [i, j): one partition, one merge
+        if pad_h or pad_w:
+            xw = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        else:
+            xw = x
+        xw = _window_partition(xw, ws)  # (b*nw, ws*ws, d)
+        while i < n_layers and i not in glb:
+            lp = layers[i]
+            xa = _layernorm(xw, lp["ln1"], cfg.norm_eps)
+            if vmask is not None:
+                xa = xa * vmask
+            xa = _mha(lp["attn"], xa, xa, cfg.n_heads, rel_side=ws)
+            xw = xw + xa
+            xw = _mlp(xw, lp)
+            i += 1
+        x = _window_merge(xw, ws, b, hp, wp)[:, :h, :w]
     nk = params["neck"]
     x = conv2d(x, nk["conv1"]["kernel"], stride=1, padding="SAME")
     x = _layernorm(x, nk["ln1"], cfg.norm_eps)
