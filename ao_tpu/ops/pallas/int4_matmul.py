@@ -639,6 +639,28 @@ def _requant_kernel(w_ref, a_ref, b_ref, out_ref, *, group_size: int):
             vb, -127.0, 127.0).astype(jnp.int8)
 
 
+def _requant_tiles(npairs: int, g: int, n: int):
+    """Pick (pp group-pairs per block, tn lanes) for the requant grid.
+
+    Constraints: the out block is (2*pp*g, tn) int8 and the word block
+    (pp*g//4, tn) i32 — together they must stay well under the 16M scoped
+    VMEM limit (a full-K block is 22M at K=14336). The a/b scale-row
+    blocks are (2*pp, tn), and Mosaic requires every block's sublane dim
+    be a multiple of 8 OR equal to the full array dim — so pp must be a
+    multiple of 4 unless pp == npairs. Prefer the widest tn, then the
+    largest legal pp."""
+    for tn in (512, 256, 128):
+        if n % tn:
+            continue
+        for pp in range(npairs, 0, -1):
+            if npairs % pp or (pp != npairs and pp % 4):
+                continue
+            if (2 * pp * g * tn + pp * g // 2 * tn * 4) <= 4 << 20:
+                return pp, tn
+    raise UnsupportedShape(f"no VMEM-feasible requant tile (pairs={npairs}, "
+                           f"g={g}, n={n})")
+
+
 @functools.partial(jax.jit, static_argnames=("group_size",))
 def _requant_impl(word, a_rows, b_rows, *, group_size):
     kw, n = word.shape
@@ -646,15 +668,7 @@ def _requant_impl(word, a_rows, b_rows, *, group_size):
     g = group_size
     ngf = a_rows.shape[0]
     npairs = ngf // 2
-    tn = 512 if n % 512 == 0 else (256 if n % 256 == 0 else 128)
-    # tile K over group-pairs so the out block stays small (a full-K out
-    # block is 2*kw*tn int8 + 4*kw*tn word bytes — 22M scoped VMEM at
-    # K=14336, past the 16M limit)
-    pp = npairs
-    while pp > 1 and (2 * pp * g * tn + pp * g // 2 * tn * 4) > 4 << 20:
-        pp //= 2
-    while npairs % pp:
-        pp -= 1
+    pp, tn = _requant_tiles(npairs, g, n)
     grid = (npairs // pp, n // tn)
     return pl.pallas_call(
         functools.partial(_requant_kernel, group_size=group_size),

@@ -131,6 +131,28 @@ class TestInterpretKernels:
         diff = np.abs(np.asarray(got, np.int32) - np.asarray(ref, np.int32))
         assert diff.max() <= 1 and (diff > 0).mean() < 0.01
 
+    def test_requant_tile_selection(self):
+        """Interpret mode skips Mosaic's block-shape lowering checks, so pin
+        the tile picker directly: every block's sublane dim must be a
+        multiple of 8 or cover the full array (the K=14336 w2 weight picked
+        pp=14 → a (28, 512) scale-row block and failed TPU lowering), and
+        the word+out blocks must stay under the scoped-VMEM budget."""
+        from ao_tpu.ops.pallas.int4_matmul import _requant_tiles
+
+        for k, g, n in [(14336, 128, 4096), (4096, 128, 14336),
+                        (4096, 128, 4096), (4096, 64, 4096), (512, 64, 256),
+                        (14336, 64, 4096), (4096, 128, 11008),
+                        (256, 128, 128), (8192, 32, 1280)]:
+            npairs = k // (2 * g)
+            pp, tn = _requant_tiles(npairs, g, n)
+            assert npairs % pp == 0 and n % tn == 0, (k, g, n, pp, tn)
+            # scale-row block (2*pp, tn): sublane multiple of 8 or full
+            assert (2 * pp) % 8 == 0 or pp == npairs, (k, g, n, pp)
+            # word block (pp*g//4, tn) and out block (2*pp*g, tn)
+            assert (pp * g // 4) % 8 == 0 or pp == npairs, (k, g, n, pp)
+            assert 2 * pp * g * tn + pp * g // 2 * tn * 4 <= 4 << 20, (
+                k, g, n, pp, tn)
+
 
 class TestInterpretDecodeAttention:
     def _reference(self, q, k, v, lengths, sm_scale):
