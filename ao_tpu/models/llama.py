@@ -261,6 +261,8 @@ def attention(
                         q[:, 0], kd, vd, lengths, k_scale=ks_, v_scale=vs_,
                         sm_scale=(cfg.sm_scale if cfg.sm_scale is not None
                                   else hd ** -0.5),
+                        k_layout=(ck.layout if isinstance(ck, QuantKVCache)
+                                  else "tokens"),
                     )
                     out = out.astype(x.dtype).reshape(b, 1, h * hd)
                     return linear(out, layer["wo"]), (ck, cv)
@@ -401,7 +403,7 @@ def forward(
         else:
             # QuantKVCache: token capacity comes from the scale rows (int4
             # packs 8 tokens per qdata word row)
-            t = (c0.scale if hasattr(c0, "scale") else c0).shape[1]
+            t = c0.max_seq if hasattr(c0, "max_seq") else c0.shape[1]
             key_pos = jnp.arange(t, dtype=jnp.int32)[None, None, None, :]
             mask = key_pos <= positions[:, None, :, None]
         new_caches = []

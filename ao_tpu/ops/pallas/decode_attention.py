@@ -2,12 +2,34 @@
 
 (ref analog: the fp8-KV-cache attention the reference gets from FA3/vLLM
 (prototype/attention/, quantized_sdpa.cpp). TPU re-design: flash-decoding
-structure — grid (batch, kv_heads, kv_blocks); each step dequantizes one
-int8/fp8 KV block IN the kernel (per-vector scales ride along, so HBM reads
-stay 8-bit) and folds it into an online-softmax accumulator for the G = H/Hkv
-query heads of the group. The cache is indexed in its NATIVE (B, T, Hkv, D)
-layout — the head axis folds into lanes, so no O(cache) transpose happens on
-the hot path. Single-query (S=1) decode; prefill uses flash_attention.)
+over grid (batch, kv_blocks); every grid step DMAs ONE contiguous
+(block_t, Hkv*D) slab covering ALL kv heads — per-head D-slices of the
+native (B, T, Hkv, D) layout would stream 128-byte strided chunks, which
+measured ~3x off DMA roofline on v5e — and folds each head's slice into an
+online-softmax accumulator for its G = H/Hkv query heads.
+
+Layouts (chosen so every dot is MXU-native, i.e. contraction rides the
+lhs LANES x rhs SUBLANES and Mosaic never inserts an in-kernel transpose):
+
+* ``k_layout="kt"`` (int8/fp8 K caches, `serving/kvcache.py` default): K is
+  stored TRANSPOSED, (B, Hkv, D, T).  s = q·K then contracts q's lanes (D)
+  against K's sublanes (D) directly.  For int8 caches q is quantized to
+  int8 per (batch, kv-head group) on the way in, so scores are true
+  i8 x i8 -> i32 MXU dots and the kernel never converts K at all; the
+  q/K/V scales all commute out of the contractions and fold into score
+  rows / prob columns.  Measured 3.0x over the tokens-layout kernel at
+  T=4096 (457us -> 152us, 18.5% -> 55.6% of the KV-stream roofline; 62%
+  at T=2048 — `benchmarks/results/r4/attn_sol.json`).
+* ``k_layout="tokens"`` (bf16 caches, plain arrays): K/V stay (B,T,Hkv,D).
+  The p·V dot is native; the q·K^T dot Mosaic handles by a small internal
+  score transpose (measured cheaper than any explicit restructuring: the
+  s^T = K·q^T form with its (Tb, G) narrow output + sublane softmax
+  measured ~1.5x SLOWER end-to-end).
+* int4 K/V word-pack 8 tokens per int32 along T (see kvcache.py); plane
+  decode happens in-kernel via the magic i32->bf16 bitcast, scores come
+  out plane-major and the wrapper permutes the scale rows to match.
+
+Single-query (S=1) decode; prefill uses flash_attention.
 """
 
 from __future__ import annotations
@@ -23,10 +45,230 @@ from ao_tpu.ops.pallas import UnsupportedShape
 
 _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# VMEM budget for the double-buffered K+V block pair (bytes). ~16MB/core
+# total; leave room for q/scales/accumulators and the compiler.
+_VMEM_BUDGET = 10 * 1024 * 1024
 
-def _kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
-            m_ref, l_ref, acc_ref, *, block_t: int, n_tb: int,
-            sm_scale: float, mode: str, hkv: int):
+
+def _pick_block_t(t: int, row_bytes: int) -> int:
+    """Largest power-of-two block (<=4096) dividing t whose double-buffered
+    K+V blocks fit the VMEM budget."""
+    for bt in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if bt <= t and t % bt == 0 and 2 * bt * row_bytes <= _VMEM_BUDGET:
+            return bt
+    raise UnsupportedShape(f"no block_t fits T={t}, row_bytes={row_bytes}")
+
+
+def _normalize_scale(s, b, t, hkv):
+    """Accept (B, Hkv, T) head-major (the cache-native form) or legacy
+    (B, T, Hkv, 1)/(B, T, Hkv) token-major; return (B, Hkv, T) f32."""
+    if s.ndim == 3 and s.shape == (b, hkv, t):
+        return s.astype(jnp.float32)
+    return s.reshape(b, t, hkv).transpose(0, 2, 1).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# kt-layout kernel: K (B, Hkv, D, T) int8/fp8 — zero in-kernel transposes
+
+
+def _kt_kernel(len_ref, q_ref, qs_ref, kt_ref, ks_ref, v_ref, vs_ref, o_ref,
+               m_ref, l_ref, acc_ref, *, block_t: int, n_tb: int,
+               sm_scale: float, mode: str, hkv: int, gp: int, d: int):
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    vblk = v_ref[0].astype(jnp.bfloat16)  # (Tb, hkv*d)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (gp, block_t), 1) + ti * block_t
+    mask = pos < len_ref[bi, 0]
+
+    for hi in range(hkv):
+        q = q_ref[0, hi]    # (gp, d) int8 (i8 mode) / bf16 (cvt mode)
+        kt = kt_ref[0, hi]  # (d, Tb) int8/fp8
+        v = vblk[:, hi * d:(hi + 1) * d]
+        if mode == "i8":
+            s = jax.lax.dot_general(
+                q, kt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+            s = s * ks_ref[0, hi:hi + 1]
+            s = s * (qs_ref[bi, hi] * sm_scale)
+        else:  # "cvt": fp8 (no fp8 MXU on v5e) — convert K, bf16 dot
+            s = jax.lax.dot_general(
+                q, kt.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * ks_ref[0, hi:hi + 1] * sm_scale
+        s = jnp.where(mask, s, _NEG)
+
+        sl = slice(hi * gp, (hi + 1) * gp)
+        m_prev = m_ref[sl, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_ref[sl, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        pv = (p * vs_ref[0, hi:hi + 1]).astype(jnp.bfloat16)
+        acc_ref[sl] = acc_ref[sl] * alpha + jax.lax.dot_general(
+            pv, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[sl] = jnp.broadcast_to(m_new, (gp, 128))
+        l_ref[sl] = jnp.broadcast_to(l_new, (gp, 128))
+
+    @pl.when(ti == n_tb - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "mode", "block_t"))
+def _kt_impl(q, qs, kt, ks, vflat, vs, lengths, *, sm_scale, mode, block_t):
+    b, hkv, gp, d = q.shape
+    t = kt.shape[3]
+    n_tb = t // block_t
+    return pl.pallas_call(
+        functools.partial(_kt_kernel, block_t=block_t, n_tb=n_tb,
+                          sm_scale=sm_scale, mode=mode, hkv=hkv, gp=gp, d=d),
+        grid=(b, n_tb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lengths (B, 1)
+            pl.BlockSpec((1, hkv, gp, d), lambda bi, ti: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # qs (B, Hkv)
+            pl.BlockSpec((1, hkv, d, block_t), lambda bi, ti: (bi, 0, 0, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, block_t), lambda bi, ti: (bi, 0, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_t, hkv * d), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, block_t), lambda bi, ti: (bi, 0, ti),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hkv * gp, d), lambda bi, ti: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hkv * gp, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((hkv * gp, 128), jnp.float32),
+            pltpu.VMEM((hkv * gp, 128), jnp.float32),
+            pltpu.VMEM((hkv * gp, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hkv * gp * t * d,
+            bytes_accessed=2 * b * t * hkv * (d + 4),
+            transcendentals=b * hkv * gp * t),
+    )(lengths, q, qs, kt, ks, vflat, vs)
+
+
+# ---------------------------------------------------------------------------
+# tokens-layout kernel: K/V (B, T, Hkv, D) bf16 (or int8/fp8 legacy callers)
+
+
+def _tok_kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
+                m_ref, l_ref, acc_ref, *, block_t: int, n_tb: int,
+                sm_scale: float, mode: str, hkv: int, gp: int, d: int):
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    kblk = k_ref[0]  # (Tb, hkv*d)
+    vblk = v_ref[0]
+    if mode == "vec8":
+        kblk = kblk.astype(jnp.bfloat16)
+        vblk = vblk.astype(jnp.bfloat16)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (gp, block_t), 1) + ti * block_t
+    mask = pos < len_ref[bi, 0]
+
+    for hi in range(hkv):
+        q = q_ref[0, hi]  # (gp, d) bf16
+        k = kblk[:, hi * d:(hi + 1) * d]
+        v = vblk[:, hi * d:(hi + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        if mode == "vec8":
+            s = s * ks_ref[0, hi:hi + 1]
+        s = jnp.where(mask, s, _NEG)
+
+        sl = slice(hi * gp, (hi + 1) * gp)
+        m_prev = m_ref[sl, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_ref[sl, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        pv = (p * vs_ref[0, hi:hi + 1] if mode == "vec8" else p
+              ).astype(jnp.bfloat16)
+        acc_ref[sl] = acc_ref[sl] * alpha + jax.lax.dot_general(
+            pv, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[sl] = jnp.broadcast_to(m_new, (gp, 128))
+        l_ref[sl] = jnp.broadcast_to(l_new, (gp, 128))
+
+    @pl.when(ti == n_tb - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "mode", "block_t"))
+def _tok_impl(q, kflat, ks, vflat, vs, lengths, *, sm_scale, mode, block_t):
+    b, hkv, gp, d = q.shape
+    t = kflat.shape[1]
+    n_tb = t // block_t
+    return pl.pallas_call(
+        functools.partial(_tok_kernel, block_t=block_t, n_tb=n_tb,
+                          sm_scale=sm_scale, mode=mode, hkv=hkv, gp=gp, d=d),
+        grid=(b, n_tb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lengths (B, 1)
+            pl.BlockSpec((1, hkv, gp, d), lambda bi, ti: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_t, hkv * d), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, block_t), lambda bi, ti: (bi, 0, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_t, hkv * d), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, block_t), lambda bi, ti: (bi, 0, ti),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hkv * gp, d), lambda bi, ti: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hkv * gp, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((hkv * gp, 128), jnp.float32),
+            pltpu.VMEM((hkv * gp, 128), jnp.float32),
+            pltpu.VMEM((hkv * gp, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hkv * gp * t * d,
+            bytes_accessed=(
+                2 * b * t * hkv * (d * kflat.dtype.itemsize
+                                   + (0 if mode == "fp" else 4))
+                + b * hkv * gp * d * 8),
+            transcendentals=b * hkv * gp * t),
+    )(lengths, q, kflat, ks, vflat, vs)
+
+
+# ---------------------------------------------------------------------------
+# int4 word-packed kernel (tokens-on-words layout, plane-major scores)
+
+
+def _int4_kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
+                 m_ref, l_ref, acc_ref, *, block_t: int, n_tb: int,
+                 sm_scale: float, hkv: int):
     bi = pl.program_id(0)
     hi = pl.program_id(1)
     ti = pl.program_id(2)
@@ -39,40 +281,24 @@ def _kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
 
     q = q_ref[0, 0]  # (G, D) bf16
 
-    if mode == "int4":
-        # nibble-packed token axis: k_ref is (Tb/8, D) int32 words; plane j
-        # of the magic bitcast yields tokens ≡ j (mod 4) as bf16 (u-8)
-        # values (3 int ops per TWO tokens, no int→float converts). The
-        # planes stack along SUBLANES into a (Tb, D) K block whose token
-        # order is PLANE-MAJOR: row i' = j*(Tb/4)+m holds token 4m+j — one
-        # full-lane dot, no narrow slices anywhere. The wrapper permutes
-        # the scale rows to match; the length mask recovers logical
-        # positions from i' arithmetically.
-        from ao_tpu.ops.pallas import int4_words_to_bf16
+    # nibble-packed token axis: k_ref is (Tb/8, D) int32 words; plane j
+    # of the magic bitcast yields tokens ≡ j (mod 4) as bf16 (u-8)
+    # values (3 int ops per TWO tokens, no int→float converts). The
+    # planes stack along SUBLANES into a (Tb, D) K block whose token
+    # order is PLANE-MAJOR: row i' = j*(Tb/4)+m holds token 4m+j — one
+    # full-lane dot, no narrow slices anywhere. The wrapper permutes
+    # the scale rows to match; the length mask recovers logical
+    # positions from i' arithmetically.
+    from ao_tpu.ops.pallas import int4_words_to_bf16
 
-        qcap = block_t // 4
-        k = int4_words_to_bf16(k_ref[0])  # (Tb, D)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale
-        s = s * ks_ref[0]  # permuted per-vector k scales
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        pos = 4 * (col % qcap) + col // qcap + ti * block_t
-    else:
-        k = k_ref[0]  # (Tb, D) — head slice via index_map
-        if mode == "vec8":
-            # int8 → bf16 for the dot; the per-VECTOR scales commute out of
-            # the d-contraction, so they land on the score columns (k) and
-            # fold into p (v) — no O(Tb·D) dequant multiplies at all
-            k = k.astype(jnp.bfloat16)  # mosaic lowers i8→bf16 directly
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale  # (G, Tb)
-        if mode == "vec8":
-            s = s * ks_ref[0]  # (1, Tb) per-vector k scales
-        pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ti * block_t
-
+    qcap = block_t // 4
+    k = int4_words_to_bf16(k_ref[0])  # (Tb, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    s = s * ks_ref[0]  # permuted per-vector k scales
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    pos = 4 * (col % qcap) + col // qcap + ti * block_t
     s = jnp.where(pos < len_ref[bi, 0], s, _NEG)
 
     m_prev = m_ref[:, :1]
@@ -82,17 +308,10 @@ def _kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
     p = jnp.exp(s - m_new)
 
     l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-    pv = (p * vs_ref[0] if mode != "fp" else p).astype(jnp.bfloat16)
-    if mode == "int4":
-        # same plane-major sublane stack as K: pv's columns already follow
-        # that token order, so one full (G,Tb)x(Tb,D) dot finishes the block
-        from ao_tpu.ops.pallas import int4_words_to_bf16
-
-        v = int4_words_to_bf16(v_ref[0])  # (Tb, D)
-    else:
-        v = v_ref[0]
-        if mode == "vec8":
-            v = v.astype(jnp.bfloat16)
+    pv = (p * vs_ref[0]).astype(jnp.bfloat16)
+    # same plane-major sublane stack as K: pv's columns already follow
+    # that token order, so one full (G,Tb)x(Tb,D) dot finishes the block
+    v = int4_words_to_bf16(v_ref[0])  # (Tb, D)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -106,28 +325,26 @@ def _kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "mode", "block_t"))
-def _impl(q, kflat, ks, vflat, vs, lengths, *, sm_scale, mode, block_t):
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_t"))
+def _int4_impl(q, kflat, ks, vflat, vs, lengths, *, sm_scale, block_t):
     b, hkv, g, d = q.shape
-    rows_per_blk = block_t // 8 if mode == "int4" else block_t
-    t = kflat.shape[1] * (8 if mode == "int4" else 1)
+    rows_per_blk = block_t // 8
+    t = kflat.shape[1] * 8
     n_tb = t // block_t
 
     grid = (b, hkv, n_tb)
     out = pl.pallas_call(
         functools.partial(
-            _kernel, block_t=block_t, n_tb=n_tb, sm_scale=sm_scale,
-            mode=mode, hkv=hkv,
+            _int4_kernel, block_t=block_t, n_tb=n_tb, sm_scale=sm_scale,
+            hkv=hkv,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lengths (B, 1)
             pl.BlockSpec((1, 1, g, d), lambda bi, hi, ti: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            # cache in native layout: (B, T, Hkv*D); the head axis folds
-            # into lanes and index_map picks the head's D-slice — no
-            # transpose of the cache ever materializes (int4: T/8 int32
-            # word rows per block)
+            # cache in native layout: (B, T/8, Hkv*D) int32 words; the head
+            # axis folds into lanes and index_map picks the head's D-slice
             pl.BlockSpec((1, rows_per_blk, d), lambda bi, hi, ti: (bi, ti, hi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_t),
@@ -152,9 +369,8 @@ def _impl(q, kflat, ks, vflat, vs, lengths, *, sm_scale, mode, block_t):
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hkv * g * t * d,
-            bytes_accessed=(
-                2 * b * t * hkv * ((d // 2 if mode == "int4" else d) + 4)
-                + b * hkv * g * d * 8),
+            bytes_accessed=2 * b * t * hkv * (d // 2 + 4)
+            + b * hkv * g * d * 8,
             transcendentals=b * hkv * g * t,
         ),
     )(lengths, q, kflat, ks, vflat, vs)
@@ -162,66 +378,115 @@ def _impl(q, kflat, ks, vflat, vs, lengths, *, sm_scale, mode, block_t):
 
 
 def decode_attention(q, k_cache, v_cache, lengths, *, k_scale=None,
-                     v_scale=None, sm_scale=None, block_t: int = 512):
+                     v_scale=None, sm_scale=None, block_t: int = 0,
+                     k_layout: str = "tokens"):
     """Single-step decode attention over a cache.
 
-    q (B, H, D); k_cache/v_cache (B, T, Hkv, D) bf16 OR int8/fp8, OR the
-    int4 word-packed form (B, T/8, Hkv, D) int32 (QuantKVCache "int4") —
-    quantized caches come with k_scale/v_scale (B, T, Hkv, 1); lengths (B,)
-    int32 valid positions. Returns (B, H, D) f32.
+    q (B, H, D). Cache forms:
+
+    * ``k_layout="kt"``: k_cache (B, Hkv, D, T) int8/fp8 with k_scale
+      (B, Hkv, T); v_cache (B, T, Hkv, D) + v_scale (B, Hkv, T) or legacy
+      (B, T, Hkv, 1).
+    * ``k_layout="tokens"``: k_cache/v_cache (B, T, Hkv, D) bf16 OR
+      int8/fp8, OR the int4 word-packed form (B, T/8, Hkv, D) int32
+      (QuantKVCache "int4") — quantized caches come with scales.
+
+    lengths (B,) int32 valid positions. Returns (B, H, D) f32.
     """
     b, h, d = q.shape
     int4 = k_cache.dtype == jnp.int32
-    t, hkv = k_cache.shape[1] * (8 if int4 else 1), k_cache.shape[2]
+    if k_layout == "kt" and not int4:
+        hkv, t = k_cache.shape[1], k_cache.shape[3]
+    else:
+        t, hkv = k_cache.shape[1] * (8 if int4 else 1), k_cache.shape[2]
     g = h // hkv
+    if g * hkv != h or g < 1:
+        raise UnsupportedShape(f"H={h} not a multiple of Hkv={hkv}")
+    if d % 128:
+        raise UnsupportedShape(f"D={d} misaligned")
+    sm_scale = float(sm_scale if sm_scale is not None else d ** -0.5)
+    lengths = lengths.reshape(b, 1).astype(jnp.int32)
+
     if int4:
-        mode = "int4"
         if k_scale is None:
             raise UnsupportedShape("int4 cache needs scales")
         # words-per-block must satisfy the %8 sublane rule → block_t % 64
+        block_t = block_t or 512
         block_t = min(block_t - block_t % 64 or 64, t)
         if t % block_t or block_t % 64:
             raise UnsupportedShape(f"int4 cache T={t} vs block_t={block_t}")
-    else:
-        mode = "vec8" if k_scale is not None else "fp"
-        block_t = min(block_t, t)
-    if d % 128 or t % block_t:
-        raise UnsupportedShape(f"D={d} or T={t} misaligned")
-    if g * hkv != h or g < 1:
-        raise UnsupportedShape(f"H={h} not a multiple of Hkv={hkv}")
-    sm_scale = sm_scale if sm_scale is not None else d ** -0.5
+        gp = max(8, g)
+        qg = q.astype(jnp.bfloat16).reshape(b, hkv, g, d)
+        if gp != g:
+            qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
+        kflat = k_cache.reshape(b, k_cache.shape[1], hkv * d)
+        vflat = v_cache.reshape(b, v_cache.shape[1], hkv * d)
+        # (B, Hkv, T) → (B·Hkv, 1, T) score-scale rows, permuted to the
+        # kernel's plane-major column order once per call
+        from ao_tpu.ops.pallas import plane_major_perm
 
-    gp = max(8, g)  # f32 sublane minimum
-    qg = q.astype(jnp.bfloat16).reshape(b, hkv, g, d)
+        ks = _normalize_scale(k_scale, b, t, hkv).reshape(b * hkv, 1, t)
+        vs = _normalize_scale(v_scale, b, t, hkv).reshape(b * hkv, 1, t)
+        perm = plane_major_perm(block_t)
+        ks = ks.reshape(b * hkv, 1, t // block_t, block_t)[
+            ..., perm].reshape(b * hkv, 1, t)
+        vs = vs.reshape(b * hkv, 1, t // block_t, block_t)[
+            ..., perm].reshape(b * hkv, 1, t)
+        out = _int4_impl(qg, kflat, ks, vflat, vs, lengths,
+                         sm_scale=sm_scale, block_t=block_t)
+        return out[:, :, :g].reshape(b, h, d)
+
+    gp = max(8, g)
+    qg = q.reshape(b, hkv, g, d)
     if gp != g:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
 
-    kflat = k_cache.reshape(b, k_cache.shape[1], hkv * d)  # native layout
-    vflat = v_cache.reshape(b, v_cache.shape[1], hkv * d)
-    if mode != "fp":
-        # (B, T, Hkv) → (B·Hkv, 1, T): tiny transpose, gives the kernel a
-        # directly-broadcastable (1, Tb) score-scale row per head
-        ks = k_scale.reshape(b, t, hkv).transpose(0, 2, 1).reshape(
-            b * hkv, 1, t).astype(jnp.float32)
-        vs = v_scale.reshape(b, t, hkv).transpose(0, 2, 1).reshape(
-            b * hkv, 1, t).astype(jnp.float32)
-        if int4:
-            # the kernel's plane extraction assembles each Tb block's score
-            # columns PLANE-MAJOR (column j*(Tb/4)+m ↦ token 4m+j); permute
-            # the scale rows once per call to match — O(B·Hkv·T) gather,
-            # negligible next to the cache read itself
-            from ao_tpu.ops.pallas import plane_major_perm
+    if k_layout == "kt":
+        if k_scale is None:
+            raise UnsupportedShape("kt layout implies a quantized K cache")
+        ks = _normalize_scale(k_scale, b, t, hkv)
+        vs = _normalize_scale(v_scale, b, t, hkv)
+        vflat = v_cache.reshape(b, t, hkv * d)
+        row_bytes = hkv * d * (1 + v_cache.dtype.itemsize)  # K int8/fp8 + V
+        if k_cache.dtype != jnp.int8:
+            # cvt mode materializes bf16 copies of the K and V blocks
+            # in-kernel (no fp8 MXU on v5e) — count them or Mosaic's
+            # scoped-vmem allocator overflows at large block_t
+            row_bytes += hkv * d * 4
+        bt = block_t or _pick_block_t(t, row_bytes)
+        if t % bt:
+            raise UnsupportedShape(f"T={t} vs block_t={bt}")
+        if k_cache.dtype == jnp.int8:
+            # quantize q per (batch, kv-head group); i8×i8→i32 MXU scores
+            qf = qg.astype(jnp.float32)
+            qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=(2, 3)), 1e-8) / 127.0
+            qi = jnp.clip(jnp.round(qf / qs[:, :, None, None]), -127, 127
+                          ).astype(jnp.int8)
+            out = _kt_impl(qi, qs.astype(jnp.float32), k_cache, ks, vflat,
+                           vs, lengths, sm_scale=sm_scale, mode="i8",
+                           block_t=bt)
+            return out.reshape(b, hkv, gp, d)[:, :, :g].reshape(b, h, d)
+        qb = qg.astype(jnp.bfloat16)
+        qs = jnp.ones((b, hkv), jnp.float32)
+        out = _kt_impl(qb, qs, k_cache, ks, vflat, vs, lengths,
+                       sm_scale=sm_scale, mode="cvt", block_t=bt)
+        return out.reshape(b, hkv, gp, d)[:, :, :g].reshape(b, h, d)
 
-            perm = plane_major_perm(block_t)
-            ks = ks.reshape(b * hkv, 1, t // block_t, block_t)[
-                ..., perm].reshape(b * hkv, 1, t)
-            vs = vs.reshape(b * hkv, 1, t // block_t, block_t)[
-                ..., perm].reshape(b * hkv, 1, t)
+    # tokens layout
+    mode = "vec8" if k_scale is not None else "fp"
+    kflat = k_cache.reshape(b, t, hkv * d)
+    vflat = v_cache.reshape(b, t, hkv * d)
+    if mode == "vec8":
+        ks = _normalize_scale(k_scale, b, t, hkv)
+        vs = _normalize_scale(v_scale, b, t, hkv)
     else:
-        ks = jnp.ones((b * hkv, 1, t), jnp.float32)
-        vs = jnp.ones((b * hkv, 1, t), jnp.float32)
-    lengths = lengths.reshape(b, 1).astype(jnp.int32)
-
-    out = _impl(qg, kflat, ks, vflat, vs, lengths, sm_scale=float(sm_scale),
-                mode=mode, block_t=block_t)
-    return out[:, :, :g].reshape(b, h, d)
+        ks = jnp.ones((b, hkv, t), jnp.float32)
+        vs = jnp.ones((b, hkv, t), jnp.float32)
+    row_bytes = 2 * hkv * d * k_cache.dtype.itemsize  # K + V same dtype
+    bt = block_t or _pick_block_t(t, row_bytes)
+    if t % bt:
+        raise UnsupportedShape(f"T={t} vs block_t={bt}")
+    qb = qg.astype(jnp.bfloat16)
+    out = _tok_impl(qb, kflat, ks, vflat, vs, lengths,
+                    sm_scale=sm_scale, mode=mode, block_t=bt)
+    return out.reshape(b, hkv, gp, d)[:, :, :g].reshape(b, h, d)

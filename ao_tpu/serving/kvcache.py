@@ -5,18 +5,32 @@ csrc/cpu/aten_kernels/quantized_sdpa.cpp int8/fp8 attention semantics and
 prototype/attention fp8 SDPA; SURVEY §5 "long context" notes. TPU
 re-design: the cache is a pytree of (qdata, scale) pairs, so sharding,
 donation, and collectives apply leaf-wise. Scales are per (batch, pos,
-kv_head) — one scalar per cached vector — which keeps dequantization a
-single fused multiply on load and halves (int8/fp8) or quarters (int4)
-the HBM bytes the decode attention reads.
+kv_head) — one scalar per cached vector, stored HEAD-MAJOR (B, Hkv, T) so
+the decode kernel's per-head score rows broadcast without any transposes —
+which keeps dequantization a single fused multiply on load and halves
+(int8/fp8) or quarters (int4) the HBM bytes the decode attention reads.
+
+Layouts (``layout`` meta field):
+
+* ``"tokens"``: qdata (B, T, Hkv, D) — the write-natural layout; V caches
+  use it (the decode kernel's p·V dot reads (Tb, Hkv*D) slabs
+  contiguously and contracts MXU-natively).
+* ``"kt"``: qdata (B, Hkv, D, T) — K stored TRANSPOSED.  The q·K score
+  contraction then rides q's lanes x K's sublanes directly, with no
+  in-kernel transpose and (for int8) no int→float converts at all: the
+  decode kernel quantizes q and issues i8×i8→i32 MXU dots
+  (`ops/pallas/decode_attention.py`).  Measured 3.0x over tokens-layout
+  int8 decode attention at T=4096 on v5e (457us -> 152us,
+  `benchmarks/results/r4/attn_sol.json`).  `init_quant_kv_caches` creates
+  K caches as "kt" for int8/fp8.
 
 int4 mode (beyond the reference, which has no 4-bit KV): nibbles pack the
 TOKEN axis into int32 words — word row r holds tokens 8r..8r+7, token
 8r+4h+j at bits [4j+16h : +4) — the same "magic" bit geometry as the int4
 weight kernels, so the decode kernel recovers (u-8) as bf16 with one
-shift/and/or + an i32→bf16 bitcast per plane and zero int→float converts
-(`ops/pallas/decode_attention.py`). qdata is (B, T/8, Hkv, D) int32; the
-scale array stays in logical token order, (B, T, Hkv, 1) f32.)
-"""
+shift/and/or + an i32→bf16 bitcast per plane and zero int→float converts.
+qdata is (B, T/8, Hkv, D) int32 (always tokens layout); the scale array is
+(B, Hkv, T) f32 like every other mode."""
 
 from __future__ import annotations
 
@@ -73,32 +87,48 @@ def _clamped_cols(starts: jax.Array, s_tok: int, t: int) -> jax.Array:
 
 @qarray_dataclass
 class QuantKVCache:
-    """One layer's K or V cache: (B, T, H, D) quantized + (B, T, H, 1) scales."""
+    """One layer's K or V cache: quantized qdata + (B, Hkv, T) scales."""
 
     qdata: jax.Array
     scale: jax.Array
     dtype_name: str = meta(default="int8")
+    layout: str = meta(default="tokens")
 
     @classmethod
     def create(cls, batch: int, max_seq: int, n_kv_heads: int, head_dim: int,
-               dtype_name: str = "int8") -> "QuantKVCache":
+               dtype_name: str = "int8", layout: str = "tokens",
+               ) -> "QuantKVCache":
         if dtype_name == "int4":
             if max_seq % 8:
                 raise ValueError(f"int4 KV cache needs max_seq % 8 == 0, "
                                  f"got {max_seq}")
+            if layout != "tokens":
+                raise ValueError("int4 KV caches are tokens-layout only")
             qdata = jnp.zeros(
                 (batch, max_seq // 8, n_kv_heads, head_dim), jnp.int32)
+        elif layout == "kt":
+            qdata = jnp.zeros(
+                (batch, n_kv_heads, head_dim, max_seq),
+                canon_dtype(dtype_name))
         else:
-            dt = canon_dtype(dtype_name)
-            qdata = jnp.zeros((batch, max_seq, n_kv_heads, head_dim), dt)
+            qdata = jnp.zeros((batch, max_seq, n_kv_heads, head_dim),
+                              canon_dtype(dtype_name))
         return cls(
             qdata=qdata,
-            scale=jnp.zeros((batch, max_seq, n_kv_heads, 1), jnp.float32),
+            scale=jnp.zeros((batch, n_kv_heads, max_seq), jnp.float32),
             dtype_name=dtype_name,
+            layout=layout,
         )
 
+    @property
+    def max_seq(self) -> int:
+        return self.scale.shape[2]
+
     def quantize_values(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        """x (B, S, H, D) hp → (q, scale) with per-vector scales."""
+        """x (B, S, H, D) hp → (q, scale) with per-vector scales.
+
+        q follows x's token-major layout regardless of the cache layout
+        (update() transposes on write); scale is (B, S, H, 1)."""
         qmax = _QMAX[self.dtype_name]
         xf = x.astype(jnp.float32)
         amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
@@ -119,32 +149,64 @@ class QuantKVCache:
         ``index`` may be a scalar (all rows at one offset) or a (B,) vector
         (continuous batching: per-slot positions)."""
         q, s = self.quantize_values(x)
+        b, s_tok, h = q.shape[0], q.shape[1], q.shape[2]
+        t = self.max_seq
+        sh = s[..., 0].transpose(0, 2, 1)  # (B, H, S) head-major
         per_slot = hasattr(index, "ndim") and getattr(index, "ndim", 0) == 1
+
         if self.dtype_name == "int4":
-            starts = index if per_slot else jnp.full(
-                (q.shape[0],), index, jnp.int32)
-            cols = _clamped_cols(starts, q.shape[1], self.scale.shape[1])
+            starts = index if per_slot else jnp.full((b,), index, jnp.int32)
+            cols = _clamped_cols(starts, s_tok, t)
             qdata = self._scatter_int4(q, starts, cols)
             # scales use the SAME duplicate-free clamped columns as the
             # words (a start-clamped dynamic_update_slice would SHIFT the
             # window instead for end-straddling writes, and duplicate
             # scatter indices would leave nibble/scale pairing to XLA's
             # unspecified duplicate ordering)
-            rows = jnp.arange(q.shape[0])[:, None]
-            scale = self.scale.at[rows, cols].set(s, mode="drop")
-        elif per_slot:
+            scale = self._scatter_scale(sh, cols)
+            return dataclasses.replace(self, qdata=qdata, scale=scale)
+
+        if self.layout == "kt":
+            qk = q.transpose(0, 2, 3, 1)  # (B, H, D, S)
+            if per_slot:
+                cols = _clamped_cols(index, s_tok, t)
+
+                def one(qd, qn, col):
+                    return qd.at[:, :, col].set(qn, mode="drop")
+
+                qdata = jax.vmap(one)(self.qdata, qk, cols)
+                scale = self._scatter_scale(sh, cols)
+            else:
+                qdata = jax.lax.dynamic_update_slice(
+                    self.qdata, qk, (0, 0, 0, index))
+                scale = jax.lax.dynamic_update_slice(
+                    self.scale, sh, (0, 0, index))
+            return dataclasses.replace(self, qdata=qdata, scale=scale)
+
+        if per_slot:
             # per-slot offsets; x may be an s-token window per slot
             # (speculative verify) — writes past the end clamp onto the
             # last row, later tokens win (duplicate-free scatter: earlier
             # clamped tokens are dropped, not racily overwritten)
-            rows = jnp.arange(q.shape[0])[:, None]
-            cols = _clamped_cols(index, q.shape[1], self.qdata.shape[1])
+            rows = jnp.arange(b)[:, None]
+            cols = _clamped_cols(index, s_tok, t)
             qdata = self.qdata.at[rows, cols].set(q, mode="drop")
-            scale = self.scale.at[rows, cols].set(s, mode="drop")
+            scale = self._scatter_scale(sh, cols)
         else:
-            qdata = jax.lax.dynamic_update_slice(self.qdata, q, (0, index, 0, 0))
-            scale = jax.lax.dynamic_update_slice(self.scale, s, (0, index, 0, 0))
+            qdata = jax.lax.dynamic_update_slice(
+                self.qdata, q, (0, index, 0, 0))
+            scale = jax.lax.dynamic_update_slice(
+                self.scale, sh, (0, 0, index))
         return dataclasses.replace(self, qdata=qdata, scale=scale)
+
+    def _scatter_scale(self, sh: jax.Array, cols: jax.Array) -> jax.Array:
+        """sh (B, H, S) new scales into (B, H, T) at per-slot ``cols``
+        (B, S); entries == T are dropped (duplicate-free clamp scheme)."""
+
+        def one(sc, sn, col):
+            return sc.at[:, col].set(sn, mode="drop")
+
+        return jax.vmap(one)(self.scale, sh, cols)
 
     def _scatter_int4(self, u: jax.Array, starts: jax.Array,
                       cols: jax.Array) -> jax.Array:
@@ -154,7 +216,7 @@ class QuantKVCache:
         columns (entries == t are dropped), so nibbles and scales always
         land as a pair."""
         s_tok = u.shape[1]
-        n_rows, t = self.qdata.shape[1], self.scale.shape[1]
+        n_rows, t = self.qdata.shape[1], self.max_seq
         region = min(s_tok // 8 + 2, n_rows)
 
         def one(words, ub, start, col):
@@ -172,19 +234,31 @@ class QuantKVCache:
         return jax.vmap(one)(self.qdata, u, starts, cols)
 
     def dequantize(self, out_dtype=jnp.bfloat16) -> jax.Array:
+        """→ (B, T, Hkv, D) high-precision values, any layout."""
+        sc = self.scale.transpose(0, 2, 1)[..., None]  # (B, T, H, 1)
         if self.dtype_name == "int4":
             u = jax.vmap(_unpack_tok_int4)(self.qdata)
-            return ((u - 8).astype(jnp.float32) * self.scale).astype(out_dtype)
-        return (self.qdata.astype(jnp.float32) * self.scale).astype(out_dtype)
+            return ((u - 8).astype(jnp.float32) * sc).astype(out_dtype)
+        if self.layout == "kt":
+            x = self.qdata.transpose(0, 3, 1, 2)  # (B, T, H, D)
+            return (x.astype(jnp.float32) * sc).astype(out_dtype)
+        return (self.qdata.astype(jnp.float32) * sc).astype(out_dtype)
 
 
 def init_quant_kv_caches(cfg, batch: int, max_seq: int,
                          dtype_name: str = "int8"):
-    """Per-layer [(K-cache, V-cache)] matching llama.forward's interface."""
+    """Per-layer [(K-cache, V-cache)] matching llama.forward's interface.
+
+    int8/fp8 K caches are created in the transposed "kt" layout so decode
+    attention runs transpose-free MXU dots (int4 word-packing already
+    streams contiguous i32 rows and keeps its own geometry)."""
+    k_layout = "tokens" if dtype_name == "int4" else "kt"
     return [
         (
-            QuantKVCache.create(batch, max_seq, cfg.n_kv_heads, cfg.head_dim, dtype_name),
-            QuantKVCache.create(batch, max_seq, cfg.n_kv_heads, cfg.head_dim, dtype_name),
+            QuantKVCache.create(batch, max_seq, cfg.n_kv_heads, cfg.head_dim,
+                                dtype_name, layout=k_layout),
+            QuantKVCache.create(batch, max_seq, cfg.n_kv_heads, cfg.head_dim,
+                                dtype_name),
         )
         for _ in range(cfg.n_layers)
     ]

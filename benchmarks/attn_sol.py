@@ -5,9 +5,13 @@ Run on a real TPU: ``python benchmarks/attn_sol.py``. One JSON line per
 the XLA dequant+sdpa reference time.
 
 Single-query decode attention is pure KV-streaming: the roofline is
-(K+V bytes + scales) / HBM bandwidth. int8/fp8 caches halve the stream,
-which is why `kv_quant` pays exactly when contexts get long
-(`benchmarks/decode_suite.py` long4k rows are the e2e view).
+(K+V bytes + scales) / HBM bandwidth. int8/fp8 caches halve the stream
+(int4 quarters it), which is why `kv_quant` pays exactly when contexts get
+long (`benchmarks/decode_suite.py` long4k rows are the e2e view). Caches
+are built exactly as `init_quant_kv_caches` builds them: K transposed
+("kt", int8/fp8) so the score dots run transpose-free on the MXU —
+int8 runs i8×i8→i32 dots against an in-kernel-quantized q and never
+converts the cache at all.
 """
 
 import json
@@ -31,21 +35,28 @@ N_CACHES = 4  # distinct caches per measurement (defeats memoization)
 B, H, HKV, D = 8, 32, 8, 128
 
 
-def _mk_cache(key, t, dtype_name):
-    k1, k2 = jax.random.split(key)
-    hp = jax.random.normal(k1, (B, t, HKV, D), jnp.float32)
+def _mk_cache(key, t, dtype_name, layout):
+    hp = jax.random.normal(key, (B, t, HKV, D), jnp.float32)
     if dtype_name == "bf16":
         return hp.astype(jnp.bfloat16), None
     from ao_tpu.serving.kvcache import QuantKVCache
 
-    c = QuantKVCache.create(B, t, HKV, D, dtype_name)
-    q, s = c.quantize_values(hp)
-    return q, s
+    c = QuantKVCache.create(B, t, HKV, D, dtype_name, layout=layout)
+    c = c.update(hp, 0)
+    return c.qdata, c.scale
 
 
-def _xla_ref(q, kd, ks, vd, vs, lengths):
-    k = kd.astype(jnp.float32) * (1.0 if ks is None else ks)
-    v = vd.astype(jnp.float32) * (1.0 if vs is None else vs)
+def _xla_ref(q, kd, ks, vd, vs, lengths, k_layout):
+    if ks is None:
+        k = kd.astype(jnp.float32)
+        v = vd.astype(jnp.float32)
+    else:
+        if k_layout == "kt":
+            k = kd.astype(jnp.float32).transpose(0, 3, 1, 2)
+        else:
+            k = kd.astype(jnp.float32)
+        k = k * ks.transpose(0, 2, 1)[..., None]
+        v = vd.astype(jnp.float32) * vs.transpose(0, 2, 1)[..., None]
     k = jnp.repeat(k, H // HKV, axis=2)
     v = jnp.repeat(v, H // HKV, axis=2)
     s = jnp.einsum("bhd,bthd->bht", q.astype(jnp.float32), k) * D ** -0.5
@@ -64,10 +75,11 @@ def main():
     for t in (512, 2048, 4096):
         lengths = jnp.full((B,), t, jnp.int32)
         for dt, bpe in (("bf16", 2.0), ("int8", 1.0),
-                        ("float8_e4m3fn", 1.0)):
+                        ("float8_e4m3fn", 1.0), ("int4", 0.5)):
+            k_layout = "kt" if dt in ("int8", "float8_e4m3fn") else "tokens"
             caches = [
-                (_mk_cache(jax.random.PRNGKey(100 + 2 * i), t, dt),
-                 _mk_cache(jax.random.PRNGKey(101 + 2 * i), t, dt))
+                (_mk_cache(jax.random.PRNGKey(100 + 2 * i), t, dt, k_layout),
+                 _mk_cache(jax.random.PRNGKey(101 + 2 * i), t, dt, "tokens"))
                 for i in range(N_CACHES)
             ]
 
@@ -76,7 +88,8 @@ def main():
                 for i in range(N_CACHES):
                     (kd, ks), (vd, vs) = flat[2 * i], flat[2 * i + 1]
                     out = out + decode_attention(
-                        q, kd, vd, lengths, k_scale=ks, v_scale=vs)
+                        q, kd, vd, lengths, k_scale=ks, v_scale=vs,
+                        k_layout=k_layout)
                 return out
 
             f = jax.jit(run)
@@ -88,15 +101,19 @@ def main():
             roof_us = kv_bytes / (spec.hbm_gbps * 1e9) * 1e6
 
             (kd, ks), (vd, vs) = caches[0]
-            fx = jax.jit(lambda q, kd, ks, vd, vs: _xla_ref(
-                q, kd, ks, vd, vs, lengths))
-            us_xla = device_time_us(fx, q, kd, ks, vd, vs, iters=10)
+            if dt == "int4":
+                us_xla = None  # word-unpack reference is not a fair XLA path
+            else:
+                fx = jax.jit(lambda q, kd, ks, vd, vs: _xla_ref(
+                    q, kd, ks, vd, vs, lengths, k_layout))
+                us_xla = round(device_time_us(fx, q, kd, ks, vd, vs,
+                                              iters=10), 2)
 
             print(json.dumps({
                 "kv": dt, "T": t, "us": round(us, 2),
                 "roofline_us": round(roof_us, 2),
                 "pct_sol": round(100 * roof_us / max(us, 1e-9), 1),
-                "xla_ref_us": round(us_xla, 2),
+                "xla_ref_us": us_xla,
             }), flush=True)
 
 

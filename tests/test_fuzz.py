@@ -146,7 +146,9 @@ def test_fuzz_int4_kv_scatter(seed):
 
     got_u = np.asarray(jax.vmap(_unpack_tok_int4)(cache.qdata))
     np.testing.assert_array_equal(got_u, shadow_u)
-    np.testing.assert_allclose(np.asarray(cache.scale), shadow_s, atol=0)
+    # cache scales are head-major (B, Hkv, T)
+    got_s = np.asarray(cache.scale).transpose(0, 2, 1)[..., None]
+    np.testing.assert_allclose(got_s, shadow_s, atol=0)
     # and dequantize agrees with the shadow reconstruction
     dq = np.asarray(cache.dequantize(jnp.float32))
     np.testing.assert_allclose(dq, (shadow_u - 8) * shadow_s, atol=1e-6)

@@ -279,6 +279,28 @@ def test_decode_attention_kernel_parity():
     r4 = ref(q, ck.dequantize(jnp.float32), cv.dequantize(jnp.float32))
     assert compute_error(r4, y4) > 40
 
+    # transposed-K ("kt") int8 cache — the serving default: i8×i8→i32 MXU
+    # score dots against in-kernel-quantized q. q-quantization adds ~0.7%
+    # relative error on top of the cache quantization, so gate at a
+    # slightly lower (still tight) SQNR than the exact-dequant paths.
+    ckt = QuantKVCache.create(b, t, hkv, d, "int8", layout="kt").update(k, 0)
+    cvt = QuantKVCache.create(b, t, hkv, d, "int8").update(v, 0)
+    ykt = decode_attention(q, ckt.qdata, cvt.qdata, lengths,
+                           k_scale=ckt.scale, v_scale=cvt.scale,
+                           k_layout="kt")
+    rkt = ref(q, ckt.dequantize(jnp.float32), cvt.dequantize(jnp.float32))
+    assert compute_error(rkt, ykt) > 30
+
+    # fp8 K in kt layout (cvt mode: in-kernel fp8→bf16 + bf16 dots)
+    ckf = QuantKVCache.create(b, t, hkv, d, "float8_e4m3fn",
+                              layout="kt").update(k, 0)
+    cvf = QuantKVCache.create(b, t, hkv, d, "float8_e4m3fn").update(v, 0)
+    ykf = decode_attention(q, ckf.qdata, cvf.qdata, lengths,
+                           k_scale=ckf.scale, v_scale=cvf.scale,
+                           k_layout="kt")
+    rkf = ref(q, ckf.dequantize(jnp.float32), cvf.dequantize(jnp.float32))
+    assert compute_error(rkf, ykf) > 40
+
 
 def test_paged_attention_kernel_parity():
     """DMA-gather paged attention vs the XLA reference, bf16 + int8 pools."""
