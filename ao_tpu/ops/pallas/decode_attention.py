@@ -28,6 +28,12 @@ lhs LANES x rhs SUBLANES and Mosaic never inserts an in-kernel transpose):
 * int4 K/V word-pack 8 tokens per int32 along T (see kvcache.py); plane
   decode happens in-kernel via the magic i32->bf16 bitcast, scores come
   out plane-major and the wrapper permutes the scale rows to match.
+  Whole-slab DMAs + the -136 bias folded into per-row dot corrections
+  measure 148.6us at T=4096 (29.3% SoL) — the fastest cache mode in
+  absolute us (int8 152.3, bf16 409.2) at a QUARTER of the bytes; the
+  remaining gap to roofline is the ~9 irreducible i32 lane-ops per
+  8-nibble word of VPU field extraction (ablation: per-head strided DMAs
+  313.7us -> whole-slab 175.6us -> bias-fold 148.6us).
 
 Single-query (S=1) decode; prefill uses flash_attention.
 """
@@ -266,12 +272,11 @@ def _tok_impl(q, kflat, ks, vflat, vs, lengths, *, sm_scale, mode, block_t):
 # int4 word-packed kernel (tokens-on-words layout, plane-major scores)
 
 
-def _int4_kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
+def _int4_kernel(len_ref, q_ref, ks_ref, vs_ref, k_ref, v_ref, o_ref,
                  m_ref, l_ref, acc_ref, *, block_t: int, n_tb: int,
-                 sm_scale: float, hkv: int):
+                 sm_scale: float, hkv: int, gp: int, d: int):
     bi = pl.program_id(0)
-    hi = pl.program_id(1)
-    ti = pl.program_id(2)
+    ti = pl.program_id(1)
 
     @pl.when(ti == 0)
     def _():
@@ -279,102 +284,107 @@ def _int4_kernel(len_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0]  # (G, D) bf16
-
-    # nibble-packed token axis: k_ref is (Tb/8, D) int32 words; plane j
-    # of the magic bitcast yields tokens ≡ j (mod 4) as bf16 (u-8)
-    # values (3 int ops per TWO tokens, no int→float converts). The
-    # planes stack along SUBLANES into a (Tb, D) K block whose token
-    # order is PLANE-MAJOR: row i' = j*(Tb/4)+m holds token 4m+j — one
-    # full-lane dot, no narrow slices anywhere. The wrapper permutes
-    # the scale rows to match; the length mask recovers logical
-    # positions from i' arithmetically.
-    from ao_tpu.ops.pallas import int4_words_to_bf16
+    # nibble-packed token axis: k_ref is ONE contiguous (Tb/8, Hkv*D)
+    # int32 word slab covering ALL kv heads (per-head D-slices of the
+    # word array would stream 128-lane strided chunks — measured ~3x off
+    # DMA roofline, 13.4% SoL with the old (b, hkv, tb) grid). Per head,
+    # plane j of the magic bitcast yields tokens ≡ j (mod 4) as bf16
+    # (u-8) values (3 int ops per TWO tokens, no int→float converts);
+    # the planes stack along SUBLANES into a (Tb, D) block whose token
+    # order is PLANE-MAJOR: row i' = j*(Tb/4)+m holds token 4m+j. The
+    # wrapper permutes the scale rows to match; the length mask recovers
+    # logical positions from i' arithmetically. Decoded blocks carry the
+    # BIASED value 128+u (pure i32 lane ops + free bitcast); the -136
+    # recenter folds into each contraction as a per-row correction
+    # (dot(x, u-8) = dot(x, 128+u) - 136*rowsum(x)) because a bf16
+    # elementwise subtract on the (Tb, d) blocks costs more than the
+    # field extraction itself (Mosaic unpacks bf16 arithmetic on v5e).
+    from ao_tpu.ops.pallas import int4_words_to_bf16_biased
 
     qcap = block_t // 4
-    k = int4_words_to_bf16(k_ref[0])  # (Tb, D)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale
-    s = s * ks_ref[0]  # permuted per-vector k scales
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    kwords = k_ref[0]  # (Tb/8, Hkv*D) i32
+    vwords = v_ref[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (gp, block_t), 1)
     pos = 4 * (col % qcap) + col // qcap + ti * block_t
-    s = jnp.where(pos < len_ref[bi, 0], s, _NEG)
+    mask = pos < len_ref[bi, 0]
 
-    m_prev = m_ref[:, :1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+    for hi in range(hkv):
+        q = q_ref[0, hi]  # (gp, d) bf16
+        qsum = 136.0 * jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
+        k = int4_words_to_bf16_biased(kwords[:, hi * d:(hi + 1) * d])
+        s = (jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) - qsum) * sm_scale
+        s = s * ks_ref[0, hi:hi + 1]  # permuted per-vector k scales
+        s = jnp.where(mask, s, _NEG)
 
-    l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-    pv = (p * vs_ref[0]).astype(jnp.bfloat16)
-    # same plane-major sublane stack as K: pv's columns already follow
-    # that token order, so one full (G,Tb)x(Tb,D) dot finishes the block
-    v = int4_words_to_bf16(v_ref[0])  # (Tb, D)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        sl = slice(hi * gp, (hi + 1) * gp)
+        m_prev = m_ref[sl, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_ref[sl, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        pv = (p * vs_ref[0, hi:hi + 1]).astype(jnp.bfloat16)
+        pvsum = 136.0 * jnp.sum(pv.astype(jnp.float32), axis=1, keepdims=True)
+        # same plane-major sublane stack as K: pv's columns already follow
+        # that token order, so one (gp,Tb)x(Tb,d) dot finishes the head
+        v = int4_words_to_bf16_biased(vwords[:, hi * d:(hi + 1) * d])
+        acc_ref[sl] = acc_ref[sl] * alpha + (jax.lax.dot_general(
+            pv, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) - pvsum)
+        m_ref[sl] = jnp.broadcast_to(m_new, (gp, 128))
+        l_ref[sl] = jnp.broadcast_to(l_new, (gp, 128))
 
     @pl.when(ti == n_tb - 1)
     def _():
-        o_ref[0, 0] = (
-            acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
-        ).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+                    ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_t"))
 def _int4_impl(q, kflat, ks, vflat, vs, lengths, *, sm_scale, block_t):
-    b, hkv, g, d = q.shape
+    b, hkv, gp, d = q.shape
     rows_per_blk = block_t // 8
     t = kflat.shape[1] * 8
     n_tb = t // block_t
 
-    grid = (b, hkv, n_tb)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(
             _int4_kernel, block_t=block_t, n_tb=n_tb, sm_scale=sm_scale,
-            hkv=hkv,
+            hkv=hkv, gp=gp, d=d,
         ),
-        grid=grid,
+        grid=(b, n_tb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lengths (B, 1)
-            pl.BlockSpec((1, 1, g, d), lambda bi, hi, ti: (bi, hi, 0, 0),
+            pl.BlockSpec((1, hkv, gp, d), lambda bi, ti: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            # cache in native layout: (B, T/8, Hkv*D) int32 words; the head
-            # axis folds into lanes and index_map picks the head's D-slice
-            pl.BlockSpec((1, rows_per_blk, d), lambda bi, hi, ti: (bi, ti, hi),
+            pl.BlockSpec((1, hkv, block_t), lambda bi, ti: (bi, 0, ti),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_t),
-                         lambda bi, hi, ti, hkv=hkv: (bi * hkv + hi, 0, ti),
+            pl.BlockSpec((1, hkv, block_t), lambda bi, ti: (bi, 0, ti),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows_per_blk, d), lambda bi, hi, ti: (bi, ti, hi),
+            # caches in native layout: (B, T/8, Hkv*D) int32 word slabs
+            pl.BlockSpec((1, rows_per_blk, hkv * d), lambda bi, ti: (bi, ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_t),
-                         lambda bi, hi, ti, hkv=hkv: (bi * hkv + hi, 0, ti),
+            pl.BlockSpec((1, rows_per_blk, hkv * d), lambda bi, ti: (bi, ti, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, g, d), lambda bi, hi, ti: (bi, hi, 0, 0),
+        out_specs=pl.BlockSpec((1, hkv * gp, d), lambda bi, ti: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hkv * gp, d), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((g, 128), jnp.float32),
-            pltpu.VMEM((g, 128), jnp.float32),
-            pltpu.VMEM((g, d), jnp.float32),
+            pltpu.VMEM((hkv * gp, 128), jnp.float32),
+            pltpu.VMEM((hkv * gp, 128), jnp.float32),
+            pltpu.VMEM((hkv * gp, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
+            dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * hkv * g * t * d,
+            flops=4 * b * hkv * gp * t * d,
             bytes_accessed=2 * b * t * hkv * (d // 2 + 4)
-            + b * hkv * g * d * 8,
-            transcendentals=b * hkv * g * t,
+            + b * hkv * gp * d * 8,
+            transcendentals=b * hkv * gp * t,
         ),
-    )(lengths, q, kflat, ks, vflat, vs)
-    return out
+    )(lengths, q, ks, vs, kflat, vflat)
 
 
 def decode_attention(q, k_cache, v_cache, lengths, *, k_scale=None,
@@ -410,8 +420,12 @@ def decode_attention(q, k_cache, v_cache, lengths, *, k_scale=None,
     if int4:
         if k_scale is None:
             raise UnsupportedShape("int4 cache needs scales")
+        if not block_t:
+            # K+V word slabs stream hkv*d bytes per token (half a byte per
+            # int4 element, both caches); count the decoded bf16 head
+            # blocks again so the scoped-vmem allocator has headroom
+            block_t = _pick_block_t(t, 2 * hkv * d)
         # words-per-block must satisfy the %8 sublane rule → block_t % 64
-        block_t = block_t or 512
         block_t = min(block_t - block_t % 64 or 64, t)
         if t % block_t or block_t % 64:
             raise UnsupportedShape(f"int4 cache T={t} vs block_t={block_t}")
@@ -421,20 +435,20 @@ def decode_attention(q, k_cache, v_cache, lengths, *, k_scale=None,
             qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
         kflat = k_cache.reshape(b, k_cache.shape[1], hkv * d)
         vflat = v_cache.reshape(b, v_cache.shape[1], hkv * d)
-        # (B, Hkv, T) → (B·Hkv, 1, T) score-scale rows, permuted to the
-        # kernel's plane-major column order once per call
+        # (B, Hkv, T) score-scale rows, permuted per block to the kernel's
+        # plane-major column order once per call
         from ao_tpu.ops.pallas import plane_major_perm
 
-        ks = _normalize_scale(k_scale, b, t, hkv).reshape(b * hkv, 1, t)
-        vs = _normalize_scale(v_scale, b, t, hkv).reshape(b * hkv, 1, t)
+        ks = _normalize_scale(k_scale, b, t, hkv)
+        vs = _normalize_scale(v_scale, b, t, hkv)
         perm = plane_major_perm(block_t)
-        ks = ks.reshape(b * hkv, 1, t // block_t, block_t)[
-            ..., perm].reshape(b * hkv, 1, t)
-        vs = vs.reshape(b * hkv, 1, t // block_t, block_t)[
-            ..., perm].reshape(b * hkv, 1, t)
+        ks = ks.reshape(b, hkv, t // block_t, block_t)[
+            ..., perm].reshape(b, hkv, t)
+        vs = vs.reshape(b, hkv, t // block_t, block_t)[
+            ..., perm].reshape(b, hkv, t)
         out = _int4_impl(qg, kflat, ks, vflat, vs, lengths,
                          sm_scale=sm_scale, block_t=block_t)
-        return out[:, :, :g].reshape(b, h, d)
+        return out.reshape(b, hkv, gp, d)[:, :, :g].reshape(b, h, d)
 
     gp = max(8, g)
     qg = q.reshape(b, hkv, g, d)
