@@ -204,6 +204,9 @@ def _int4_wo_matmul_xla(x, packed, scale, zp, group_size, zp_domain,
     if layout is None:
         layout = "magic" if packed.dtype == jnp.int32 else "halves"
     bs = (group_size, 1)
+    if layout == "magic" and packed.ndim == 2 and x.ndim == 2:
+        return _int4_wo_magic_xla_permuted(
+            x, packed, scale, zp, group_size, zp_domain)
     if layout == "magic":
         u = unpack_int4_magic(packed, group_size).astype(jnp.int32) - 8
     elif layout == "magic8":
@@ -217,6 +220,50 @@ def _int4_wo_matmul_xla(x, packed, scale, zp, group_size, zp_domain,
     else:
         w_dq = P.dequantize_affine(u, bs, scale, zp, output_dtype=x.dtype)
     return jnp.matmul(x, w_dq)
+
+
+def _int4_wo_magic_xla_permuted(x, packed, scale, zp, group_size, zp_domain):
+    """Large-M XLA path for the magic layout WITHOUT the interleaving
+    unpack. ``unpack_int4_magic``'s natural-order reconstruction makes XLA
+    materialize two nested interleaves (plane stride-4 groups x in-group
+    stride-2 row pairs) — measured 885us vs bf16's 358us at M=2048 4096²
+    (the split-half layout's concat-only unpack costs only +34us). A
+    groupwise dot is order-free inside each group and group blocks can
+    come out in ANY order as long as x's K columns and the scale rows
+    match, so: emit the nibbles in their STORAGE order — (t, j, h, r')
+    flattens to concat-only stacks, group index 4t+j comes out natural —
+    and permute x's in-group columns (2r'+h -> (h, r')), one cheap (M, K)
+    lane shuffle that XLA fuses. Measured at M=2048: 437us N=4096 /
+    2056us N=14336 (was 885/3542; split-half sits at 392/1474 — the
+    residual is XLA materializing the u8 stack where unpack_int4's 3-D
+    concat fuses; benchmarks/results/r4/gemm_sol_m2048.json)."""
+    m, k = x.shape
+    kw, n = packed.shape
+    g = group_size
+    ng = k // g
+    nt = ng // 4
+    pb = packed.reshape(nt, g // 2, n)
+    # cast each plane to uint8 BEFORE stacking: the stack is a fusion
+    # barrier XLA materializes, and 8 int32 shifted copies would cost 4x
+    # the bytes of the u8 nibble planes (i32 stacks measured 2902us, u8
+    # stacks 2056us, u8 3-D concats 2473us at M=2048 K=4096 N=14336)
+    planes = []
+    for j in range(4):
+        planes.append(jnp.stack(
+            [((pb >> (4 * j)) & 0xF).astype(jnp.uint8),
+             ((pb >> (4 * j + 16)) & 0xF).astype(jnp.uint8)], axis=1))
+    # (nt, 4, 2, g/2, n) -> (K, n): row (t, j, h, r') = logical row
+    # (4t+j)*g + 2r' + h; flatten order (t, j) = natural group order
+    u = jnp.stack(planes, axis=1).reshape(k, n).astype(jnp.int32) - 8
+    if zp_domain is P.ZeroPointDomain.FLOAT:
+        w_dq = P.dequantize_affine_tinygemm(
+            u, (g, 1), scale, zp, -8, 7, output_dtype=x.dtype)
+    else:
+        w_dq = P.dequantize_affine(u, (g, 1), scale, zp, output_dtype=x.dtype)
+    # in-group index 2r'+h decomposes row-major as (r', h); kernel order
+    # is (h, r')
+    xp = x.reshape(m, ng, g // 2, 2).swapaxes(2, 3).reshape(m, k)
+    return jnp.matmul(xp, w_dq)
 
 
 # ---------------------------------------------------------------------------

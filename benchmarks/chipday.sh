@@ -4,13 +4,18 @@
 # benchmarks/results/chipday_<ts>/.
 set -u
 cd "$(dirname "$0")/.."
+# persistent compile cache: repeated battery runs (and reruns after a
+# timeout) skip recompilation entirely — measured 0.88s -> 0.02s per
+# program over the tunneled AOT compiler
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}
 ts=$(date +%Y%m%d_%H%M%S)
 out="benchmarks/results/chipday_${ts}"
 mkdir -p "$out"
 run() {
   name=$1; shift
   echo "=== $name: $*" | tee -a "$out/log.txt"
-  timeout 1800 "$@" > "$out/${name}.json" 2> >(tail -40 >> "$out/log.txt")
+  timeout "${RUN_TIMEOUT:-1800}" "$@" > "$out/${name}.json" \
+    2> >(tail -40 >> "$out/log.txt")
   echo "--- exit $? ---" >> "$out/log.txt"
 }
 
@@ -21,7 +26,8 @@ AO_TPU_TESTS=1 timeout 2400 python -m pytest tests/test_pallas_tpu.py -m tpu -q 
 run gemm_sol      python benchmarks/gemm_sol.py 8        # %SoL incl nf4 row
 run gemm_sol_m1   python benchmarks/gemm_sol.py 1
 run bench         python bench.py                        # THE headline
-run decode_suite  python benchmarks/decode_suite.py      # incl nf4 row
+# 10 full-model compiles: needs the long timeout on a cold compile cache
+RUN_TIMEOUT=3600 run decode_suite  python benchmarks/decode_suite.py
 run train_bench   python benchmarks/train_bench.py 4 4096
 run sam_bench     python benchmarks/sam_bench.py 4
 run diffusion     python benchmarks/diffusion_bench.py
