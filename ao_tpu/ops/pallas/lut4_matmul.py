@@ -125,14 +125,20 @@ def _lut4_kernel(x0, x1, x2, x3, w_ref, s_ref, lut_ref, out_ref, acc_ref, *,
 
 def _tile_m(m):
     """Pad tiny M up to a full 8-sublane tile (same v5e Mosaic behavior as
-    fp4_matmul._tile_m: M=1 measured 89.5us vs 80.4us at M=8)."""
+    fp4_matmul._tile_m: M=1 measured 89.5us vs 80.4us at M=8). Large
+    (prefill) M uses 128-row tiles: the 4 full-K x blocks are the dominant
+    VMEM term and halving them keeps the kernel inside the scoped budget
+    alongside an XLA-pinned output (see _pick_tn)."""
     if m < 8:
         return 8
-    return m if m <= 256 else 256
+    if m <= 512:
+        return m if m <= 256 else 256
+    return 128
 
 
 def _pick_tn(m, k, n, group_size):
     tm = _tile_m(m)
+    mp = m + (-m) % tm
     ngf = k // group_size
 
     def vmem_bytes(tn):
@@ -143,7 +149,10 @@ def _pick_tn(m, k, n, group_size):
             + tm * tn * 6
         )
 
-    budget = int(15.5 * 1024 * 1024)
+    # XLA may place the whole (mp, n) kernel OUTPUT in scoped vmem when it
+    # fits (observed at M=1024 N=4096: "scoped allocation 17.04M > 16M"
+    # killed the nf4 prefill compile) — reserve for it
+    budget = int(15.5 * 1024 * 1024) - min(mp * n * 2, 8 * 1024 * 1024)
     for tn in (1024, 512, 256, 128):
         if n % tn == 0 and vmem_bytes(tn) <= budget:
             return tn

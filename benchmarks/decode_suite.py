@@ -82,14 +82,32 @@ def main():
     prompt = jax.random.randint(key, (batch, prompt_len), 0, cfg.vocab_size)
     qp = ao_tpu.quantize_(params, ao_tpu.Int4WeightOnlyConfig(group_size=128))
     del params
-    lbase = bench(qp, kv_quant=None)
+
+    def bench_decode(kv_quant):
+        """DECODE-ONLY tok/s at a full cache: generate() jits prefill +
+        scan(decode) as one program, and the 3968-token prefill dominates
+        a 16-step run (measured: it hid a 2.7x attention-kernel win as
+        +1.9% e2e) — difference two step counts to isolate the decode."""
+        def mutate(args, i):
+            return (args[0], (args[1] + i + 1) % cfg.vocab_size) + args[2:]
+
+        def run(n):
+            return device_time_us(
+                lambda p_, pr: generate(p_, pr, cfg, n, max_seq,
+                                        kv_quant=kv_quant),
+                qp, prompt, iters=3, mutate=mutate)
+
+        us1, us16 = run(1), run(steps)
+        return batch * (steps - 1) / ((us16 - us1) / 1e6)
+
+    lbase = bench_decode(None)
     print(json.dumps({"config": "long4k_int4_wo", "tok_s": round(lbase, 1),
-                      "speedup": 1.0}), flush=True)
-    lkv = bench(qp, kv_quant="int8")
+                      "speedup": 1.0, "note": "decode-only"}), flush=True)
+    lkv = bench_decode("int8")
     print(json.dumps({"config": "long4k_int4_wo+int8kv",
                       "tok_s": round(lkv, 1),
                       "speedup": round(lkv / lbase, 3)}), flush=True)
-    lkv4 = bench(qp, kv_quant="int4")
+    lkv4 = bench_decode("int4")
     print(json.dumps({"config": "long4k_int4_wo+int4kv",
                       "tok_s": round(lkv4, 1),
                       "speedup": round(lkv4 / lbase, 3)}), flush=True)

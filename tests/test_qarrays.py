@@ -225,3 +225,32 @@ class TestFloat8Array:
         y_ref = x.astype(jnp.float32) @ w
         y = linear(x, qw)
         assert P.compute_error(y_ref, y) > 20.0
+
+
+class TestMagicLargeMFallback:
+    """The M>1024 magic-layout XLA fallback permutes x's in-group columns
+    to plane-major storage order instead of reconstructing natural weight
+    order (kernels._int4_wo_magic_xla_permuted) — pin exact agreement with
+    the dequantize+matmul reference across zp domains and group sizes."""
+
+    @pytest.mark.parametrize("g,zp_domain", [
+        (64, P.ZeroPointDomain.FLOAT),
+        (64, P.ZeroPointDomain.INT),
+        (128, P.ZeroPointDomain.FLOAT),
+    ])
+    def test_matches_dequant_reference(self, g, zp_domain):
+        from ao_tpu.ops import kernels
+
+        k, n, m = 8 * g, 256, 48
+        w = jax.random.normal(jax.random.PRNGKey(0), (k, n), jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(1), (m, k), jnp.float32)
+        qw = Int4Array.from_hp(
+            w, g, zero_point_domain=zp_domain,
+            algorithm="minmax" if zp_domain is P.ZeroPointDomain.INT
+            else "tinygemm")
+        assert qw.layout == "magic"
+        ref = x @ qw.dequantize(jnp.float32)
+        got = kernels._int4_wo_magic_xla_permuted(
+            x, qw.qdata, qw.scale, qw.zero_point, g, qw.zero_point_domain)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-3)
