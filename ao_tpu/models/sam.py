@@ -270,6 +270,20 @@ def _rel_pos_bias(q, attn, p, side, n_heads):
     Eh[j, k] = [k//side == j], Ew[j, k] = [k%side == j] — everything
     stays 4-D and the bias add fuses into the softmax input."""
     b = q.shape[0]
+    rel_h, rel_w = _rel_pos_terms(q, p, side)  # (B, nh, T, side) each
+    t = side * side
+    cols = jnp.arange(t)
+    eh = (cols[None, :] // side == jnp.arange(side)[:, None]).astype(rel_h.dtype)
+    ew = (cols[None, :] % side == jnp.arange(side)[:, None]).astype(rel_w.dtype)
+    bias = rel_h @ eh + rel_w @ ew
+    return attn + bias
+
+
+def _rel_pos_terms(q, p, side):
+    """Decomposed rel-pos partial terms: q (B, S*S, nh, hd) →
+    rel_h/rel_w (B, nh, S*S, side) f32 (rel_h[..., t, ky] pairs q-row t
+    with key row ky; rel_w with key column kx)."""
+    b = q.shape[0]
     hd = q.shape[-1]
     # table row (side-1) + (qi - ki) — static gather: (side, side, hd)
     idx = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
@@ -278,13 +292,9 @@ def _rel_pos_bias(q, attn, p, side, n_heads):
     rq = q.astype(jnp.float32).reshape(b, side, side, -1, hd)
     rel_h = jnp.einsum("byxnc,ykc->bnyxk", rq, rh)  # (B, nh, y, x, ky)
     rel_w = jnp.einsum("byxnc,xkc->bnyxk", rq, rw)  # (B, nh, y, x, kx)
-    t = side * side
-    cols = jnp.arange(t)
-    eh = (cols[None, :] // side == jnp.arange(side)[:, None]).astype(rel_h.dtype)
-    ew = (cols[None, :] % side == jnp.arange(side)[:, None]).astype(rel_w.dtype)
-    bias = (rel_h.reshape(b, n_heads, t, side) @ eh
-            + rel_w.reshape(b, n_heads, t, side) @ ew)
-    return attn + bias
+    n_heads = rel_h.shape[1]
+    return (rel_h.reshape(b, n_heads, side * side, side),
+            rel_w.reshape(b, n_heads, side * side, side))
 
 
 def _mha(p, q_in, k_in, n_heads, v_in=None, rel_side: Optional[int] = None):
@@ -304,6 +314,26 @@ def _mha(p, q_in, k_in, n_heads, v_in=None, rel_side: Optional[int] = None):
     q = q.reshape(b, tq, n_heads, hd)
     k = k.reshape(b, tk, n_heads, hd)
     v = v.reshape(b, tk, n_heads, hd)
+    if rel_side is not None and "rel_pos_h" in p and tq == tk:
+        # fused Pallas path: the (B, nh, T, T) score + bias tensors never
+        # touch HBM (windowed layer 1088us -> kernel, see
+        # ops/pallas/window_attention.py); falls back to the XLA form off
+        # TPU or on unsupported shapes
+        from ao_tpu.ops import kernels as _kernels
+
+        if _kernels.on_tpu():
+            from ao_tpu.ops.pallas import UnsupportedShape
+            from ao_tpu.ops.pallas.window_attention import (
+                window_bias_attention,
+            )
+
+            try:
+                rel_h, rel_w = _rel_pos_terms(q, p, rel_side)
+                o = window_bias_attention(
+                    q, k, v, rel_h, rel_w, side=rel_side, scale=hd ** -0.5)
+                return _proj(o.astype(q_in.dtype), p, "wo", "bo")
+            except UnsupportedShape:
+                pass
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * (hd ** -0.5)
     if rel_side is not None and "rel_pos_h" in p:
         s = _rel_pos_bias(q, s, p, rel_side, n_heads)

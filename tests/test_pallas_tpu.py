@@ -398,3 +398,35 @@ def test_codebook_lut_kernel_matches_emulated(lut_block):
     with kernels.backend("pallas"):
         y = linear(x, qw)
     assert compute_error(y_ref, y) > 40.0
+
+
+def test_window_bias_attention_parity():
+    """Fused SAM/ViTDet windowed attention (rel-pos via expansion-matrix
+    dots, scores never in HBM) vs the XLA einsum+bias reference — both
+    the heads-resident (side 14) and per-head-grid (side 32) variants."""
+    from ao_tpu.ops.pallas.window_attention import window_bias_attention
+
+    for side, g, nh, hd in ((14, 6, 4, 64), (32, 2, 4, 64)):
+        t = side * side
+        kq, kk, kv, kh, kw = jax.random.split(jax.random.PRNGKey(side), 5)
+        q = jax.random.normal(kq, (g, t, nh, hd), jnp.bfloat16)
+        k = jax.random.normal(kk, (g, t, nh, hd), jnp.bfloat16)
+        v = jax.random.normal(kv, (g, t, nh, hd), jnp.bfloat16)
+        rh = jax.random.normal(kh, (g, nh, t, side), jnp.float32) * 0.3
+        rw = jax.random.normal(kw, (g, nh, t, side), jnp.float32) * 0.3
+
+        y = window_bias_attention(q, k, v, rh, rw, side=side,
+                                  scale=hd ** -0.5)
+
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        s = s * hd ** -0.5
+        cols = jnp.arange(t)
+        eh = (cols[None, :] // side == jnp.arange(side)[:, None]
+              ).astype(jnp.float32)
+        ew = (cols[None, :] % side == jnp.arange(side)[:, None]
+              ).astype(jnp.float32)
+        s = s + rh @ eh + rw @ ew
+        a = jax.nn.softmax(s, axis=-1)
+        ref = jnp.einsum("bhqk,bkhd->bqhd", a, v.astype(jnp.float32))
+        ref = ref.reshape(g, t, nh * hd)
+        assert compute_error(ref, y.astype(jnp.float32)) > 35, side
