@@ -282,16 +282,20 @@ def _rel_pos_bias(q, attn, p, side, n_heads):
 def _rel_pos_terms(q, p, side):
     """Decomposed rel-pos partial terms: q (B, S*S, nh, hd) →
     rel_h/rel_w (B, nh, S*S, side) f32 (rel_h[..., t, ky] pairs q-row t
-    with key row ky; rel_w with key column kx)."""
+    with key row ky; rel_w with key column kx). The einsums contract in
+    bf16 with f32 accumulation — q and the tables are bf16 already, so
+    upcasting the operands only doubled their traffic."""
     b = q.shape[0]
     hd = q.shape[-1]
     # table row (side-1) + (qi - ki) — static gather: (side, side, hd)
     idx = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
-    rh = jnp.take(p["rel_pos_h"].astype(jnp.float32), idx, axis=0)
-    rw = jnp.take(p["rel_pos_w"].astype(jnp.float32), idx, axis=0)
-    rq = q.astype(jnp.float32).reshape(b, side, side, -1, hd)
-    rel_h = jnp.einsum("byxnc,ykc->bnyxk", rq, rh)  # (B, nh, y, x, ky)
-    rel_w = jnp.einsum("byxnc,xkc->bnyxk", rq, rw)  # (B, nh, y, x, kx)
+    rh = jnp.take(p["rel_pos_h"], idx, axis=0)
+    rw = jnp.take(p["rel_pos_w"], idx, axis=0)
+    rq = q.reshape(b, side, side, -1, hd)
+    rel_h = jnp.einsum("byxnc,ykc->bnyxk", rq, rh,
+                       preferred_element_type=jnp.float32)
+    rel_w = jnp.einsum("byxnc,xkc->bnyxk", rq, rw,
+                       preferred_element_type=jnp.float32)
     n_heads = rel_h.shape[1]
     return (rel_h.reshape(b, n_heads, side * side, side),
             rel_w.reshape(b, n_heads, side * side, side))
