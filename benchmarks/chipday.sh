@@ -25,6 +25,7 @@ AO_TPU_TESTS=1 timeout 2400 python -m pytest tests/test_pallas_tpu.py -m tpu -q 
 
 run gemm_sol      python benchmarks/gemm_sol.py 8        # %SoL incl nf4 row
 run gemm_sol_m1   python benchmarks/gemm_sol.py 1
+run gemm_sol_m2048 python benchmarks/gemm_sol.py 2048    # prefill regime
 run bench         python bench.py                        # THE headline
 # 10 full-model compiles: needs the long timeout on a cold compile cache
 RUN_TIMEOUT=3600 run decode_suite  python benchmarks/decode_suite.py
