@@ -223,8 +223,12 @@ def _int4_wo_matmul_xla(x, packed, scale, zp, group_size, zp_domain,
 
 
 def _int4_wo_magic_xla_permuted(x, packed, scale, zp, group_size, zp_domain):
-    """Large-M XLA path for the magic layout WITHOUT the interleaving
-    unpack. ``unpack_int4_magic``'s natural-order reconstruction makes XLA
+    """Universal 2-D XLA path for the magic layout WITHOUT the interleaving
+    unpack (serves both the M>1024 prefill fallback and any small-M call
+    that reaches XLA, e.g. non-TPU backends or Pallas UnsupportedShape —
+    the avoided interleave materialization is a weight-side cost and thus
+    M-independent, while the x lane shuffle it adds is O(M*K) and fuses).
+    ``unpack_int4_magic``'s natural-order reconstruction makes XLA
     materialize two nested interleaves (plane stride-4 groups x in-group
     stride-2 row pairs) — measured 885us vs bf16's 358us at M=2048 4096²
     (the split-half layout's concat-only unpack costs only +34us). A

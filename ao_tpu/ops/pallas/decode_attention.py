@@ -462,11 +462,14 @@ def decode_attention(q, k_cache, v_cache, lengths, *, k_scale=None,
         vs = _normalize_scale(v_scale, b, t, hkv)
         vflat = v_cache.reshape(b, t, hkv * d)
         row_bytes = hkv * d * (1 + v_cache.dtype.itemsize)  # K int8/fp8 + V
+        # the in-kernel bf16 V copy exists in BOTH modes (i8 scores still
+        # convert V for the bf16 PV matmul) — count it or Mosaic's
+        # scoped-vmem allocator overflows at large block_t
+        row_bytes += 2 * hkv * d
         if k_cache.dtype != jnp.int8:
-            # cvt mode materializes bf16 copies of the K and V blocks
-            # in-kernel (no fp8 MXU on v5e) — count them or Mosaic's
-            # scoped-vmem allocator overflows at large block_t
-            row_bytes += hkv * d * 4
+            # cvt mode additionally materializes a bf16 copy of the K block
+            # in-kernel (no fp8 MXU on v5e)
+            row_bytes += 2 * hkv * d
         bt = block_t or _pick_block_t(t, row_bytes)
         if t % bt:
             raise UnsupportedShape(f"T={t} vs block_t={bt}")

@@ -196,6 +196,23 @@ def window_bias_attention(q, k, v, rel_h, rel_w, *, side: int,
                  + 2 * nh * tr * side * 2 + 2 * side * tc * 2)
     est = 2 * blocks_in + nh * tr * hd * 2 + 3 * tr * tc * 4
     per_head = est > 12 * 1024 * 1024
+    if per_head:
+        # The per-head fallback still holds the full (tr, tc) score tile
+        # per grid step; without this gate SAM-B/L at image 1024
+        # (side=64, T=4096) passes the side<=128 check and Mosaic dies
+        # with an uncatchable scoped-vmem compile error (~192MB tile).
+        blocks_1h = ((tr + 2 * tc) * hd * 2 + 2 * tr * side * 2
+                     + 2 * side * tc * 2)
+        est_1h = 2 * blocks_1h + tr * hd * 2 + 3 * tr * tc * 4
+        # 15MB, not the 12MB per_head-selection threshold: side=32
+        # estimates 14.0MB yet compiles and runs on v5e (the estimate
+        # over-counts vs Mosaic's allocator), while the next real SAM
+        # side (48, image 768) estimates 63MB+ — clearly over the 16MB
+        # hard limit either way.
+        if est_1h > 15 * 1024 * 1024:
+            raise UnsupportedShape(
+                f"single-head VMEM estimate {est_1h} exceeds budget "
+                f"(T={t}, side={side})")
 
     out = _impl(qp, kp, vp, rel_h.astype(jnp.bfloat16),
                 rel_w.astype(jnp.bfloat16), eh.astype(jnp.bfloat16),

@@ -430,3 +430,19 @@ def test_window_bias_attention_parity():
         ref = jnp.einsum("bhqk,bkhd->bqhd", a, v.astype(jnp.float32))
         ref = ref.reshape(g, t, nh * hd)
         assert compute_error(ref, y.astype(jnp.float32)) > 35, side
+
+
+def test_window_bias_attention_rejects_oversized_head():
+    """side=64 (SAM-B/L at image 1024: T=4096) must raise UnsupportedShape
+    from the feasibility gate — the per-head fallback would otherwise hold
+    a ~192MB (4096, 4096) f32 score tile and die at Mosaic compile time
+    where the model's except-clause could not catch it."""
+    from ao_tpu.ops.pallas import UnsupportedShape
+    from ao_tpu.ops.pallas.window_attention import window_bias_attention
+
+    side, g, nh, hd = 64, 1, 2, 64
+    t = side * side
+    q = jnp.zeros((g, t, nh, hd), jnp.bfloat16)
+    rh = jnp.zeros((g, nh, t, side), jnp.float32)
+    with pytest.raises(UnsupportedShape):
+        window_bias_attention(q, q, q, rh, rh, side=side, scale=hd ** -0.5)
