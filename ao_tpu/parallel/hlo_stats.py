@@ -54,7 +54,7 @@ def _shape_bytes(shape_text: str) -> int:
 
 
 def parse_collectives(hlo_text: str) -> List[Dict]:
-    """One record per collective instruction: {op, bytes}."""
+    """One record per collective instruction: {op, bytes, by_dtype}."""
     out = []
     for line in hlo_text.splitlines():
         m = _OP_RE.search(line)
@@ -64,16 +64,31 @@ def parse_collectives(hlo_text: str) -> List[Dict]:
         # ignore the paired "-done" ops (shape repeats the -start's)
         if f"{op}-done" in line:
             continue
-        out.append({"op": op, "bytes": _shape_bytes(shape_text)})
+        by_dtype: Dict[str, int] = {}
+        for dtype, dims in _SHAPE_RE.findall(shape_text):
+            if dtype not in _DTYPE_BYTES:
+                continue
+            n = 1
+            if dims:
+                for d in dims.split(","):
+                    n *= int(d)
+            by_dtype[dtype] = by_dtype.get(dtype, 0) + n * _DTYPE_BYTES[dtype]
+        out.append({"op": op, "bytes": sum(by_dtype.values()),
+                    "by_dtype": by_dtype})
     return out
 
 
-def collective_summary(hlo_text: str) -> Dict[str, Dict[str, int]]:
-    """{op_kind: {count, bytes}} over the whole module — per-device (the
-    partitioned module is per-participant), per step."""
-    summary: Dict[str, Dict[str, int]] = {}
+def collective_summary(hlo_text: str) -> Dict[str, Dict]:
+    """{op_kind: {count, bytes, by_dtype}} over the whole module —
+    per-device (the partitioned module is per-participant), per step.
+    ``by_dtype`` exposes the wire element types so anchors can assert the
+    payload format (bf16/f8 vs promotion-widened f32)."""
+    summary: Dict[str, Dict] = {}
     for rec in parse_collectives(hlo_text):
-        s = summary.setdefault(rec["op"], {"count": 0, "bytes": 0})
+        s = summary.setdefault(rec["op"],
+                               {"count": 0, "bytes": 0, "by_dtype": {}})
         s["count"] += 1
         s["bytes"] += rec["bytes"]
+        for dt, b in rec["by_dtype"].items():
+            s["by_dtype"][dt] = s["by_dtype"].get(dt, 0) + b
     return summary

@@ -38,6 +38,10 @@ run spec_bench    python benchmarks/spec_bench.py
 run attn_sol      python benchmarks/attn_sol.py
 run serving       python benchmarks/serving_bench.py
 run ppl_ladder    python benchmarks/ppl_delta.py       # incl kv-int8/int4 rows
+# multi-chip scaling story: real-v5e-HLO wire anchor (topology AOT) then
+# the projection that consumes it — the BASELINE >=85% @ 8 chips gate
+run tp_wire_anchor python benchmarks/tp_wire_anchor.py
+run scaling       python benchmarks/scaling_projection.py
 
 # throughput-regression gate vs the last COMMITTED chipday dir: fails the
 # battery if any tok/s (or kernel us) row regressed >15%

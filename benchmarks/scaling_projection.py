@@ -4,17 +4,20 @@ One real chip is available in this environment, so the BASELINE target
 (≥85% scaling efficiency 1 chip → host → multi-host) cannot be measured
 directly; this benchmark models it honestly from MEASURED single-chip
 numbers plus the ICI/DCN link specs — the "How to Scale Your Model"
-recipe: per-chip HBM time shrinks with the TP shard, each layer pays one
-all-reduce of the activation over the TP ring.
+recipe: per-chip HBM time shrinks with the TP shard, each layer pays its
+collectives over the TP ring.
 
-Model (Llama decode, batch B, TP over n chips on one host):
-  * weight-streaming time  = measured single-chip decode-step device time
-    × (1/n)   [weights and KV are the streamed bytes; both shard over n]
-  * per-layer collective   = 2 rings of (B × dim × 2B) bytes over ICI
-    (reduce-scatter + all-gather of the attention and MLP partial sums),
-    latency-hidden only partially: we charge the full wire time
-  * host boundary (n > 8)  = the DCN hop multiplies link time by
-    ici_gbps / dcn_gbps for the outer axis
+TWO collective structures are projected:
+
+  * ``tp_wire`` (the shipped explicit-TP path,
+    ``ao_tpu.parallel.tp_llama``): bf16 all-to-all reduce-scatter + fp8
+    all-gather + tiny f32 scale reductions, anchored on REAL v5e-8 HLO
+    from the topology-AOT compile (benchmarks/tp_wire_anchor.py →
+    results/tp_wire_anchor.json). This is the headline number.
+  * ``auto_allreduce`` (legacy GSPMD auto-sharding): 2.5 f32 all-reduces
+    per layer as anchored by the dryrun's CPU-mesh HLO
+    (results/collective_stats.json). Round 4 showed this FAILS the 85%
+    target (0.764 @ 8 chips) — the wire redesign exists because of it.
 
 Run: python benchmarks/scaling_projection.py   (one chip, ~2 min)
 Prints one JSON line with projected efficiency per chip count.
@@ -40,6 +43,7 @@ from ao_tpu.utils.roofline import detect_tpu_spec
 from ao_tpu.utils.timing import device_time_us
 
 DCN_GBPS = 25.0  # per-host DCN bandwidth, conservative
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
 
 
 def measure_single_chip_step():
@@ -64,19 +68,26 @@ def measure_single_chip_step():
     return us, cfg
 
 
-def load_hlo_anchor():
-    """Collective structure extracted from the compiled TP forward by
-    ``dryrun_multichip`` (per-step all-reduce count per layer + payload
-    bytes/elem). When present, the projection's formula is ANCHORED: the
-    per-layer collective count and payload element size come from the
-    compiler's own output, not this file's assumptions."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "results", "collective_stats.json")
+def load_wire_anchor():
+    """Real-TPU-HLO anchor from the topology-AOT compile (preferred)."""
+    path = os.path.join(RESULTS, "tp_wire_anchor.json")
     if not os.path.exists(path):
         return None
     with open(path) as f:
         st = json.load(f)
-    # cross-check: the dryrun's own formula must reproduce the HLO payload
+    a = st["anchors"].get("dp1xtp8") or next(iter(st["anchors"].values()))
+    return {"per_layer": a["per_layer"], "per_step": a["per_step"],
+            "source": path}
+
+
+def load_auto_anchor():
+    """Collective structure of the GSPMD auto-sharded forward, extracted
+    from the dryrun's compiled HLO (results/collective_stats.json)."""
+    path = os.path.join(RESULTS, "collective_stats.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        st = json.load(f)
     c = st["cfg"]
     elems = c["batch_local"] * c["seq"] * c["dim"]
     per_ar = st["per_allreduce_payload_bytes"]
@@ -88,43 +99,82 @@ def load_hlo_anchor():
     }
 
 
-def project(step_us, cfg, batch=8, anchor=None):
+def _wire_bytes_per_layer(anchor_pl, n: int, batch: int, dim: int) -> float:
+    """Per-layer per-device wire bytes for the tp_wire structure at TP=n."""
+    f = (n - 1) / n
+    a2a = anchor_pl["all_to_all"]
+    ag = anchor_pl["all_gather_fp8"]
+    sar = anchor_pl["scale_allreduce"]
+    return (a2a["count"] * f * batch * dim * a2a["bytes_per_elem"]
+            + ag["count"] * f * batch * dim * ag["bytes_per_elem"]
+            + sar["count"] * 2 * f * batch * sar["bytes_per_token"])
+
+
+def project(step_us, cfg, batch=8, wire_anchor=None, auto_anchor=None):
     spec = detect_tpu_spec()
-    # per-layer collective structure: HLO-anchored when the dryrun has
-    # recorded it, else the analytic default (2 all-reduces of bf16
-    # activations per layer)
-    ar_per_layer = anchor["allreduce_per_layer"] if anchor else 2.0
-    bytes_per_elem = anchor["bytes_per_elem"] if anchor else 2.0
-    rows = {}
-    for n in (1, 2, 4, 8, 16, 32):
-        compute_us = step_us / n
-        # each all-reduce moves B*dim*bytes_per_elem payload around the
-        # ring: ring all-reduce wire bytes ≈ 2*(n-1)/n * size
-        size = batch * cfg.dim * bytes_per_elem
-        wire = 2 * (n - 1) / n * size
-        link_gbps = spec.ici_gbps if n <= 8 else DCN_GBPS
-        coll_us = cfg.n_layers * ar_per_layer * wire / (link_gbps * 1e3)
-        total = compute_us + coll_us
-        eff = step_us / (n * total)
-        rows[n] = {"step_us": round(total, 1),
-                   "collective_us": round(coll_us, 1),
-                   "efficiency": round(eff, 3)}
-    return spec.name, rows
+    out = {}
+    for name, anchor in (("tp_wire", wire_anchor),
+                         ("auto_allreduce", auto_anchor)):
+        rows = {}
+        for n in (1, 2, 4, 8, 16, 32):
+            compute_us = step_us / n
+            link_gbps = spec.ici_gbps if n <= 8 else DCN_GBPS
+            if n == 1:
+                coll_bytes = 0.0
+            elif name == "tp_wire":
+                if anchor is None:
+                    continue
+                per_layer = _wire_bytes_per_layer(
+                    anchor["per_layer"], n, batch, cfg.dim)
+                # vocab-parallel embed pays one extra per-layer-equivalent
+                # set; sampling gathers are O(n*batch*8) — charge them too
+                per_step = (anchor["per_step"]["embed_sets"] * per_layer
+                            + (n - 1) * batch * 8)
+                coll_bytes = cfg.n_layers * per_layer + per_step
+            else:
+                if anchor is None:
+                    continue
+                size = batch * cfg.dim * anchor["bytes_per_elem"]
+                wire = 2 * (n - 1) / n * size
+                coll_bytes = cfg.n_layers * anchor["allreduce_per_layer"] * wire
+            coll_us = coll_bytes / (link_gbps * 1e3)
+            total = compute_us + coll_us
+            eff = step_us / (n * total)
+            rows[n] = {"step_us": round(total, 1),
+                       "collective_us": round(coll_us, 1),
+                       "efficiency": round(eff, 3)}
+        if rows:
+            out[name] = rows
+    return spec.name, out
 
 
 def main():
-    anchor = load_hlo_anchor()
+    wire_anchor = load_wire_anchor()
+    auto_anchor = load_auto_anchor()
     step_us, cfg = measure_single_chip_step()
-    name, rows = project(step_us, cfg, anchor=anchor)
-    ok8 = rows[8]["efficiency"] >= 0.85
-    print(json.dumps({
-        "metric": "projected TP scaling efficiency (int4-WO decode)",
+    name, projections = project(step_us, cfg, wire_anchor=wire_anchor,
+                                auto_anchor=auto_anchor)
+    headline = projections.get("tp_wire") or projections.get("auto_allreduce")
+    ok8 = bool(headline and headline[8]["efficiency"] >= 0.85)
+    result = {
+        "metric": "projected TP scaling efficiency (int4-WO decode, 8 chips)",
+        "value": headline[8]["efficiency"] if headline else None,
+        "unit": "fraction of linear scaling",
+        "vs_baseline": (round(headline[8]["efficiency"] / 0.85, 4)
+                        if headline else None),
         "measured_1chip_step_us": round(step_us, 1),
         "chip_spec": name,
-        "hlo_anchor": anchor or "none (run dryrun_multichip first)",
-        "projection": rows,
+        "wire_anchor": (wire_anchor or {}).get("source",
+                                               "none (run tp_wire_anchor)"),
+        "auto_anchor": (auto_anchor or {}).get("source",
+                                               "none (run dryrun_multichip)"),
+        "projection": projections,
         "meets_85pct_at_8_chips": ok8,
-    }))
+    }
+    print(json.dumps(result))
+    out_path = os.path.join(RESULTS, "scaling_projection.json")
+    with open(out_path, "w") as f:
+        f.write(json.dumps(result, indent=1))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,195 @@
+"""Explicit wire-format TP forward (ao_tpu.parallel.tp_llama).
+
+The scaling-efficiency path: Megatron-sharded Llama with bf16 all-to-all
+reduce-scatter + fp8 all-gather collectives (cast-before-comm, ref
+float8_tensor_parallel.py:42,107,170). These tests pin, on the 8-device
+CPU mesh:
+
+  * numerics vs the single-device forward (bf16 and fp8 wire)
+  * the collective payload dtypes at the StableHLO level — the pre-backend
+    IR carries the true wire format (the CPU backend HLO legalizes
+    bf16->f32 / f8->f16, which is exactly the artifact that mis-anchored
+    the round-4 scaling projection; the real-TPU byte anchor comes from
+    benchmarks/tp_wire_anchor.py topology-AOT)
+  * the collective structure (2 wire-reduce sets per layer + 1 embed set,
+    and NO activation-sized all-reduce anywhere)
+  * vocab-parallel greedy sampling == argmax of the gathered logits
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import ao_tpu
+from ao_tpu.models import llama
+from ao_tpu.parallel import tp_llama
+from ao_tpu.parallel.sharding import make_mesh
+from ao_tpu.quantization.primitives import compute_error
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh")
+
+CFG = llama.LlamaConfig(vocab_size=512, dim=256, n_layers=2, n_heads=4,
+                        n_kv_heads=2, ffn_dim=512, tie_embeddings=True)
+
+
+def _setup(quantize=None):
+    params = llama.init_params(jax.random.PRNGKey(0), CFG)
+    if quantize is not None:
+        params = ao_tpu.quantize_(params, quantize)
+    mesh = make_mesh((4, 2), ("dp", "tp"))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (8, 16), 0,
+                                CFG.vocab_size)
+    with mesh:
+        sharded = tp_llama.tp_shard_llama_params(params, mesh)
+        toks = jax.device_put(tokens,
+                              NamedSharding(mesh, P("dp", None)))
+    return params, sharded, tokens, toks, mesh
+
+
+@pytest.mark.parametrize("wire,min_db", [("bf16", 35.0), ("fp8", 20.0)])
+def test_tp_forward_matches_single_device(wire, min_db):
+    params, sharded, tokens, toks, mesh = _setup()
+    ref, _ = jax.jit(lambda p, t: llama.forward(p, t, CFG))(params, tokens)
+    out = jax.jit(lambda p, t: tp_llama.tp_forward(
+        p, t, CFG, mesh, wire=wire))(sharded, toks)
+    assert float(compute_error(ref, out)) > min_db
+
+
+def test_tp_forward_quantized_weights():
+    """int4 weight shards take the same quantized linear paths inside the
+    shard_map body (localized container metadata)."""
+    cfgq = ao_tpu.Int4WeightOnlyConfig(group_size=32)
+    params, sharded, tokens, toks, mesh = _setup(cfgq)
+    ref, _ = jax.jit(lambda p, t: llama.forward(p, t, CFG))(params, tokens)
+    out = jax.jit(lambda p, t: tp_llama.tp_forward(
+        p, t, CFG, mesh, wire="fp8"))(sharded, toks)
+    assert float(compute_error(ref, out)) > 18.0
+
+
+def _stablehlo(mesh, sharded, toks, **kw):
+    f = jax.jit(lambda p, t: tp_llama.tp_forward(p, t, CFG, mesh, **kw))
+    return f.lower(sharded, toks).as_text()
+
+
+def _line_result_dtype(line):
+    types = re.findall(r"tensor<[0-9x]+x([a-zA-Z0-9]+)>", line)
+    return types[-1] if types else None
+
+
+def test_wire_payload_dtypes_stablehlo():
+    """all-to-all payloads are bf16; the wire-reduce all-gathers carry
+    f8E4M3FN qdata (+f32 scales); and there is NO activation-sized
+    all-reduce — the f32-promoted all-reduce structure that failed the
+    85% scaling target cannot reappear unnoticed."""
+    params, sharded, tokens, toks, mesh = _setup()
+    shlo = _stablehlo(mesh, sharded, toks, wire="fp8")
+    a2a, ag_dts, ar = [], set(), []
+    for ln in shlo.splitlines():
+        if "stablehlo.all_to_all" in ln:
+            a2a.append(_line_result_dtype(ln))
+        elif "stablehlo.all_gather" in ln:
+            ag_dts.add(_line_result_dtype(ln))
+        elif re.search(r'"stablehlo\.all_reduce"', ln):
+            ar.append(ln)
+    # 2 per layer + 1 embed
+    assert len(a2a) == 2 * CFG.n_layers + 1
+    assert set(a2a) == {"bf16"}, a2a
+    assert "f8E4M3FN" in ag_dts, ag_dts
+    # any all_reduce must be a tiny scalar reduction, not an activation
+    for ln in ar:
+        dims = re.findall(r"tensor<([0-9x]+)x[a-zA-Z0-9]+>", ln)
+        if dims:
+            n = np.prod([int(d) for d in dims[-1].split("x")])
+            assert n <= 64, f"activation-sized all-reduce leaked in: {ln}"
+
+
+def test_wire_gather_count_structure():
+    params, sharded, tokens, toks, mesh = _setup()
+    shlo = _stablehlo(mesh, sharded, toks, wire="fp8")
+    n_ag_f8 = sum(1 for ln in shlo.splitlines()
+                  if "stablehlo.all_gather" in ln
+                  and _line_result_dtype(ln) == "f8E4M3FN")
+    # one fp8 gather per wire-reduce: 2/layer + 1 embed
+    assert n_ag_f8 == 2 * CFG.n_layers + 1
+
+
+def test_tp_greedy_token_matches_gathered_argmax():
+    params, sharded, tokens, toks, mesh = _setup()
+
+    def sample(p, t):
+        specs = tp_llama.param_pspecs(p, "tp")
+
+        def body(pl, tl):
+            logits, _ = tp_llama.tp_forward_local(
+                pl, tl, CFG, wire="bf16", gather_logits=False)
+            return tp_llama.tp_greedy_token(logits, "tp")
+
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=(specs, P("dp", None)),
+            out_specs=P("dp", None), check_vma=False)(p, t)
+
+    got = jax.jit(sample)(sharded, toks)
+    full = jax.jit(lambda p, t: tp_llama.tp_forward(
+        p, t, CFG, mesh, wire="bf16"))(sharded, toks)
+    want = jnp.argmax(full, axis=-1).astype(jnp.int32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_reduce_gather_wire_sums_correctly():
+    """Direct collectives test: reduce_gather_wire == psum within the
+    wire format's quantization error."""
+    import functools
+
+    from ao_tpu.parallel.collectives import reduce_gather_wire
+
+    mesh = make_mesh((8,), ("tp",))
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 24, 128), jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("tp", None, None)))
+
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=P("tp", None, None), out_specs=P(None, None),
+                       check_vma=False)
+    def wire_sum(xl):
+        return reduce_gather_wire(xl[0], "tp", wire="fp8")
+
+    got = wire_sum(xs)
+    want = x.sum(0)
+    assert float(compute_error(want, got)) > 20.0
+
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=P("tp", None, None), out_specs=P(None, None),
+                       check_vma=False)
+    def wire_sum_bf16(xl):
+        return reduce_gather_wire(xl[0], "tp", wire="bf16")
+
+    got = wire_sum_bf16(xs)
+    assert float(compute_error(want, got)) > 30.0
+
+
+def test_reduce_gather_wire_ragged_tokens():
+    """Token counts not divisible by the axis pad internally and strip."""
+    import functools
+
+    from ao_tpu.parallel.collectives import reduce_gather_wire
+
+    mesh = make_mesh((8,), ("tp",))
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 13, 64), jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("tp", None, None)))
+
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=P("tp", None, None), out_specs=P(None, None),
+                       check_vma=False)
+    def wire_sum(xl):
+        return reduce_gather_wire(xl[0], "tp", wire="bf16")
+
+    got = wire_sum(xs)
+    assert got.shape == (13, 64)
+    assert float(compute_error(x.sum(0), got)) > 30.0
