@@ -387,6 +387,130 @@ def _int4_impl(q, kflat, ks, vflat, vs, lengths, *, sm_scale, block_t):
     )(lengths, q, ks, vs, kflat, vflat)
 
 
+# ---------------------------------------------------------------------------
+# fp8 (e4m3) "ktp" kernel: transposed-K + in-kernel byte-splice decode
+#
+# v5e has no fp8 MXU, and XLA's f8e4m3->bf16 convert measured the "cvt"
+# path at 7.4% SoL (1136us @ T=4096 — slower than bf16-KV). This kernel
+# never calls convert: fp8 blocks bitcast to i32 words of 4 bytes (free —
+# the VMEM tile already packs 4 sublanes per 32-bit row) and
+# fp8_words_to_bf16 splices the e4m3 bits into the bf16 layout with 8
+# integer lane-ops per 4 elements, yielding value*2^-120 exactly. The
+# 2^120 folds into the f32 scales outside; q is pre-scaled by 2^60 so
+# both contractions stay in f32 range.
+#
+# Layout co-design (the ablation ladder @ T=4096, B=8, Hkv=8, D=128):
+#   * tokens-layout K with the (((1,),(1,))) dot: 410us (Mosaic's
+#     internal score transpose — the same penalty that puts bf16-tokens
+#     at 409us vs int8-kt's 152us);
+#   * kt K + natural-order V via an in-kernel sublane interleave of the
+#     splice's pair outputs: 232us (the interleave relayout costs +135us);
+#   * kt K + parity-consistent everything (THIS kernel): 97us = 87% of
+#     the KV-stream roofline, 1.56x FASTER than the int8-kt kernel.
+# The splice's row-doubling bitcast emits rows in parity-major order
+# (evens then odds, `parity_major_perm`), so: K (B,Hkv,D,T) stores its
+# token COLUMNS parity-permuted per parity_bt window and both scale
+# arrays store parity-permuted rows (all applied at cache-WRITE time —
+# zero per-call permutes); q's channel lanes are parity-permuted outside
+# (contraction-dim permute, cancels in the dot); V stays write-natural
+# (B,T,Hkv,D) — its splice emits parity rows that then MATCH the score
+# columns. The length mask recovers logical positions arithmetically.
+# (ref analog: FA3 fp8 attention, prototype/attention/api.py:68 — a
+# measured CUDA win there; this is the TPU-native equivalent.)
+
+
+def _f8_kernel(len_ref, q_ref, ks_ref, vs_ref, k_ref, v_ref, o_ref,
+               m_ref, l_ref, acc_ref, *, block_t: int, n_tb: int,
+               sm_scale: float, hkv: int, gp: int, d: int):
+    from ao_tpu.ops.pallas import fp8_words_to_bf16
+
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    vwords = pltpu.bitcast(v_ref[0], jnp.int32)  # (Tb/4, Hkv*D)
+    half = block_t // 2
+    col = jax.lax.broadcasted_iota(jnp.int32, (gp, block_t), 1)
+    pos = 2 * (col % half) + col // half + ti * block_t
+    mask = pos < len_ref[bi, 0]
+
+    for hi in range(hkv):
+        q = q_ref[0, hi]  # (gp, d) bf16, channel-parity lanes, 2^60-scaled
+        kw = pltpu.bitcast(k_ref[0, hi], jnp.int32)      # (d/4, Tb)
+        k = fp8_words_to_bf16(kw)                        # (d, Tb) ch-parity
+        s = jax.lax.dot_general(
+            q, k, (((1,), (0,)), ((), ())),              # MXU-native form
+            preferred_element_type=jnp.float32) * sm_scale
+        s = s * ks_ref[0, hi:hi + 1]  # parity-stored k_scale * 2^60
+        s = jnp.where(mask, s, _NEG)
+
+        sl = slice(hi * gp, (hi + 1) * gp)
+        m_prev = m_ref[sl, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_ref[sl, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        # vs carries the 2^120 rescale; pv*v_raw lands back at true scale
+        pv = (p * vs_ref[0, hi:hi + 1]).astype(jnp.bfloat16)
+        v = fp8_words_to_bf16(vwords[:, hi * d:(hi + 1) * d])  # parity rows
+        acc_ref[sl] = acc_ref[sl] * alpha + jax.lax.dot_general(
+            pv, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[sl] = jnp.broadcast_to(m_new, (gp, 128))
+        l_ref[sl] = jnp.broadcast_to(l_new, (gp, 128))
+
+    @pl.when(ti == n_tb - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_t"))
+def _f8_impl(q, kt, ks, vflat, vs, lengths, *, sm_scale, block_t):
+    b, hkv, gp, d = q.shape
+    t = kt.shape[3]
+    n_tb = t // block_t
+    return pl.pallas_call(
+        functools.partial(
+            _f8_kernel, block_t=block_t, n_tb=n_tb, sm_scale=sm_scale,
+            hkv=hkv, gp=gp, d=d,
+        ),
+        grid=(b, n_tb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lengths (B, 1)
+            pl.BlockSpec((1, hkv, gp, d), lambda bi, ti: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, block_t), lambda bi, ti: (bi, 0, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, block_t), lambda bi, ti: (bi, 0, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, d, block_t), lambda bi, ti: (bi, 0, 0, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_t, hkv * d), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hkv * gp, d), lambda bi, ti: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hkv * gp, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((hkv * gp, 128), jnp.float32),
+            pltpu.VMEM((hkv * gp, 128), jnp.float32),
+            pltpu.VMEM((hkv * gp, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hkv * gp * t * d,
+            bytes_accessed=2 * b * t * hkv * (d + 4) + b * hkv * gp * d * 8,
+            transcendentals=b * hkv * gp * t),
+    )(lengths, q, ks, vs, kt, vflat)
+
+
 def decode_attention(q, k_cache, v_cache, lengths, *, k_scale=None,
                      v_scale=None, sm_scale=None, block_t: int = 0,
                      k_layout: str = "tokens"):
@@ -405,7 +529,7 @@ def decode_attention(q, k_cache, v_cache, lengths, *, k_scale=None,
     """
     b, h, d = q.shape
     int4 = k_cache.dtype == jnp.int32
-    if k_layout == "kt" and not int4:
+    if k_layout in ("kt", "ktp") and not int4:
         hkv, t = k_cache.shape[1], k_cache.shape[3]
     else:
         t, hkv = k_cache.shape[1] * (8 if int4 else 1), k_cache.shape[2]
@@ -461,16 +585,25 @@ def decode_attention(q, k_cache, v_cache, lengths, *, k_scale=None,
         ks = _normalize_scale(k_scale, b, t, hkv)
         vs = _normalize_scale(v_scale, b, t, hkv)
         vflat = v_cache.reshape(b, t, hkv * d)
-        row_bytes = hkv * d * (1 + v_cache.dtype.itemsize)  # K int8/fp8 + V
-        # the in-kernel bf16 V copy exists in BOTH modes (i8 scores still
-        # convert V for the bf16 PV matmul) — count it or Mosaic's
-        # scoped-vmem allocator overflows at large block_t
-        row_bytes += 2 * hkv * d
-        if k_cache.dtype != jnp.int8:
-            # cvt mode additionally materializes a bf16 copy of the K block
-            # in-kernel (no fp8 MXU on v5e)
-            row_bytes += 2 * hkv * d
-        bt = block_t or _pick_block_t(t, row_bytes)
+        # VMEM accounting: K+V blocks are double-buffered by Mosaic; the
+        # in-kernel bf16 copies (V always — i8 scores still convert V for
+        # the bf16 PV matmul — plus K in cvt mode) are single temps. Count
+        # them exactly: the old double-buffered-only formula compiled
+        # int8 at block_t=2048 (measured 152us @ T=4096) while a naive
+        # "copies double-buffered too" formula would shrink it to 1024
+        # (measured 178us)
+        blk_row = hkv * d * (1 + v_cache.dtype.itemsize)
+        copy_row = 2 * hkv * d * (1 if k_cache.dtype == jnp.int8 else 2)
+        bt = block_t
+        if not bt:
+            for cand in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+                if (cand <= t and t % cand == 0
+                        and 2 * cand * blk_row + cand * copy_row
+                        <= 14 * 1024 * 1024):
+                    bt = cand
+                    break
+            if not bt:
+                raise UnsupportedShape(f"no block_t fits T={t}")
         if t % bt:
             raise UnsupportedShape(f"T={t} vs block_t={bt}")
         if k_cache.dtype == jnp.int8:
@@ -487,6 +620,33 @@ def decode_attention(q, k_cache, v_cache, lengths, *, k_scale=None,
         qs = jnp.ones((b, hkv), jnp.float32)
         out = _kt_impl(qb, qs, k_cache, ks, vflat, vs, lengths,
                        sm_scale=sm_scale, mode="cvt", block_t=bt)
+        return out.reshape(b, hkv, gp, d)[:, :, :g].reshape(b, h, d)
+
+    # "ktp" fp8 (e4m3): transposed-parity K + byte-splice decode — never
+    # calls the slow f8->bf16 convert (see _f8_kernel header). The cache
+    # stored K columns and both scale arrays parity-permuted at write
+    # time; the only per-call work is q's channel-lane permute (tiny).
+    if k_layout == "ktp":
+        from ao_tpu.ops.pallas import parity_major_perm, parity_window
+
+        if k_scale is None or k_cache.dtype != jnp.float8_e4m3fn:
+            raise UnsupportedShape("ktp layout is the fp8 K cache form")
+        bt = parity_window(t)
+        if bt is None:
+            raise UnsupportedShape(f"T={t} has no parity window")
+        ks = _normalize_scale(k_scale, b, t, hkv)
+        vs = _normalize_scale(v_scale, b, t, hkv)
+        # fold the splice's 2^-120 into the scales: q carries 2^60 and the
+        # k-scale the other 2^60 (so q.k products stay in f32 range);
+        # v-scale carries the full 2^120 (pv is computed at hp)
+        ks = ks * jnp.float32(2.0 ** 60)
+        vs = vs * jnp.float32(2.0 ** 120)
+        chperm = parity_major_perm(d)
+        qb = (qg[..., chperm].astype(jnp.float32) * 2.0 ** 60
+              ).astype(jnp.bfloat16)
+        vflat = v_cache.reshape(b, t, hkv * d)
+        out = _f8_impl(qb, k_cache, ks, vflat, vs, lengths,
+                       sm_scale=sm_scale, block_t=bt)
         return out.reshape(b, hkv, gp, d)[:, :, :g].reshape(b, h, d)
 
     # tokens layout

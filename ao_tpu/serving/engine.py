@@ -21,6 +21,23 @@ import jax.numpy as jnp
 from ao_tpu.serving.kvcache import QuantKVCache, init_quant_kv_caches
 
 
+def _insert_tree(caches, scratch, slot):
+    """Scratch (batch=1) prefill caches -> pool slot. QuantKVCache nodes go
+    through their layout-aware ``insert_slot`` (the fp8 parity layouts
+    translate between parity windows); plain arrays slot in leaf-wise."""
+
+    def insert(pool, new):
+        if isinstance(pool, QuantKVCache):
+            return pool.insert_slot(new, slot)
+        return jax.lax.dynamic_update_slice(
+            pool, new.astype(pool.dtype),
+            (slot,) + (0,) * (pool.ndim - 1))
+
+    return jax.tree_util.tree_map(
+        insert, caches, scratch,
+        is_leaf=lambda x: isinstance(x, QuantKVCache))
+
+
 @dataclasses.dataclass(frozen=True)
 class ServeConfig:
     max_batch: int = 8
@@ -275,14 +292,9 @@ class Engine:
             kv_caches=scratch, cache_index=0, use_flash=True,
         )
 
-        # insert the scratch rows into the slot of the pool
-        def insert(pool_leaf, new_leaf):
-            return jax.lax.dynamic_update_slice(
-                pool_leaf, new_leaf.astype(pool_leaf.dtype),
-                (slot,) + (0,) * (pool_leaf.ndim - 1),
-            )
-
-        caches = jax.tree_util.tree_map(insert, caches, scratch)
+        # insert the scratch rows into the slot of the pool (layout-aware:
+        # QuantKVCache.insert_slot translates parity-window layouts)
+        caches = _insert_tree(caches, scratch, slot)
         next_tok, lpi = self._pick2(logits[0, true_len - 1][None], true_len,
                                     step, samp, pen)
         return caches, next_tok[0], lpi
@@ -472,13 +484,7 @@ class Engine:
         return scratch, logits[0]
 
     def _insert_scratch_impl(self, caches, scratch, slot):
-        def insert(pool_leaf, new_leaf):
-            return jax.lax.dynamic_update_slice(
-                pool_leaf, new_leaf.astype(pool_leaf.dtype),
-                (slot,) + (0,) * (pool_leaf.ndim - 1),
-            )
-
-        return jax.tree_util.tree_map(insert, caches, scratch)
+        return _insert_tree(caches, scratch, slot)
 
     def _write_pages_impl(self, caches, scratch, page_ids, *, n_rows):
         new_caches = []

@@ -46,17 +46,29 @@ def _mk_cache(key, t, dtype_name, layout):
     return c.qdata, c.scale
 
 
-def _xla_ref(q, kd, ks, vd, vs, lengths, k_layout):
+def _dequant(qd, sc, layout):
+    """Token-major hp view for the XLA reference (any layout)."""
+    if layout in ("ktp", "ptok"):
+        from ao_tpu.ops.pallas import parity_slot, parity_window
+
+        t = sc.shape[2]
+        pcols = parity_slot(jnp.arange(t), parity_window(t))
+        scp = sc[..., pcols].transpose(0, 2, 1)[..., None]
+        x = (qd[..., pcols].transpose(0, 3, 1, 2) if layout == "ktp"
+             else qd)
+        return x.astype(jnp.float32) * scp
+    x = (qd.astype(jnp.float32).transpose(0, 3, 1, 2) if layout == "kt"
+         else qd.astype(jnp.float32))
+    return x * sc.transpose(0, 2, 1)[..., None]
+
+
+def _xla_ref(q, kd, ks, vd, vs, lengths, k_layout, v_layout):
     if ks is None:
         k = kd.astype(jnp.float32)
         v = vd.astype(jnp.float32)
     else:
-        if k_layout == "kt":
-            k = kd.astype(jnp.float32).transpose(0, 3, 1, 2)
-        else:
-            k = kd.astype(jnp.float32)
-        k = k * ks.transpose(0, 2, 1)[..., None]
-        v = vd.astype(jnp.float32) * vs.transpose(0, 2, 1)[..., None]
+        k = _dequant(kd, ks, k_layout)
+        v = _dequant(vd, vs, v_layout)
     k = jnp.repeat(k, H // HKV, axis=2)
     v = jnp.repeat(v, H // HKV, axis=2)
     s = jnp.einsum("bhd,bthd->bht", q.astype(jnp.float32), k) * D ** -0.5
@@ -76,10 +88,17 @@ def main():
         lengths = jnp.full((B,), t, jnp.int32)
         for dt, bpe in (("bf16", 2.0), ("int8", 1.0),
                         ("float8_e4m3fn", 1.0), ("int4", 0.5)):
-            k_layout = "kt" if dt in ("int8", "float8_e4m3fn") else "tokens"
+            # int8 K rides the transposed layout (i8 MXU dots); fp8 uses
+            # the parity pair (ktp K + ptok V, byte-splice decode)
+            if dt == "int8":
+                k_layout, v_layout = "kt", "tokens"
+            elif dt == "float8_e4m3fn":
+                k_layout, v_layout = "ktp", "ptok"
+            else:
+                k_layout, v_layout = "tokens", "tokens"
             caches = [
                 (_mk_cache(jax.random.PRNGKey(100 + 2 * i), t, dt, k_layout),
-                 _mk_cache(jax.random.PRNGKey(101 + 2 * i), t, dt, "tokens"))
+                 _mk_cache(jax.random.PRNGKey(101 + 2 * i), t, dt, v_layout))
                 for i in range(N_CACHES)
             ]
 
@@ -105,7 +124,7 @@ def main():
                 us_xla = None  # word-unpack reference is not a fair XLA path
             else:
                 fx = jax.jit(lambda q, kd, ks, vd, vs: _xla_ref(
-                    q, kd, ks, vd, vs, lengths, k_layout))
+                    q, kd, ks, vd, vs, lengths, k_layout, v_layout))
                 us_xla = round(device_time_us(fx, q, kd, ks, vd, vs,
                                               iters=10), 2)
 

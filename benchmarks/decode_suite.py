@@ -111,6 +111,10 @@ def main():
     print(json.dumps({"config": "long4k_int4_wo+int4kv",
                       "tok_s": round(lkv4, 1),
                       "speedup": round(lkv4 / lbase, 3)}), flush=True)
+    lkv8f = bench_decode("float8_e4m3fn")
+    print(json.dumps({"config": "long4k_int4_wo+fp8kv",
+                      "tok_s": round(lkv8f, 1),
+                      "speedup": round(lkv8f / lbase, 3)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -229,6 +229,33 @@ class TestInterpretDecodeAttention:
         err = compute_error(ref, y.astype(jnp.float32))
         assert err > 25, float(err)
 
+    def test_fp8_ktp_cache(self):
+        """fp8 parity layouts (ktp K + ptok V): the byte-splice decode +
+        write-time parity permutation must match attention over the
+        dequantized cache (near-exact — the splice is exact for e4m3
+        normals and the 2^120 rescale folds into the scales)."""
+        from ao_tpu.ops.pallas.decode_attention import decode_attention
+        from ao_tpu.serving.kvcache import QuantKVCache
+
+        b, t, h, hkv, d = 2, 128, 4, 2, 128
+        kq = jax.random.split(jax.random.PRNGKey(6), 3)
+        q = jax.random.normal(kq[0], (b, h, d), jnp.bfloat16)
+        k = jax.random.normal(kq[1], (b, t, hkv, d), jnp.float32)
+        v = jax.random.normal(kq[2], (b, t, hkv, d), jnp.float32)
+        ck = QuantKVCache.create(b, t, hkv, d, "float8_e4m3fn",
+                                 layout="ktp").update(k, 0)
+        cv = QuantKVCache.create(b, t, hkv, d, "float8_e4m3fn",
+                                 layout="ptok").update(v, 0)
+        lengths = jnp.array([128, 77], jnp.int32)
+        ref = self._reference(q, ck.dequantize(jnp.bfloat16),
+                              cv.dequantize(jnp.bfloat16), lengths, d ** -0.5)
+        with pltpu.force_tpu_interpret_mode():
+            y = decode_attention(q, ck.qdata, cv.qdata, lengths,
+                                 k_scale=ck.scale, v_scale=cv.scale,
+                                 sm_scale=d ** -0.5, k_layout="ktp")
+        err = compute_error(ref, y.astype(jnp.float32))
+        assert err > 30, float(err)
+
 
 class TestInterpretFlashAttention:
     @pytest.mark.parametrize("causal", [True, False])

@@ -46,6 +46,37 @@ class TestQuantKVCache:
         bf16_bytes = 1 * 128 * 8 * 128 * 2
         assert c8.qdata.nbytes == bf16_bytes // 2
 
+    @pytest.mark.parametrize("layout", ["ktp", "ptok"])
+    def test_parity_layout_roundtrip(self, layout):
+        """fp8 parity layouts: arbitrary-position writes land at the
+        parity-permuted columns and dequantize() inverts them exactly."""
+        c = QuantKVCache.create(2, 64, 4, 128, "float8_e4m3fn",
+                                layout=layout)
+        x1 = jax.random.normal(KEY, (2, 5, 4, 128), jnp.float32)
+        x2 = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 4, 128),
+                               jnp.float32)
+        c = c.update(x1, 0)
+        c = c.update(x2, jnp.array([5, 63], jnp.int32))  # per-slot ragged
+        back = c.dequantize(jnp.float32)
+        assert float(compute_error(x1, back[:, :5])) > 25.0
+        assert float(compute_error(x2[0], back[0, 5:6])) > 25.0
+        assert float(compute_error(x2[1], back[1, 63:64])) > 25.0
+
+    def test_parity_layout_rejects_bad_seq(self):
+        with pytest.raises(ValueError):
+            QuantKVCache.create(1, 48, 2, 64, "float8_e4m3fn", layout="ktp")
+        with pytest.raises(ValueError):
+            QuantKVCache.create(1, 64, 2, 64, "int8", layout="ptok")
+
+    def test_fp8_init_uses_parity_pair(self):
+        caches = init_quant_kv_caches(CFG, 1, 64, "float8_e4m3fn")
+        k, v = caches[0]
+        assert k.layout == "ktp" and v.layout == "ptok"
+        # non-parity max_seq falls back to the kt/cvt pair
+        caches = init_quant_kv_caches(CFG, 1, 48, "float8_e4m3fn")
+        k, v = caches[0]
+        assert k.layout == "kt" and v.layout == "tokens"
+
 
 class TestQuantizedKVDecoding:
     def test_decode_with_int8_cache_matches_bf16(self, params):
