@@ -172,16 +172,37 @@ def forward(params: Dict[str, Any], x: jax.Array, t: jax.Array,
     c = c + params["y_embed"][y].astype(cfg.dtype)
     c_act = jax.nn.silu(c.astype(jnp.float32)).astype(cfg.dtype)
 
+    # producer-epilogue activation quant: when the block linears carry an
+    # int8 per-token dynamic-activation spec, emit int8 qdata + scales
+    # straight out of the LN-modulate / GELU producers so the f32
+    # activation never round-trips HBM (the standalone quantize chain
+    # measured ~3.5ms/step on DiT-XL — it cancelled the int8 MXU win)
+    from ao_tpu.ops.act_quant import gelu_quant, norm_modulate_quant
+
+    def _w8a8(wleaf):
+        aq = getattr(wleaf, "act_quant", None)
+        return (aq is not None and aq.dtype == "int8" and aq.symmetric
+                and aq.granularity == "per_token")
+
     for lp in params["layers"]:
         m = linear(c_act, lp["mod"]) + lp["mod_b"]
         # canonical DiT chunk order: shift/scale/gate for attn, then mlp
         sh_att, s_att, g_att, sh_mlp, s_mlp, g_mlp = (
             m[:, j * cfg.dim:(j + 1) * cfg.dim] for j in range(6))
-        a_in = _modulate(_norm(h, cfg.norm_eps), sh_att, s_att)
+        if _w8a8(lp["attn"]["wq"]):
+            a_in = norm_modulate_quant(h, sh_att, s_att, cfg.norm_eps)
+        else:
+            a_in = _modulate(_norm(h, cfg.norm_eps), sh_att, s_att)
         h = h + g_att[:, None, :] * _attention(lp["attn"], a_in, cfg)
-        m_in = _modulate(_norm(h, cfg.norm_eps), sh_mlp, s_mlp)
-        mlp = linear(jax.nn.gelu(linear(m_in, lp["mlp"]["w1"]),
-                                 approximate=True), lp["mlp"]["w2"])
+        if _w8a8(lp["mlp"]["w1"]):
+            m_in = norm_modulate_quant(h, sh_mlp, s_mlp, cfg.norm_eps)
+        else:
+            m_in = _modulate(_norm(h, cfg.norm_eps), sh_mlp, s_mlp)
+        up = linear(m_in, lp["mlp"]["w1"])
+        if _w8a8(lp["mlp"]["w2"]):
+            mlp = linear(gelu_quant(up), lp["mlp"]["w2"])
+        else:
+            mlp = linear(jax.nn.gelu(up, approximate=True), lp["mlp"]["w2"])
         h = h + g_mlp[:, None, :] * mlp
 
     fm = linear(c_act, params["final"]["mod"]) + params["final"]["mod_b"]

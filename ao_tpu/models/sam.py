@@ -393,10 +393,34 @@ def encode_image(params: Dict[str, Any], images: jax.Array,
     else:
         vmask = None
 
+    def _w8a8(wleaf):
+        aq = getattr(wleaf, "act_quant", None)
+        return (aq is not None and aq.dtype == "int8" and aq.symmetric
+                and aq.granularity == "per_token")
+
     def _mlp(xin, lp):
+        w1, w2 = lp["mlp"]["w1"], lp["mlp"]["w2"]
+        if _w8a8(w1) and _w8a8(w2):
+            # producer-epilogue quant: affine LN == modulate with
+            # smod=scale-1 / shift=bias; GELU emits int8 directly — the
+            # f32 activation never round-trips HBM (fused_act.py)
+            from ao_tpu.ops.act_quant import (
+                gelu_quant, norm_modulate_quant,
+            )
+
+            shp = xin.shape
+            x3 = xin.reshape(shp[0], -1, shp[-1])
+            bsz = shp[0]
+            g = jnp.broadcast_to(lp["ln2"]["scale"][None],
+                                 (bsz, shp[-1])) - 1.0
+            bb = jnp.broadcast_to(lp["ln2"]["bias"][None], (bsz, shp[-1]))
+            qa = norm_modulate_quant(x3, bb, g, cfg.norm_eps)
+            up = linear(qa, w1) + lp["mlp"]["b1"]
+            out = linear(gelu_quant(up), w2) + lp["mlp"]["b2"]
+            return xin + out.reshape(shp[:-1] + (out.shape[-1],))
         hmid = _layernorm(xin, lp["ln2"], cfg.norm_eps)
-        hmid = jax.nn.gelu(linear(hmid, lp["mlp"]["w1"]) + lp["mlp"]["b1"])
-        return xin + linear(hmid, lp["mlp"]["w2"]) + lp["mlp"]["b2"]
+        hmid = jax.nn.gelu(linear(hmid, w1) + lp["mlp"]["b1"])
+        return xin + linear(hmid, w2) + lp["mlp"]["b2"]
 
     layers = params["layers"]
     glb = set(cfg.global_attn_layers)

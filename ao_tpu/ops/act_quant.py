@@ -17,6 +17,102 @@ from ao_tpu.quantization import primitives as P
 from ao_tpu.quantization.qarrays.common import ActQuantSpec, canon_dtype
 
 
+from ao_tpu.quantization.qarrays.base import meta, qarray_dataclass
+
+
+@qarray_dataclass
+class QuantizedActivation:
+    """A pre-quantized activation (producer-epilogue quantization): qdata
+    int8 + per-token scale. `ao_tpu.ops.linear` consumes it directly on
+    the int8-dynamic-activation weight paths, skipping the standalone
+    quantize chain (see ops/pallas/fused_act.py — the chain's extra HBM
+    round-trip was measured to cancel the int8 MXU win on DiT/SAM)."""
+
+    qdata: jax.Array          # (..., K) int8
+    scale: jax.Array          # (..., 1) f32 per-token
+    dtype_name: str = meta(default="int8")
+
+    @property
+    def shape(self):
+        return self.qdata.shape
+
+    @property
+    def ndim(self):
+        return self.qdata.ndim
+
+    @property
+    def dtype(self):
+        """Logical (dequantized) activation dtype."""
+        return jnp.dtype(jnp.bfloat16)
+
+
+def _xla_row_quant(y):
+    amax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+    sc = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(y / sc), -127, 127).astype(jnp.int8)
+    return q, sc
+
+
+def norm_modulate_quant(h, shift, smod, eps) -> QuantizedActivation:
+    """LN (no affine) + AdaLN modulate + per-token int8 quantize in one
+    HBM pass (Pallas on TPU; fused-as-far-as-XLA-goes elsewhere)."""
+    from ao_tpu.ops import kernels as _k
+
+    if _k._use_pallas():
+        from ao_tpu.ops.pallas import UnsupportedShape
+        from ao_tpu.ops.pallas.fused_act import norm_modulate_quant_pallas
+
+        try:
+            q, s = norm_modulate_quant_pallas(h, shift, smod, eps)
+            return QuantizedActivation(qdata=q, scale=s)
+        except UnsupportedShape:
+            pass
+    xf = h.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * (1.0 + smod[:, None, :].astype(jnp.float32)) + shift[
+        :, None, :].astype(jnp.float32)
+    q, s = _xla_row_quant(y)
+    return QuantizedActivation(qdata=q, scale=s)
+
+
+def gelu_quant(y) -> QuantizedActivation:
+    """tanh-GELU + per-token int8 quantize, one HBM pass."""
+    from ao_tpu.ops import kernels as _k
+
+    if _k._use_pallas():
+        from ao_tpu.ops.pallas import UnsupportedShape
+        from ao_tpu.ops.pallas.fused_act import gelu_quant_pallas
+
+        try:
+            q, s = gelu_quant_pallas(y)
+            return QuantizedActivation(qdata=q, scale=s)
+        except UnsupportedShape:
+            pass
+    q, s = _xla_row_quant(
+        jax.nn.gelu(y.astype(jnp.float32), approximate=True))
+    return QuantizedActivation(qdata=q, scale=s)
+
+
+def silu_mul_quant(a, b) -> QuantizedActivation:
+    """SwiGLU gate (silu(a)*b) + per-token int8 quantize, one HBM pass."""
+    from ao_tpu.ops import kernels as _k
+
+    if _k._use_pallas():
+        from ao_tpu.ops.pallas import UnsupportedShape
+        from ao_tpu.ops.pallas.fused_act import silu_mul_quant_pallas
+
+        try:
+            q, s = silu_mul_quant_pallas(a, b)
+            return QuantizedActivation(qdata=q, scale=s)
+        except UnsupportedShape:
+            pass
+    q, s = _xla_row_quant(
+        jax.nn.silu(a.astype(jnp.float32)) * b.astype(jnp.float32))
+    return QuantizedActivation(qdata=q, scale=s)
+
+
 def act_block_size(shape, spec: ActQuantSpec):
     rank = len(shape)
     if spec.granularity == "per_token":

@@ -34,6 +34,13 @@ def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
     if isinstance(w, QuantizedArray):
         impl = lookup("linear", type(w))
         return impl(x, w, b)
+    from ao_tpu.ops.act_quant import QuantizedActivation
+
+    if isinstance(x, QuantizedActivation):
+        # producer-quantized activation meeting an unquantized weight
+        # (mixed FqnToConfig): dequantize the int8 act — still one fused
+        # multiply on load
+        x = (x.qdata.astype(jnp.float32) * x.scale).astype(w.dtype)
     y = jnp.matmul(x, w.astype(x.dtype))
     if b is not None:
         y = y + b.astype(y.dtype)
@@ -125,6 +132,20 @@ def frozen_weight_ste(impl):
 @implements("linear", Int8Array)
 @frozen_weight_ste
 def _int8_linear(x: jax.Array, w: Int8Array, b):
+    from ao_tpu.ops.act_quant import QuantizedActivation
+
+    if isinstance(x, QuantizedActivation):
+        # producer-epilogue-quantized activation: skip the standalone
+        # quantize chain entirely (ops/pallas/fused_act.py)
+        k = x.qdata.shape[-1]
+        qx = x.qdata.reshape(-1, k)
+        sx = x.scale.reshape(-1, 1)
+        lead = x.qdata.shape[:-1]
+        y = kernels.int8_dynamic_matmul(
+            qx, sx, None, w.qdata, w.scale, w.zero_point, w.block_size,
+            out_dtype=jnp.bfloat16,
+        )
+        return _unflatten_batch(_maybe_bias(y, b), lead)
     x2, lead = _flatten_batch(x)
     if w.act_pre_scale is not None:
         x2 = x2 * w.act_pre_scale.astype(x2.dtype)
@@ -160,11 +181,23 @@ def _int8_linear(x: jax.Array, w: Int8Array, b):
 @implements("linear", Int4Array)
 @frozen_weight_ste
 def _int4_linear(x: jax.Array, w: Int4Array, b):
-    x2, lead = _flatten_batch(x)
-    if w.act_pre_scale is not None:
+    from ao_tpu.ops.act_quant import QuantizedActivation
+
+    pre_q = isinstance(x, QuantizedActivation)
+    if pre_q:
+        k_in = x.qdata.shape[-1]
+        x2, lead = x.qdata.reshape(-1, k_in), x.qdata.shape[:-1]
+    else:
+        x2, lead = _flatten_batch(x)
+    if w.act_pre_scale is not None and not pre_q:
         x2 = x2 * w.act_pre_scale.astype(x2.dtype)
     if w.act_quant is not None:
-        qx, sx, zx = quantize_activation(x2, w.act_quant)
+        if pre_q:
+            qx = x2
+            sx = x.scale.reshape(-1, 1)
+            zx = None
+        else:
+            qx, sx, zx = quantize_activation(x2, w.act_quant)
         if w.act_quant.dtype == "int8" and x2.shape[0] > 512:
             # Prefill W4A8: ONE native int8 MXU dot (2x bf16 peak) beats
             # both the group-split magic8 kernel (per-group epilogue FMAs,

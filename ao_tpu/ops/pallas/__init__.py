@@ -52,6 +52,27 @@ def parity_slot(pos, pbt: int):
     return w * pbt + i // 2 + (i % 2) * (pbt // 2)
 
 
+def plane_window(t: int):
+    """Plane-permutation window for the int4 "ck4" KV layout (same
+    convention role as :func:`parity_window` for fp8): the decode kernel's
+    block_t MUST equal the window the cache plane-permuted K's token lanes
+    and both scale arrays over. None -> caller falls back to the legacy
+    tokens-words layout."""
+    if t % 64:
+        return None
+    if t <= 2048:
+        return t
+    return 2048 if t % 2048 == 0 else None
+
+
+def plane_slot(pos, pbt: int):
+    """Storage lane of logical token ``pos`` under the plane-major layout
+    (inverse of :func:`plane_major_perm` per pbt window): token 4m+j ->
+    j*(pbt/4)+m. Pure arithmetic, works on traced arrays."""
+    w, i = pos // pbt, pos % pbt
+    return w * pbt + (i % 4) * (pbt // 4) + i // 4
+
+
 def fp8_words_to_bf16(words):
     """In-kernel decode of token-axis-packed e4m3 words → (4R, D) bf16
     ``value * 2^-120`` in parity-major token order.

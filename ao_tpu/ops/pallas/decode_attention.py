@@ -388,6 +388,126 @@ def _int4_impl(q, kflat, ks, vflat, vs, lengths, *, sm_scale, block_t):
 
 
 # ---------------------------------------------------------------------------
+# int4 "ck4" kernel: channel-packed transposed K + plane-consistent V
+#
+# The tokens-words int4 kernel above pays the same Mosaic score-transpose
+# penalty as every tokens-layout q·k dot (measured 148.6us / 29.3% SoL at
+# T=4096 — barely ahead of int8's 152us on HALF the bytes). This is the
+# kt-form redesign, mirroring the fp8 "ktp" layout co-design:
+#   * K (B, Hkv, D/8, T) i32: 8 CHANNEL nibbles per word (same
+#     _kv_shift bit geometry as the token packing, applied to the channel
+#     axis), token LANES plane-permuted per plane_window at write time.
+#     The decode emits (D, Tb) rows in channel-plane-major order — undone
+#     for free by plane-permuting q's lanes outside — and the q·k dot is
+#     MXU-native (((1,),(0,))), no transpose. A cache write touches one
+#     token COLUMN: pure scatter, NO read-modify-write (the tokens-words
+#     layout's per-step nibble RMW was the e2e cost that made int4-KV
+#     LOSE to int8-KV, decode_suite r4: 1389 vs 1696 tok/s).
+#   * V (B, T/8, Hkv*D) i32 stays token-word-packed but stored FLAT (the
+#     (T/8,H,D)->(T/8,H*D) reshape inside the decode jit is a full-cache
+#     tile relayout) with plane-permuted scales stored at write time —
+#     zero per-call scale gathers (the old wrapper permuted (B,Hkv,T)
+#     scale rows EVERY step).
+#   * scores/probs are plane-major; the mask recovers positions
+#     arithmetically (same formula as the tokens-words kernel).
+
+
+def _ck4_kernel(len_ref, q_ref, ks_ref, vs_ref, k_ref, v_ref, o_ref,
+                m_ref, l_ref, acc_ref, *, block_t: int, n_tb: int,
+                sm_scale: float, hkv: int, gp: int, d: int):
+    from ao_tpu.ops.pallas import int4_words_to_bf16_biased
+
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    vwords = v_ref[0]  # (Tb/8, Hkv*D) i32
+    qcap = block_t // 4
+    col = jax.lax.broadcasted_iota(jnp.int32, (gp, block_t), 1)
+    pos = 4 * (col % qcap) + col // qcap + ti * block_t
+    mask = pos < len_ref[bi, 0]
+
+    for hi in range(hkv):
+        q = q_ref[0, hi]  # (gp, d) bf16, channel-plane lanes
+        qsum = 136.0 * jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
+        k = int4_words_to_bf16_biased(k_ref[0, hi])  # (d, Tb) 128+u
+        s = (jax.lax.dot_general(
+            q, k, (((1,), (0,)), ((), ())),          # MXU-native form
+            preferred_element_type=jnp.float32) - qsum) * sm_scale
+        s = s * ks_ref[0, hi:hi + 1]  # plane-stored k scales
+        s = jnp.where(mask, s, _NEG)
+
+        sl = slice(hi * gp, (hi + 1) * gp)
+        m_prev = m_ref[sl, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_ref[sl, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        pv = (p * vs_ref[0, hi:hi + 1]).astype(jnp.bfloat16)
+        pvsum = 136.0 * jnp.sum(pv.astype(jnp.float32), axis=1, keepdims=True)
+        v = int4_words_to_bf16_biased(vwords[:, hi * d:(hi + 1) * d])
+        acc_ref[sl] = acc_ref[sl] * alpha + (jax.lax.dot_general(
+            pv, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) - pvsum)
+        m_ref[sl] = jnp.broadcast_to(m_new, (gp, 128))
+        l_ref[sl] = jnp.broadcast_to(l_new, (gp, 128))
+
+    @pl.when(ti == n_tb - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_t"))
+def _ck4_impl(q, kwords, ks, vwords, vs, lengths, *, sm_scale, block_t):
+    b, hkv, gp, d = q.shape
+    t = kwords.shape[3]
+    n_tb = t // block_t
+    return pl.pallas_call(
+        functools.partial(
+            _ck4_kernel, block_t=block_t, n_tb=n_tb, sm_scale=sm_scale,
+            hkv=hkv, gp=gp, d=d,
+        ),
+        grid=(b, n_tb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lengths (B, 1)
+            pl.BlockSpec((1, hkv, gp, d), lambda bi, ti: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, block_t), lambda bi, ti: (bi, 0, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, block_t), lambda bi, ti: (bi, 0, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, d // 8, block_t),
+                         lambda bi, ti: (bi, 0, 0, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_t // 8, hkv * d),
+                         lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hkv * gp, d), lambda bi, ti: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hkv * gp, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((hkv * gp, 128), jnp.float32),
+            pltpu.VMEM((hkv * gp, 128), jnp.float32),
+            pltpu.VMEM((hkv * gp, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hkv * gp * t * d,
+            bytes_accessed=2 * b * t * hkv * (d // 2 + 4)
+            + b * hkv * gp * d * 8,
+            transcendentals=b * hkv * gp * t),
+    )(lengths, q, ks, vs, kwords, vwords)
+
+
+# ---------------------------------------------------------------------------
 # fp8 (e4m3) "ktp" kernel: transposed-K + in-kernel byte-splice decode
 #
 # v5e has no fp8 MXU, and XLA's f8e4m3->bf16 convert measured the "cvt"
@@ -528,8 +648,8 @@ def decode_attention(q, k_cache, v_cache, lengths, *, k_scale=None,
     lengths (B,) int32 valid positions. Returns (B, H, D) f32.
     """
     b, h, d = q.shape
-    int4 = k_cache.dtype == jnp.int32
-    if k_layout in ("kt", "ktp") and not int4:
+    int4 = k_cache.dtype == jnp.int32 and k_layout != "ck4"
+    if k_layout == "ck4" or (k_layout in ("kt", "ktp") and not int4):
         hkv, t = k_cache.shape[1], k_cache.shape[3]
     else:
         t, hkv = k_cache.shape[1] * (8 if int4 else 1), k_cache.shape[2]
@@ -622,6 +742,24 @@ def decode_attention(q, k_cache, v_cache, lengths, *, k_scale=None,
                        sm_scale=sm_scale, mode="cvt", block_t=bt)
         return out.reshape(b, hkv, gp, d)[:, :, :g].reshape(b, h, d)
 
+    # "ck4" int4: channel-packed transposed K + plane-consistent V (see
+    # _ck4_kernel header) — RMW-free K writes, zero per-call permutes
+    if k_layout == "ck4":
+        from ao_tpu.ops.pallas import plane_major_perm, plane_window
+
+        if k_scale is None or k_cache.dtype != jnp.int32:
+            raise UnsupportedShape("ck4 layout is the int4 K cache form")
+        bt = plane_window(t)
+        if bt is None or d % 8:
+            raise UnsupportedShape(f"T={t}/D={d} has no plane window")
+        ks = _normalize_scale(k_scale, b, t, hkv)
+        vs = _normalize_scale(v_scale, b, t, hkv)
+        chperm = plane_major_perm(d)
+        qb = qg[..., chperm].astype(jnp.bfloat16)
+        out = _ck4_impl(qb, k_cache, ks, v_cache, vs, lengths,
+                        sm_scale=sm_scale, block_t=bt)
+        return out.reshape(b, hkv, gp, d)[:, :, :g].reshape(b, h, d)
+
     # "ktp" fp8 (e4m3): transposed-parity K + byte-splice decode — never
     # calls the slow f8->bf16 convert (see _f8_kernel header). The cache
     # stored K columns and both scale arrays parity-permuted at write
@@ -634,13 +772,11 @@ def decode_attention(q, k_cache, v_cache, lengths, *, k_scale=None,
         bt = parity_window(t)
         if bt is None:
             raise UnsupportedShape(f"T={t} has no parity window")
+        # the splice's 2^-120 rescale is PRE-FOLDED into the stored scales
+        # (kvcache.update: K scale carries 2^60 — q brings the other 2^60
+        # so q.k products stay in f32 range — V scale the full 2^120)
         ks = _normalize_scale(k_scale, b, t, hkv)
         vs = _normalize_scale(v_scale, b, t, hkv)
-        # fold the splice's 2^-120 into the scales: q carries 2^60 and the
-        # k-scale the other 2^60 (so q.k products stay in f32 range);
-        # v-scale carries the full 2^120 (pv is computed at hp)
-        ks = ks * jnp.float32(2.0 ** 60)
-        vs = vs * jnp.float32(2.0 ** 120)
         chperm = parity_major_perm(d)
         qb = (qg[..., chperm].astype(jnp.float32) * 2.0 ** 60
               ).astype(jnp.bfloat16)

@@ -102,10 +102,33 @@ class QuantKVCache:
             if max_seq % 8:
                 raise ValueError(f"int4 KV cache needs max_seq % 8 == 0, "
                                  f"got {max_seq}")
-            if layout != "tokens":
-                raise ValueError("int4 KV caches are tokens-layout only")
-            qdata = jnp.zeros(
-                (batch, max_seq // 8, n_kv_heads, head_dim), jnp.int32)
+            if layout in ("ck4", "ptok4"):
+                from ao_tpu.ops.pallas import plane_window
+
+                if plane_window(max_seq) is None or head_dim % 8:
+                    raise ValueError(
+                        f"{layout} needs a plane-compatible max_seq/"
+                        f"head_dim (got {max_seq}, {head_dim})")
+                if layout == "ck4":
+                    # channel-packed transposed K: 8 channel nibbles per
+                    # word, token lanes plane-permuted at write time —
+                    # a token write is a pure column scatter (no RMW)
+                    qdata = jnp.zeros(
+                        (batch, n_kv_heads, head_dim // 8, max_seq),
+                        jnp.int32)
+                else:
+                    # token-word-packed V stored FLAT (avoids the
+                    # in-decode-jit tile relayout) with plane-permuted
+                    # scales
+                    qdata = jnp.zeros(
+                        (batch, max_seq // 8, n_kv_heads * head_dim),
+                        jnp.int32)
+            elif layout != "tokens":
+                raise ValueError(
+                    "int4 KV layouts: tokens (legacy words), ck4, ptok4")
+            else:
+                qdata = jnp.zeros(
+                    (batch, max_seq // 8, n_kv_heads, head_dim), jnp.int32)
         elif layout in ("kt", "ktp"):
             if layout == "ktp":
                 from ao_tpu.ops.pallas import parity_window
@@ -173,11 +196,72 @@ class QuantKVCache:
         b, s_tok, h = q.shape[0], q.shape[1], q.shape[2]
         t = self.max_seq
         sh = s[..., 0].transpose(0, 2, 1)  # (B, H, S) head-major
+        if self.layout in ("ktp", "ptok"):
+            # pre-fold the splice kernel's 2^-120 rescale into the STORED
+            # scale (K carries 2^60 — q brings the other 2^60 — V the full
+            # 2^120): saves two full scale-array multiplies per decode
+            # call; dequantize() compensates
+            sh = sh * jnp.float32(2.0 ** (60 if self.layout == "ktp"
+                                          else 120))
         per_slot = hasattr(index, "ndim") and getattr(index, "ndim", 0) == 1
 
         if self.dtype_name == "int4":
             starts = index if per_slot else jnp.full((b,), index, jnp.int32)
             cols = _clamped_cols(starts, s_tok, t)
+            if self.layout in ("ck4", "ptok4"):
+                from ao_tpu.ops.pallas import plane_slot, plane_window
+
+                scalar_1tok = not per_slot and s_tok == 1
+                pcols = jnp.where(cols == t, t,
+                                  plane_slot(cols, plane_window(t)))
+                if self.layout == "ck4":
+                    # pack 8 CHANNEL nibbles per word; one pure column
+                    # write per token — no read-modify-write
+                    d = q.shape[3]
+                    ug = q.reshape(b, s_tok, h, d // 8, 8)
+                    word = jnp.zeros(ug.shape[:-1], jnp.int32)
+                    for o in range(8):
+                        word = word | (ug[..., o] << _kv_shift(o))
+                    wcol = word.transpose(0, 2, 3, 1)  # (B, H, D/8, S)
+                    if scalar_1tok:
+                        # decode step: contiguous single-column DUS — the
+                        # vmap-scatter form measured 0.85x e2e where DUS
+                        # layouts run 1.35x (decode_suite long4k)
+                        pc = plane_slot(jnp.clip(index, 0, t - 1),
+                                        plane_window(t))
+                        qdata = jax.lax.dynamic_update_slice(
+                            self.qdata, wcol, (0, 0, 0, pc))
+                    else:
+                        def one(qd, w, col):
+                            return qd.at[:, :, col].set(w, mode="drop")
+
+                        qdata = jax.vmap(one)(self.qdata, wcol, pcols)
+                else:  # ptok4: flat token-words
+                    if scalar_1tok:
+                        # merge one nibble slot into one word row in place
+                        # (3 integer ops) instead of the region
+                        # unpack/repack
+                        pos = jnp.clip(index, 0, t - 1)
+                        row, o = pos // 8, pos % 8
+                        shift = 4 * (o % 4) + 16 * (o // 4)
+                        wrow = jax.lax.dynamic_slice(
+                            self.qdata, (0, row, 0),
+                            (b, 1, self.qdata.shape[2]))
+                        nib = q.reshape(b, 1, -1).astype(jnp.int32)
+                        wnew = (wrow & ~(0xF << shift)) | (nib << shift)
+                        qdata = jax.lax.dynamic_update_slice(
+                            self.qdata, wnew, (0, row, 0))
+                    else:
+                        qdata = self._scatter_int4(
+                            q.reshape(b, s_tok, -1), starts, cols)
+                if scalar_1tok:
+                    pc = plane_slot(jnp.clip(index, 0, t - 1),
+                                    plane_window(t))
+                    scale = jax.lax.dynamic_update_slice(
+                        self.scale, sh, (0, 0, pc))
+                else:
+                    scale = self._scatter_scale(sh, pcols)
+                return dataclasses.replace(self, qdata=qdata, scale=scale)
             qdata = self._scatter_int4(q, starts, cols)
             # scales use the SAME duplicate-free clamped columns as the
             # words (a start-clamped dynamic_update_slice would SHIFT the
@@ -196,20 +280,37 @@ class QuantKVCache:
 
             pbt = parity_window(t)
             starts = index if per_slot else jnp.full((b,), index, jnp.int32)
+            scalar_1tok = not per_slot and s_tok == 1
             cols = _clamped_cols(starts, s_tok, t)
             pcols = jnp.where(cols == t, t, parity_slot(cols, pbt))
             if self.layout == "ktp":
                 qk = q.transpose(0, 2, 3, 1)  # (B, H, D, S)
+                if scalar_1tok:
+                    # decode step: single-column DUS beats the vmap
+                    # scatter by ~1.5x e2e (see the ck4 note)
+                    pc = parity_slot(jnp.clip(index, 0, t - 1), pbt)
+                    qdata = jax.lax.dynamic_update_slice(
+                        self.qdata, qk, (0, 0, 0, pc))
+                else:
+                    def one(qd, qn, col):
+                        return qd.at[:, :, col].set(qn, mode="drop")
 
-                def one(qd, qn, col):
-                    return qd.at[:, :, col].set(qn, mode="drop")
-
-                qdata = jax.vmap(one)(self.qdata, qk, pcols)
+                    qdata = jax.vmap(one)(self.qdata, qk, pcols)
             else:  # ptok: token-natural values, flat (B, T, H*D) storage
-                rows = jnp.arange(b)[:, None]
-                qdata = self.qdata.at[rows, cols].set(
-                    q.reshape(b, s_tok, -1), mode="drop")
-            scale = self._scatter_scale(sh, pcols)
+                if scalar_1tok:
+                    qdata = jax.lax.dynamic_update_slice(
+                        self.qdata, q.reshape(b, 1, -1),
+                        (0, jnp.clip(index, 0, t - 1), 0))
+                else:
+                    rows = jnp.arange(b)[:, None]
+                    qdata = self.qdata.at[rows, cols].set(
+                        q.reshape(b, s_tok, -1), mode="drop")
+            if scalar_1tok:
+                pc = parity_slot(jnp.clip(index, 0, t - 1), pbt)
+                scale = jax.lax.dynamic_update_slice(
+                    self.scale, sh, (0, 0, pc))
+            else:
+                scale = self._scatter_scale(sh, pcols)
             return dataclasses.replace(self, qdata=qdata, scale=scale)
 
         if self.layout == "kt":
@@ -268,14 +369,15 @@ class QuantKVCache:
         def one(words, ub, start, col):
             row0 = jnp.clip(jnp.minimum(start // 8, n_rows - region),
                             0, n_rows)
+            zeros = (0,) * (words.ndim - 1)
             blk = jax.lax.dynamic_slice(
-                words, (row0, 0, 0), (region,) + words.shape[1:])
+                words, (row0,) + zeros, (region,) + words.shape[1:])
             toks = _unpack_tok_int4(blk)
             # dropped entries (col == t) map past the region → drop mode
             pos = jnp.where(col == t, 8 * region, col - row0 * 8)
             toks = toks.at[pos].set(ub, mode="drop")
             return jax.lax.dynamic_update_slice(
-                words, _pack_tok_int4(toks), (row0, 0, 0))
+                words, _pack_tok_int4(toks), (row0,) + zeros)
 
         return jax.vmap(one)(self.qdata, u, starts, cols)
 
@@ -286,23 +388,66 @@ class QuantKVCache:
         Layout-aware: parity layouts translate between the scratch's and
         the pool's parity windows (a raw leaf-wise dynamic_update_slice
         would misalign tokens whenever plen != the pool window)."""
-        if type(other) is not type(self) or other.layout != self.layout:
-            raise ValueError(f"layout mismatch {other.layout}/{self.layout}")
+        if type(other) is not type(self):
+            raise ValueError(f"cache type mismatch {type(other)}")
         t_scr = other.max_seq
-        if self.layout in ("ktp", "ptok"):
-            from ao_tpu.ops.pallas import parity_slot, parity_window
+        if self.layout in ("ktp", "ptok", "ck4", "ptok4"):
+            from ao_tpu.ops.pallas import (
+                parity_slot, parity_window, plane_slot, plane_window,
+            )
 
+            slot_fn, win_fn = ((parity_slot, parity_window)
+                               if self.layout in ("ktp", "ptok")
+                               else (plane_slot, plane_window))
             toks = jnp.arange(t_scr)
-            src = parity_slot(toks, parity_window(t_scr))
-            dst = parity_slot(toks, parity_window(self.max_seq))
-            scale = self.scale.at[slot, :, dst].set(other.scale[0][:, src])
+            dst = slot_fn(toks, win_fn(self.max_seq))
+            legacy = other.layout in ("tokens", "kt")
+            if other.layout == self.layout:
+                src = slot_fn(toks, win_fn(t_scr))
+                scale_src = other.scale[0][:, src]
+            elif legacy:
+                # scratch prefill caches fall back to the legacy layouts
+                # when their bucket length has no parity/plane window:
+                # translate token order AND (fp8) re-fold the splice's
+                # scale factor the fast layouts pre-store
+                scale_src = other.scale[0]
+                if self.layout in ("ktp", "ptok"):
+                    scale_src = scale_src * jnp.float32(
+                        2.0 ** (60 if self.layout == "ktp" else 120))
+            else:
+                raise ValueError(
+                    f"layout mismatch {other.layout}/{self.layout}")
+            # NB: mixing a basic slice with the advanced index `dst` moves
+            # the indexed dim FIRST in the target shape — sources go in
+            # token-major
+            scale = self.scale.at[slot, :, dst].set(scale_src.T)
             if self.layout == "ktp":
+                qsrc = (other.qdata[0][..., src] if not legacy
+                        else other.qdata[0])  # kt scratch: natural cols
                 qdata = self.qdata.at[slot, :, :, dst].set(
-                    other.qdata[0][..., src])
-            else:  # ptok: token-natural values, plain row insert
+                    qsrc.transpose(2, 0, 1))
+            elif self.layout == "ck4":
+                if not legacy:
+                    qsrc = other.qdata[0][..., src]
+                else:  # tokens-int4 word scratch -> channel words
+                    u = _unpack_tok_int4(other.qdata[0])  # (t, h, d)
+                    h, d = u.shape[1], u.shape[2]
+                    ug = u.reshape(t_scr, h, d // 8, 8)
+                    w = jnp.zeros(ug.shape[:-1], jnp.int32)
+                    for o in range(8):
+                        w = w | (ug[..., o] << _kv_shift(o))
+                    qsrc = w.transpose(1, 2, 0)  # (h, d/8, t)
+                qdata = self.qdata.at[slot, :, :, dst].set(
+                    qsrc.transpose(2, 0, 1))
+            else:  # ptok/ptok4: token-natural values, plain row insert
+                vals = other.qdata
+                if legacy:  # (1, rows, h, d) -> flat (1, rows, h*d)
+                    vals = vals.reshape(1, vals.shape[1], -1)
                 qdata = jax.lax.dynamic_update_slice(
-                    self.qdata, other.qdata, (slot, 0, 0))
+                    self.qdata, vals, (slot, 0, 0))
             return dataclasses.replace(self, qdata=qdata, scale=scale)
+        if other.layout != self.layout:
+            raise ValueError(f"layout mismatch {other.layout}/{self.layout}")
         qdata = jax.lax.dynamic_update_slice(
             self.qdata, other.qdata,
             (slot,) + (0,) * (self.qdata.ndim - 1))
@@ -313,6 +458,24 @@ class QuantKVCache:
     def dequantize(self, out_dtype=jnp.bfloat16) -> jax.Array:
         """→ (B, T, Hkv, D) high-precision values, any layout."""
         if self.dtype_name == "int4":
+            if self.layout in ("ck4", "ptok4"):
+                from ao_tpu.ops.pallas import plane_slot, plane_window
+
+                t = self.max_seq
+                pcols = plane_slot(jnp.arange(t), plane_window(t))
+                sc = self.scale[..., pcols].transpose(0, 2, 1)[..., None]
+                if self.layout == "ck4":
+                    w = self.qdata[..., pcols]  # (B, H, D/8, T) token-major
+                    planes = [(w >> _kv_shift(o)) & 0xF for o in range(8)]
+                    u = jnp.stack(planes, axis=3)  # (B, H, D/8, 8, T)
+                    b, hh = u.shape[0], u.shape[1]
+                    u = u.reshape(b, hh, -1, t).transpose(0, 3, 1, 2)
+                else:
+                    b = self.qdata.shape[0]
+                    hh = self.scale.shape[1]
+                    u = jax.vmap(_unpack_tok_int4)(self.qdata)
+                    u = u.reshape(b, t, hh, -1)
+                return ((u - 8).astype(jnp.float32) * sc).astype(out_dtype)
             sc = self.scale.transpose(0, 2, 1)[..., None]
             u = jax.vmap(_unpack_tok_int4)(self.qdata)
             return ((u - 8).astype(jnp.float32) * sc).astype(out_dtype)
@@ -321,7 +484,9 @@ class QuantKVCache:
 
             t = self.max_seq
             pcols = parity_slot(jnp.arange(t), parity_window(t))
-            sc = self.scale[..., pcols].transpose(0, 2, 1)[..., None]
+            unfold = 2.0 ** (-60 if self.layout == "ktp" else -120)
+            sc = (self.scale[..., pcols] * jnp.float32(unfold)
+                  ).transpose(0, 2, 1)[..., None]
             if self.layout == "ktp":
                 x = self.qdata[..., pcols].transpose(0, 3, 1, 2)
             else:  # ptok: flat token-natural values
@@ -356,6 +521,13 @@ def init_quant_kv_caches(cfg, batch: int, max_seq: int,
             k_layout, v_layout = "ktp", "ptok"
         else:
             k_layout, v_layout = "kt", "tokens"
+    elif dtype_name == "int4":
+        from ao_tpu.ops.pallas import plane_window
+
+        if plane_window(max_seq) is not None and cfg.head_dim % 8 == 0:
+            k_layout, v_layout = "ck4", "ptok4"
+        else:
+            k_layout, v_layout = "tokens", "tokens"
     else:
         k_layout, v_layout = "tokens", "tokens"
     return [

@@ -94,6 +94,8 @@ def main():
                 k_layout, v_layout = "kt", "tokens"
             elif dt == "float8_e4m3fn":
                 k_layout, v_layout = "ktp", "ptok"
+            elif dt == "int4":
+                k_layout, v_layout = "ck4", "ptok4"
             else:
                 k_layout, v_layout = "tokens", "tokens"
             caches = [

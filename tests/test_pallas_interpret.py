@@ -256,6 +256,77 @@ class TestInterpretDecodeAttention:
         err = compute_error(ref, y.astype(jnp.float32))
         assert err > 30, float(err)
 
+    def test_int4_ck4_cache(self):
+        """int4 plane layouts (ck4 channel-packed K + ptok4 flat V): the
+        MXU-native kt-form decode must match attention over the
+        dequantized cache exactly (same quantized values)."""
+        from ao_tpu.ops.pallas.decode_attention import decode_attention
+        from ao_tpu.serving.kvcache import QuantKVCache
+
+        b, t, h, hkv, d = 2, 128, 4, 2, 128
+        kq = jax.random.split(jax.random.PRNGKey(7), 3)
+        q = jax.random.normal(kq[0], (b, h, d), jnp.bfloat16)
+        k = jax.random.normal(kq[1], (b, t, hkv, d), jnp.float32)
+        v = jax.random.normal(kq[2], (b, t, hkv, d), jnp.float32)
+        ck = QuantKVCache.create(b, t, hkv, d, "int4",
+                                 layout="ck4").update(k, 0)
+        cv = QuantKVCache.create(b, t, hkv, d, "int4",
+                                 layout="ptok4").update(v, 0)
+        lengths = jnp.array([128, 77], jnp.int32)
+        ref = self._reference(q, ck.dequantize(jnp.bfloat16),
+                              cv.dequantize(jnp.bfloat16), lengths, d ** -0.5)
+        with pltpu.force_tpu_interpret_mode():
+            y = decode_attention(q, ck.qdata, cv.qdata, lengths,
+                                 k_scale=ck.scale, v_scale=cv.scale,
+                                 sm_scale=d ** -0.5, k_layout="ck4")
+        err = compute_error(ref, y.astype(jnp.float32))
+        assert err > 25, float(err)
+
+
+class TestInterpretFusedActQuant:
+    """Producer-epilogue activation quant kernels (fused_act.py) vs the
+    unfused XLA composition — identical math, one HBM pass."""
+
+    def test_norm_modulate_quant(self):
+        from ao_tpu.ops.pallas.fused_act import norm_modulate_quant_pallas
+
+        b, t, d = 2, 100, 256  # ragged T exercises the row padding
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        h = jax.random.normal(ks[0], (b, t, d), jnp.bfloat16)
+        sh = jax.random.normal(ks[1], (b, d), jnp.float32) * 0.1
+        sm = jax.random.normal(ks[2], (b, d), jnp.float32) * 0.1
+        with pltpu.force_tpu_interpret_mode():
+            q, s = norm_modulate_quant_pallas(h, sh, sm, 1e-6)
+        xf = h.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+        y = y * (1.0 + sm[:, None]) + sh[:, None]
+        got = q.astype(jnp.float32) * s
+        assert compute_error(y, got) > 30
+        assert q.shape == (b, t, d) and s.shape == (b, t, 1)
+
+    def test_gelu_quant(self):
+        from ao_tpu.ops.pallas.fused_act import gelu_quant_pallas
+
+        y = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 128),
+                              jnp.bfloat16) * 2
+        with pltpu.force_tpu_interpret_mode():
+            q, s = gelu_quant_pallas(y)
+        ref = jax.nn.gelu(y.astype(jnp.float32), approximate=True)
+        assert compute_error(ref, q.astype(jnp.float32) * s) > 30
+
+    def test_silu_mul_quant(self):
+        from ao_tpu.ops.pallas.fused_act import silu_mul_quant_pallas
+
+        ks = jax.random.split(jax.random.PRNGKey(2), 2)
+        a = jax.random.normal(ks[0], (1, 32, 256), jnp.bfloat16)
+        bb = jax.random.normal(ks[1], (1, 32, 256), jnp.bfloat16)
+        with pltpu.force_tpu_interpret_mode():
+            q, s = silu_mul_quant_pallas(a, bb)
+        ref = jax.nn.silu(a.astype(jnp.float32)) * bb.astype(jnp.float32)
+        assert compute_error(ref, q.astype(jnp.float32) * s) > 30
+
 
 class TestInterpretFlashAttention:
     @pytest.mark.parametrize("causal", [True, False])

@@ -17,12 +17,25 @@ def _write(dirpath, fname, rows):
             f.write(json.dumps(r) + "\n")
 
 
-def _run(fresh, base):
+def _run(fresh, base, min_rows=0):
+    env = dict(os.environ, AO_REG_MIN_ROWS=str(min_rows))
     out = subprocess.run(
         [sys.executable, SCRIPT, str(fresh), str(base)],
-        capture_output=True, text=True,
+        capture_output=True, text=True, env=env,
     )
     return out.returncode, json.loads(out.stdout)
+
+
+def test_thin_baseline_fails(tmp_path):
+    """A half-empty baseline (few overlapping rows) must FAIL the gate
+    rather than vacuously pass (VERDICT r4 weak #7: rows_compared=2)."""
+    base, fresh = tmp_path / "chipday_a", tmp_path / "chipday_b"
+    _write(base, "serving.json", [{"config": "slots", "tok_s_e2e": 100.0}])
+    _write(fresh, "serving.json", [{"config": "slots", "tok_s_e2e": 100.0}])
+    code, rep = _run(fresh, base, min_rows=25)
+    assert code == 1 and rep["thin_baseline"] is True
+    code, rep = _run(fresh, base, min_rows=1)
+    assert code == 0 and rep["thin_baseline"] is False
 
 
 def test_pass_within_tolerance(tmp_path):

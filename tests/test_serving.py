@@ -46,6 +46,30 @@ class TestQuantKVCache:
         bf16_bytes = 1 * 128 * 8 * 128 * 2
         assert c8.qdata.nbytes == bf16_bytes // 2
 
+    @pytest.mark.parametrize("layout", ["ck4", "ptok4"])
+    def test_plane_layout_roundtrip(self, layout):
+        """int4 plane layouts: arbitrary-position writes + dequantize
+        inversion (ck4's channel-word packing and the plane-permuted
+        scales both roundtrip)."""
+        c = QuantKVCache.create(2, 64, 4, 128, "int4", layout=layout)
+        x1 = jax.random.normal(KEY, (2, 5, 4, 128), jnp.float32)
+        x2 = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 4, 128),
+                               jnp.float32)
+        c = c.update(x1, 0)
+        c = c.update(x2, jnp.array([5, 63], jnp.int32))
+        back = c.dequantize(jnp.float32)
+        assert float(compute_error(x1, back[:, :5])) > 15.0
+        assert float(compute_error(x2[0], back[0, 5:6])) > 15.0
+        assert float(compute_error(x2[1], back[1, 63:64])) > 15.0
+
+    def test_int4_init_uses_plane_pair(self):
+        caches = init_quant_kv_caches(CFG, 1, 64, "int4")
+        k, v = caches[0]
+        assert k.layout == "ck4" and v.layout == "ptok4"
+        caches = init_quant_kv_caches(CFG, 1, 40, "int4")
+        k, v = caches[0]
+        assert k.layout == "tokens" and v.layout == "tokens"
+
     @pytest.mark.parametrize("layout", ["ktp", "ptok"])
     def test_parity_layout_roundtrip(self, layout):
         """fp8 parity layouts: arbitrary-position writes land at the
