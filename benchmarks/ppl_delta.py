@@ -50,8 +50,12 @@ SMOKE = bool(os.environ.get("AO_TPU_PPL_SMOKE"))  # fast CPU smoke
 
 
 def make_cfg(vocab):
-    return llama.LlamaConfig(vocab_size=vocab, dim=256, n_layers=4,
-                             n_heads=8, n_kv_heads=4, ffn_dim=512,
+    # dim 384 / 1200 steps (r5, was 256/300): the r4 model could not
+    # resolve 4-bit error above eval noise (int4 delta read -0.0004) —
+    # a better-trained, wider model plus the paired per-shard stderr
+    # below gives the ladder discriminative power (VERDICT r4 missing #4)
+    return llama.LlamaConfig(vocab_size=vocab, dim=384, n_layers=4,
+                             n_heads=8, n_kv_heads=4, ffn_dim=768,
                              tie_embeddings=True, dtype=jnp.bfloat16)
 
 
@@ -92,44 +96,60 @@ LADDER = [
      lambda: ao_tpu.Int8DynamicActivationInt4WeightConfig(group_size=64)),
     ("nf4 g64", lambda: ao_tpu.NF4WeightOnlyConfig(block_size=64)),
     ("intx-3bit", lambda: ao_tpu.IntxWeightOnlyConfig(bit_width=3)),
+    # 2-bit anchors the ladder where quantization error is unambiguous
+    ("intx-2bit", lambda: ao_tpu.IntxWeightOnlyConfig(bit_width=2)),
 ]
 
 
-def run_ladder(params, cfg, eval_toks, tag, strict=True):
-    def ppl_of(p):
-        return perplexity(lambda b: llama.forward(p, b, cfg)[0],
-                          eval_toks, seq_len=SEQ, batch_size=8)
+N_SHARDS = 2 if SMOKE else 8
 
-    base_ppl = ppl_of(params)
+
+def run_ladder(params, cfg, eval_toks, tag, strict=True):
+    from ao_tpu.eval.perplexity import perplexity_shards
+
+    def shard_nll(p):
+        return perplexity_shards(lambda b: llama.forward(p, b, cfg)[0],
+                                 eval_toks, seq_len=SEQ, batch_size=8,
+                                 n_shards=N_SHARDS)
+
+    base_nll = shard_nll(params)
+    base_ppl = float(np.exp(base_nll.mean()))
     print(f"[{tag}] bf16 ppl {base_ppl:.4f}")
     rows = {}
     for name, cfg_fn in LADDER:
         qp = ao_tpu.quantize_(params, cfg_fn())
-        ppl = ppl_of(qp)
-        rows[name] = {"ppl": round(ppl, 4),
-                      "delta": round(ppl - base_ppl, 4)}
-        print(f"[{tag}] {name:14s} ppl {ppl:.4f}  "
-              f"delta {ppl - base_ppl:+.4f}")
+        nll = shard_nll(qp)
+        # PAIRED per-shard ppl deltas: base and quantized evaluated on the
+        # SAME shards, so shard-content variance cancels and the stderr
+        # resolves effects ~100x below the pooled-number noise floor
+        d = np.exp(nll) - np.exp(base_nll)
+        delta = float(d.mean())
+        stderr = float(d.std(ddof=1) / np.sqrt(N_SHARDS))
+        rows[name] = {"ppl": round(float(np.exp(nll.mean())), 4),
+                      "delta": round(delta, 4),
+                      "stderr": round(stderr, 5)}
+        print(f"[{tag}] {name:14s} ppl {rows[name]['ppl']:.4f}  "
+              f"delta {delta:+.4f} +- {stderr:.5f}")
 
-    # acceptance: deltas ordered by information kept — 8-bit (weight-only
-    # or dynamic-act) tighter than 4-bit, 4-bit tighter than 3-bit — and
-    # 8-bit deltas small in absolute terms. Matches the ordering of the
-    # reference wikitext table (int8 +0.014 < nvfp4 +1.114). The REAL
-    # corpus carries the strict full ordering; the Zipf ladder keeps only
-    # the noise-robust subset (its weakly-structured model can't resolve
-    # 4-bit error above eval noise). Skipped entirely in smoke mode: a
-    # 30-step model has no structure to lose.
+    # acceptance: deltas ordered by information kept, each resolved
+    # against its PAIRED stderr. Matches the ordering of the reference
+    # wikitext table (int8 +0.014 < int8xint8 +0.122 < nvfp4 +1.114,
+    # inference.md:44-51). Skipped entirely in smoke mode: a 30-step
+    # model has no structure to lose.
     if not SMOKE:
         if strict:
-            # every >=4-bit format must beat 3-bit decisively; the
-            # int8-vs-int4 deltas themselves are +-3e-3 on this model —
-            # below run-to-run eval noise (one run measured int8 +0.0034
-            # vs int4 -0.0004), so like the reference table the strict
-            # ordering is asserted per-CLASS (8-bit ~ 4-bit << 3-bit),
-            # with the 8-bit absolute bound carrying the fidelity gate
-            for name in ("int8-WO", "int4-WO g64", "w4a8 g64", "nf4 g64"):
-                assert rows[name]["delta"] < rows["intx-3bit"]["delta"], (
-                    tag, name)
+            # 4-bit formats must now be POSITIVE and resolved (>2 stderr),
+            # and the bit-width ordering must hold with resolved gaps
+            for name in ("int4-WO g64", "nf4 g64"):
+                r = rows[name]
+                assert r["delta"] > 2 * r["stderr"], (tag, name, r)
+            for lo, hi in (("int4-WO g64", "intx-3bit"),
+                           ("intx-3bit", "intx-2bit")):
+                gap = rows[hi]["delta"] - rows[lo]["delta"]
+                sig = np.hypot(rows[hi]["stderr"], rows[lo]["stderr"])
+                assert gap > 2 * sig, (tag, lo, hi, rows[lo], rows[hi])
+            # 8-bit stays tighter than 4-bit and small in absolute terms
+            assert rows["int8-WO"]["delta"] < rows["int4-WO g64"]["delta"], tag
             assert abs(rows["int4-WO g64"]["delta"]) < 0.05 * base_ppl, tag
         assert rows["int8-WO"]["delta"] < rows["intx-3bit"]["delta"], tag
         assert abs(rows["int8-WO"]["delta"]) < 0.05 * base_ppl, tag
@@ -138,7 +158,7 @@ def run_ladder(params, cfg, eval_toks, tag, strict=True):
 
 def main():
     key = jax.random.PRNGKey(0)
-    steps = 30 if SMOKE else 300
+    steps = 30 if SMOKE else 1200
     report = {}
 
     # ---- 1. REAL corpus: byte-level LM over committed English prose ----
@@ -166,10 +186,12 @@ def main():
     # zero-egress analog — see ao_tpu/eval/cloze.py) ----
     from ao_tpu.eval.cloze import cloze_accuracy
 
+    n_cloze = 24 if SMOKE else 1000  # 1k items: sigma ~ 1.5% (was 96/5%)
+
     def acc_of(p):
         return cloze_accuracy(
             lambda b: llama.forward(p, b, cfg_real)[0], eval_toks,
-            context_len=96, cont_len=32, n_items=24 if SMOKE else 96)
+            context_len=96, cont_len=32, n_items=n_cloze)
 
     acc_rows = {"bf16": round(acc_of(params_real), 4)}
     print(f"[real] cloze acc bf16 {acc_rows['bf16']:.4f}")
@@ -179,10 +201,11 @@ def main():
         print(f"[real] cloze acc {name:14s} {acc_rows[name]:.4f} "
               f"(drop {acc_rows['bf16'] - acc_rows[name]:+.4f})")
     if not SMOKE:
-        # 8-bit must stay near bf16; 3-bit may not beat 8-bit beyond the
-        # task's sampling noise (96 items => +-~0.05 at 1 sigma)
-        assert acc_rows["bf16"] - acc_rows["int8-WO"] < 0.05
-        assert acc_rows["intx-3bit"] <= acc_rows["int8-WO"] + 0.06
+        # 8-bit must stay near bf16 (1k items: 3 sigma ~ 0.045); the
+        # low-bit anchors must show a real task-accuracy cost ordering
+        assert acc_rows["bf16"] - acc_rows["int8-WO"] < 0.045
+        assert acc_rows["intx-3bit"] <= acc_rows["int8-WO"] + 0.045
+        assert acc_rows["intx-2bit"] <= acc_rows["intx-3bit"] + 0.02
     report["real"]["cloze_acc"] = acc_rows
 
     # ---- speculative-decode acceptance on a TRAINED model (the
