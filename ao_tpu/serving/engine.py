@@ -185,6 +185,11 @@ class Engine:
         self.positions = _np.zeros((b,), _np.int32)  # next write index
         self.cur_tok = _np.zeros((b,), _np.int32)
         self.active = _np.zeros((b,), bool)
+        # device-resident mirrors of (cur_tok, positions, active) and the
+        # samp/pen argument tuples for the k=1 hot loop; invalidated by
+        # _mark_state_dirty() whenever host-side slot state changes
+        self._dev_state = None
+        self._dev_args = None
         self._slots: List[Optional[Request]] = [None] * b
         self._uid = 0
         self._queue: List[Request] = []
@@ -336,7 +341,10 @@ class Engine:
     def _step_impl(self, params, caches, cur_tok, positions, active, step,
                    samp, pen=None):
         """One decode step for all slots; returns
-        (caches, next_tok, counts, logprob_info)."""
+        (caches, next_tok, new_positions, counts, logprob_info). The new
+        positions come back ON DEVICE so the k=1 hot loop can keep
+        device-resident state mirrors and skip per-step H2D transfers
+        (each one pays tunnel latency — see step())."""
         mcfg = self.model_cfg
         b = self.cfg.max_batch
         pos = positions[:, None]  # (B, 1)
@@ -346,9 +354,12 @@ class Engine:
         )
         nxt, lpi = self._pick2(logits[:, -1], positions[0], step, samp, pen)
         nxt = jnp.where(active, nxt, cur_tok)
+        cap = self.cfg.max_seq - 1
+        new_pos = jnp.where(active, jnp.minimum(positions + 1, cap),
+                            positions)
         counts = (None if pen is None
                   else self._count_picked(pen[4], nxt, active))
-        return new_caches, nxt, counts, lpi
+        return new_caches, nxt, new_pos, counts, lpi
 
     def _step_multi_impl(self, params, caches, cur_tok, positions, active,
                          step, samp, pen=None, block_table=None, *, k):
@@ -780,6 +791,7 @@ class Engine:
                     self.cur_tok[slot] = int(tok)
                     self.positions[slot] = len(req.prompt)
                     self.active[slot] = True
+                    self._mark_state_dirty()
                     self._slots[slot] = req
                     self._maybe_finish(req)
                     continue
@@ -809,6 +821,7 @@ class Engine:
                 self.cur_tok[slot] = int(tok)
                 self.positions[slot] = len(req.prompt)
                 self.active[slot] = True
+                self._mark_state_dirty()
                 self._slots[slot] = req
                 self._maybe_finish(req)
                 continue
@@ -850,6 +863,7 @@ class Engine:
             self.cur_tok[slot] = int(tok)
             self.positions[slot] = len(req.prompt)
             self.active[slot] = True
+            self._mark_state_dirty()
             self._slots[slot] = req
             self._maybe_finish(req)
 
@@ -901,6 +915,13 @@ class Engine:
             req.top_logprobs.append(
                 [(int(t), float(v)) for t, v in zip(ti[:n], tv[:n])])
 
+
+    def _mark_state_dirty(self) -> None:
+        """Invalidate the k=1 hot loop's device-resident state mirrors
+        (call after any host-side mutation of slot state)."""
+        self._dev_state = None
+        self._dev_args = None
+
     def _maybe_finish(self, req: Request) -> None:
         g = req.generated
         if g and g[-1] == self.cfg.eos_id:
@@ -926,6 +947,7 @@ class Engine:
         self._finished_total += 1
         self._tokens_total += len(req.generated)
         self.active[req.slot] = False
+        self._mark_state_dirty()
         self._slots[req.slot] = None
         self._finished.append(req)
         if self.paged:
@@ -994,12 +1016,33 @@ class Engine:
         if self.paged:
             self._grow_pages(k)
         if k == 1:
-            args = (self.params, self.caches, jnp.asarray(self.cur_tok),
-                    jnp.asarray(self.positions), jnp.asarray(self.active))
             if self.paged:
-                args += (self.block_table,)
-            args += (self._next_salt(), self._samp_args(), self._pen_args())
-            self.caches, nxt, counts, lpis = self._step(*args)
+                args = (self.params, self.caches, jnp.asarray(self.cur_tok),
+                        jnp.asarray(self.positions), jnp.asarray(self.active),
+                        self.block_table, self._next_salt(),
+                        self._samp_args(), self._pen_args())
+                self.caches, nxt, counts, lpis = self._step(*args)
+            else:
+                # device-resident state mirrors: cur_tok/positions come
+                # back from the step itself and samp/pen args only change
+                # on admission/finish, so the steady-state hot loop does
+                # ONE H2D-free dispatch + one D2H token read — each extra
+                # transfer pays tunnel latency (slots_bf16kv measured 401
+                # tok/s at k=1 vs 1134 for the raw loop, VERDICT r4 #8)
+                if self._dev_state is None:
+                    self._dev_state = (jnp.asarray(self.cur_tok),
+                                       jnp.asarray(self.positions),
+                                       jnp.asarray(self.active))
+                    self._dev_args = (self._samp_args(), self._pen_args())
+                cur_d, pos_d, act_d = self._dev_state
+                samp_d, pen_d = self._dev_args
+                if pen_d is not None:
+                    # the output-count buffer advances on device each step
+                    pen_d = pen_d[:4] + (self._out_counts,) + pen_d[5:]
+                self.caches, nxt, new_pos, counts, lpis = self._step(
+                    self.params, self.caches, cur_d, pos_d, act_d,
+                    self._next_salt(), samp_d, pen_d)
+                self._dev_state = (nxt, new_pos, act_d)
             toks_host = _np.asarray(nxt)[None]  # (1, B); ONE device read
             if lpis is not None:
                 lpis = jax.tree_util.tree_map(lambda a: a[None], lpis)
