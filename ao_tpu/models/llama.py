@@ -361,7 +361,22 @@ def mlp(layer: Dict[str, Any], x: jax.Array, cfg=None) -> jax.Array:
                          n_experts=cfg.n_experts, top_k=cfg.top_k_experts,
                          norm_topk=cfg.norm_topk_experts)
         return moe_forward(layer, x, mcfg)
-    h = jax.nn.silu(linear(x, layer["w1"])) * linear(x, layer["w3"])
+    a, bq = linear(x, layer["w1"]), linear(x, layer["w3"])
+    w2 = layer["w2"]
+    aq = getattr(w2, "act_quant", None)
+    if ("r4" not in layer and aq is not None and aq.dtype == "int8"
+            and aq.symmetric and aq.granularity == "per_token"
+            and x.shape[-2] > 1):
+        # prefill W8A8/W4A8: emit the SwiGLU gate as int8 qdata+scales in
+        # one HBM pass (producer-epilogue quant, ops/pallas/fused_act.py)
+        # — the standalone per-token quantize chain re-reads the f32
+        # activation and cancels the int8 MXU win. Decode (S==1) keeps
+        # the plain path: tiny activations, and the fused WO kernels own
+        # that regime.
+        from ao_tpu.ops.act_quant import silu_mul_quant
+
+        return linear(silu_mul_quant(a, bq), w2)
+    h = jax.nn.silu(a) * bq
     if "r4" in layer:
         # SpinQuant R4: online Hadamard on the down_proj contraction dim;
         # the matching Hᵀ is fused into w2 by algorithms.spinquant

@@ -1,5 +1,8 @@
 from ao_tpu.ops.linear import linear
-from ao_tpu.ops.act_quant import quantize_activation
+from ao_tpu.ops.act_quant import (
+    QuantizedActivation, gelu_quant, norm_modulate_quant, quantize_activation,
+    silu_mul_quant,
+)
 from ao_tpu.ops.attention import quantized_sdpa, sdpa_reference
 from ao_tpu.ops.conv import conv2d, conv3d
 from ao_tpu.ops.embedding import embedding

@@ -78,6 +78,39 @@ def _xla_ref(q, kd, ks, vd, vs, lengths, k_layout, v_layout):
     return jnp.einsum("bht,bthd->bhd", p, v)
 
 
+def prefill_rows():
+    """Quantized PREFILL attention vs the bf16 flash kernel (VERDICT r4
+    next-step 7: `quantized_sdpa` was correctness-tested but had zero
+    perf evidence; the reference's analog is a measured FA3 fp8 win,
+    prototype/attention/api.py:68). Measured per (dtype, rotate, S)."""
+    from ao_tpu.ops.attention import quantized_sdpa
+    from ao_tpu.ops.pallas.flash_attention import flash_attention
+
+    for s in (1024, 2048):
+        ks = jax.random.split(jax.random.PRNGKey(s), 3)
+        q = jax.random.normal(ks[0], (B, H, s, D), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (B, H, s, D), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (B, H, s, D), jnp.bfloat16)
+
+        def mutate(args, i):
+            return (args[0] + jnp.bfloat16(i * 1e-3),) + args[1:]
+
+        fl = jax.jit(lambda q, k, v: flash_attention(q, k, v, causal=True))
+        us_flash = device_time_us(fl, q, k, v, iters=6, mutate=mutate)
+        print(json.dumps({"kv": "prefill_bf16_flash", "T": s,
+                          "us": round(us_flash, 1)}), flush=True)
+        for dt, rot in (("int8", False), ("int8", True),
+                        ("float8_e4m3fn", False)):
+            f = jax.jit(lambda q, k, v, dt=dt, rot=rot: quantized_sdpa(
+                q, k, v, dtype=dt, causal=True, rotate=rot))
+            us = device_time_us(f, q, k, v, iters=6, mutate=mutate)
+            print(json.dumps({
+                "kv": f"prefill_sdpa_{dt}{'_rot' if rot else ''}", "T": s,
+                "us": round(us, 1),
+                "vs_flash": round(us_flash / us, 3),
+            }), flush=True)
+
+
 def main():
     from ao_tpu.ops.pallas.decode_attention import decode_attention
 
@@ -136,6 +169,8 @@ def main():
                 "pct_sol": round(100 * roof_us / max(us, 1e-9), 1),
                 "xla_ref_us": us_xla,
             }), flush=True)
+
+    prefill_rows()
 
 
 if __name__ == "__main__":
