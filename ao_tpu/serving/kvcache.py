@@ -209,11 +209,49 @@ class QuantKVCache:
             starts = index if per_slot else jnp.full((b,), index, jnp.int32)
             cols = _clamped_cols(starts, s_tok, t)
             if self.layout in ("ck4", "ptok4"):
-                from ao_tpu.ops.pallas import plane_slot, plane_window
+                from ao_tpu.ops.pallas import (
+                    plane_major_perm, plane_slot, plane_window,
+                )
 
                 scalar_1tok = not per_slot and s_tok == 1
-                pcols = jnp.where(cols == t, t,
-                                  plane_slot(cols, plane_window(t)))
+                pbt = plane_window(t)
+                aligned = (not per_slot and s_tok > 1
+                           and isinstance(index, int) and index % pbt == 0
+                           and index + -(-s_tok // pbt) * pbt <= t)
+                if aligned:
+                    # whole-window prefill: gather + contiguous DUS (see
+                    # the parity-layout fast path above); zero-pad fills
+                    # masked positions with inert u=8 (value 0) nibbles
+                    sp = -(-s_tok // pbt) * pbt
+                    perm = plane_major_perm(pbt)
+                    nw = sp // pbt
+                    shp = jnp.pad(sh, ((0, 0), (0, 0), (0, sp - s_tok)))
+                    shp = shp.reshape(b, h, nw, pbt)[..., perm].reshape(
+                        b, h, sp)
+                    scale = jax.lax.dynamic_update_slice(
+                        self.scale, shp, (0, 0, index))
+                    qp = jnp.pad(
+                        q, ((0, 0), (0, sp - s_tok), (0, 0), (0, 0)),
+                        constant_values=8)
+                    if self.layout == "ck4":
+                        d = q.shape[3]
+                        ug = qp.reshape(b, sp, h, d // 8, 8)
+                        word = jnp.zeros(ug.shape[:-1], jnp.int32)
+                        for o in range(8):
+                            word = word | (ug[..., o] << _kv_shift(o))
+                        wk = word.transpose(0, 2, 3, 1)  # (B,H,D/8,S)
+                        wk = wk.reshape(*wk.shape[:3], nw, pbt)[
+                            ..., perm].reshape(*wk.shape[:3], sp)
+                        qdata = jax.lax.dynamic_update_slice(
+                            self.qdata, wk, (0, 0, 0, index))
+                    else:  # ptok4: whole word rows, token-natural
+                        words = jax.vmap(_pack_tok_int4)(
+                            qp.reshape(b, sp, -1))
+                        qdata = jax.lax.dynamic_update_slice(
+                            self.qdata, words, (0, index // 8, 0))
+                    return dataclasses.replace(
+                        self, qdata=qdata, scale=scale)
+                pcols = jnp.where(cols == t, t, plane_slot(cols, pbt))
                 if self.layout == "ck4":
                     # pack 8 CHANNEL nibbles per word; one pure column
                     # write per token — no read-modify-write
@@ -276,11 +314,46 @@ class QuantKVCache:
             # write columns map through parity_slot, so even a contiguous
             # token window scatters (cheap — decode writes 1 token/slot,
             # prefill writes are one-time)
-            from ao_tpu.ops.pallas import parity_slot, parity_window
+            from ao_tpu.ops.pallas import (
+                parity_major_perm, parity_slot, parity_window,
+            )
 
             pbt = parity_window(t)
             starts = index if per_slot else jnp.full((b,), index, jnp.int32)
             scalar_1tok = not per_slot and s_tok == 1
+            # window-aligned PREFILL fast path: whole permutation windows
+            # write as an in-window GATHER + one contiguous DUS instead of
+            # an O(s_tok) column scatter (XLA serializes scatters; a 4k
+            # prompt's K write was the slow path)
+            aligned = (not per_slot and s_tok > 1 and isinstance(index, int)
+                       and index % pbt == 0
+                       and index + -(-s_tok // pbt) * pbt <= t)
+            if aligned:
+                # pad the write to whole windows: positions past s_tok are
+                # beyond the valid length (masked by the kernel, later
+                # overwritten by decode steps), so the zero-fill is inert
+                sp = -(-s_tok // pbt) * pbt
+                perm = parity_major_perm(pbt)
+                nw = sp // pbt
+                shp = jnp.pad(sh, ((0, 0), (0, 0), (0, sp - s_tok)))
+                shp = shp.reshape(b, h, nw, pbt)[..., perm].reshape(
+                    b, h, sp)
+                scale = jax.lax.dynamic_update_slice(
+                    self.scale, shp, (0, 0, index))
+                if self.layout == "ktp":
+                    qk = q.transpose(0, 2, 3, 1)  # (B, H, D, S)
+                    qk = jnp.pad(
+                        qk, ((0, 0),) * 3 + ((0, sp - s_tok),))
+                    qk = qk.reshape(*qk.shape[:3], nw, pbt)[
+                        ..., perm].reshape(*qk.shape[:3], sp)
+                    qdata = jax.lax.dynamic_update_slice(
+                        self.qdata, qk, (0, 0, 0, index))
+                else:  # ptok: values token-natural (no data permute)
+                    qf = jnp.pad(q.reshape(b, s_tok, -1),
+                                 ((0, 0), (0, sp - s_tok), (0, 0)))
+                    qdata = jax.lax.dynamic_update_slice(
+                        self.qdata, qf, (0, index, 0))
+                return dataclasses.replace(self, qdata=qdata, scale=scale)
             cols = _clamped_cols(starts, s_tok, t)
             pcols = jnp.where(cols == t, t, parity_slot(cols, pbt))
             if self.layout == "ktp":
