@@ -193,11 +193,21 @@ def forward(
             attn_out = rms_norm(attn_out, layer["post_ln1"], cfg.norm_eps)
         x = x + attn_out
         h = rms_norm(x, layer["ln2"], cfg.norm_eps)
-        g = jax.nn.gelu(
-            linear(h, layer["mlp"]["w1"]).astype(jnp.float32), approximate=True
-        ).astype(x.dtype)
+        w2 = layer["mlp"]["w2"]
+        aq = getattr(w2, "act_quant", None)
+        a_gate = linear(h, layer["mlp"]["w1"])
         up = linear(h, layer["mlp"]["w3"])
-        ffw = linear(g * up, layer["mlp"]["w2"])
+        if (aq is not None and aq.dtype == "int8" and aq.symmetric
+                and aq.granularity == "per_token" and h.shape[-2] > 1):
+            # prefill W8A8/W4A8: GeGLU emits int8 qdata+scales in one HBM
+            # pass (producer-epilogue quant — see models/llama.py mlp)
+            from ao_tpu.ops.act_quant import silu_mul_quant
+
+            ffw = linear(silu_mul_quant(a_gate, up, act="gelu"), w2)
+        else:
+            g = jax.nn.gelu(a_gate.astype(jnp.float32),
+                            approximate=True).astype(x.dtype)
+            ffw = linear(g * up, w2)
         if cfg.post_norms:
             ffw = rms_norm(ffw, layer["post_ln2"], cfg.norm_eps)
         x = x + ffw

@@ -95,8 +95,9 @@ def gelu_quant(y) -> QuantizedActivation:
     return QuantizedActivation(qdata=q, scale=s)
 
 
-def silu_mul_quant(a, b) -> QuantizedActivation:
-    """SwiGLU gate (silu(a)*b) + per-token int8 quantize, one HBM pass."""
+def silu_mul_quant(a, b, act: str = "silu") -> QuantizedActivation:
+    """Gated-MLP product (silu(a)*b SwiGLU, or gelu(a)*b GeGLU with
+    ``act="gelu"``) + per-token int8 quantize, one HBM pass."""
     from ao_tpu.ops import kernels as _k
 
     if _k._use_pallas():
@@ -104,12 +105,14 @@ def silu_mul_quant(a, b) -> QuantizedActivation:
         from ao_tpu.ops.pallas.fused_act import silu_mul_quant_pallas
 
         try:
-            q, s = silu_mul_quant_pallas(a, b)
+            q, s = silu_mul_quant_pallas(a, b, act=act)
             return QuantizedActivation(qdata=q, scale=s)
         except UnsupportedShape:
             pass
-    q, s = _xla_row_quant(
-        jax.nn.silu(a.astype(jnp.float32)) * b.astype(jnp.float32))
+    af = a.astype(jnp.float32)
+    gate = (jax.nn.silu(af) if act == "silu"
+            else jax.nn.gelu(af, approximate=True))
+    q, s = _xla_row_quant(gate * b.astype(jnp.float32))
     return QuantizedActivation(qdata=q, scale=s)
 
 

@@ -155,19 +155,21 @@ def gelu_quant_pallas(y):
     return q[:, :t], s[:, :t, :1]
 
 
-def _silu_mul_quant_kernel(a_ref, b_ref, q_ref, s_ref):
+def _silu_mul_quant_kernel(a_ref, b_ref, q_ref, s_ref, *, act):
     a = a_ref[0].astype(jnp.float32)
-    y = jax.nn.silu(a) * b_ref[0].astype(jnp.float32)
+    gate = (jax.nn.silu(a) if act == "silu"
+            else jax.nn.gelu(a, approximate=True))
+    y = gate * b_ref[0].astype(jnp.float32)
     q, sc = _row_quant(y)
     q_ref[0] = q
     s_ref[0] = jnp.broadcast_to(sc, s_ref.shape[1:])
 
 
-@functools.partial(jax.jit, static_argnames=("bm",))
-def _silu_mul_quant_impl(a, bb, *, bm):
+@functools.partial(jax.jit, static_argnames=("bm", "act"))
+def _silu_mul_quant_impl(a, bb, *, bm, act="silu"):
     b, t, d = a.shape
     return pl.pallas_call(
-        _silu_mul_quant_kernel,
+        functools.partial(_silu_mul_quant_kernel, act=act),
         grid=(b, t // bm),
         in_specs=[
             pl.BlockSpec((1, bm, d), lambda bi, ti: (bi, ti, 0),
@@ -193,14 +195,14 @@ def _silu_mul_quant_impl(a, bb, *, bm):
     )(a, bb)
 
 
-def silu_mul_quant_pallas(a, b):
-    """SwiGLU gate (silu(a) * b) + per-token int8 quantize, one HBM pass
-    over each input. a/b (B, T, D)."""
+def silu_mul_quant_pallas(a, b, act: str = "silu"):
+    """Gated-MLP product (silu(a)*b SwiGLU / gelu(a)*b GeGLU) + per-token
+    int8 quantize, one HBM pass over each input. a/b (B, T, D)."""
     bb, t, d = a.shape
     if d % 128:
         raise UnsupportedShape(f"D={d} misaligned")
     ap, tp = _pad_rows(a, t)
     bp, _ = _pad_rows(b, t)
     bm = _pick_bm(tp, d)
-    q, s = _silu_mul_quant_impl(ap, bp, bm=bm)
+    q, s = _silu_mul_quant_impl(ap, bp, bm=bm, act=act)
     return q[:, :t], s[:, :t, :1]
