@@ -173,6 +173,61 @@ def test_reduce_gather_wire_sums_correctly():
     assert float(compute_error(want, got)) > 30.0
 
 
+def test_tp_decode_with_kv_caches():
+    """Explicit-TP decode: head-sharded bf16 KV caches through
+    tp_forward_local's cache pass-through match single-device decode."""
+    import functools
+
+    params, sharded, tokens, toks, mesh = _setup()
+    b, s = 2, 5
+    toks_dec = jax.random.randint(jax.random.PRNGKey(3), (b, s), 0,
+                                  CFG.vocab_size)
+    max_seq = 16
+
+    # single-device reference: teacher-forced decode steps
+    caches = llama.init_kv_caches(CFG, b, max_seq)
+    outs = []
+    for t in range(s):
+        pos = jnp.full((b, 1), t, jnp.int32)
+        logits, caches = llama.forward(
+            params, toks_dec[:, t:t + 1], CFG, positions=pos,
+            kv_caches=caches, cache_index=t)
+        outs.append(logits[:, 0])
+    ref = jnp.stack(outs, axis=1)
+
+    # TP: same steps under shard_map with kv-head-sharded caches
+    tpn = mesh.shape["tp"]
+    spec_c = P(None, None, "tp", None)
+    caches_tp = [
+        (jax.device_put(k, NamedSharding(mesh, spec_c)),
+         jax.device_put(v, NamedSharding(mesh, spec_c)))
+        for k, v in llama.init_kv_caches(CFG, b, max_seq)
+    ]
+    pspecs = tp_llama.param_pspecs(sharded, "tp")
+    cache_specs = [(spec_c, spec_c)] * CFG.n_layers
+
+    def step(p, c, tok, t):
+        def body(pl_, cl, tl):
+            pos = jnp.full((b, 1), t, jnp.int32)
+            logits, newc = tp_llama.tp_forward_local(
+                pl_, tl, CFG, wire="bf16", positions=pos,
+                kv_caches=cl, cache_index=t)
+            return logits, newc
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(pspecs, cache_specs, P(None, None)),
+            out_specs=(P(None, None, None), cache_specs),
+            check_vma=False)(p, c, tok)
+
+    outs_tp = []
+    for t in range(s):
+        logits, caches_tp = step(sharded, caches_tp, toks_dec[:, t:t + 1], t)
+        outs_tp.append(logits[:, 0])
+    got = jnp.stack(outs_tp, axis=1)
+    assert float(compute_error(ref, got)) > 30.0
+
+
 def test_reduce_gather_wire_ragged_tokens():
     """Token counts not divisible by the axis pad internally and strip."""
     import functools
