@@ -92,6 +92,29 @@ class TestQuantKVCache:
         with pytest.raises(ValueError):
             QuantKVCache.create(1, 64, 2, 64, "int8", layout="ptok")
 
+    @pytest.mark.parametrize("pool_layout,scr_layout,dt", [
+        ("ktp", "ktp", "float8_e4m3fn"),    # window translation 2048 vs 64
+        ("ktp", "kt", "float8_e4m3fn"),     # legacy scratch -> parity pool
+        ("ptok", "tokens", "float8_e4m3fn"),
+        ("ck4", "ck4", "int4"),
+        ("ck4", "tokens", "int4"),
+        ("ptok4", "tokens", "int4"),
+    ])
+    def test_insert_slot_cross_layout(self, pool_layout, scr_layout, dt):
+        """Engine prefill scratch -> pool inserts translate between
+        layouts AND permutation windows; dequantize agrees with the
+        scratch contents at the target slot."""
+        pool = QuantKVCache.create(2, 2048 if pool_layout in ("ktp", "ptok")
+                                   else 128, 4, 128, dt, layout=pool_layout)
+        t_scr = 64
+        scr = QuantKVCache.create(1, t_scr, 4, 128, dt, layout=scr_layout)
+        x = jax.random.normal(KEY, (1, t_scr, 4, 128), jnp.float32)
+        scr = scr.update(x, 0)
+        pool = pool.insert_slot(scr, 1)
+        back = pool.dequantize(jnp.float32)[1, :t_scr]
+        want = scr.dequantize(jnp.float32)[0]
+        assert float(compute_error(want, back)) > 35.0
+
     def test_fp8_init_uses_parity_pair(self):
         caches = init_quant_kv_caches(CFG, 1, 64, "float8_e4m3fn")
         k, v = caches[0]
