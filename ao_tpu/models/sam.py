@@ -428,7 +428,19 @@ def encode_image(params: Dict[str, Any], images: jax.Array,
     while i < n_layers:
         if i in glb:
             lp = layers[i]
-            xa = _layernorm(x, lp["ln1"], cfg.norm_eps).reshape(b, h * w, d)
+            if _w8a8(lp["attn"]["wq"]):
+                # global layers have no pad mask: LN emits int8 straight
+                # into the three QKV linears (one producer-quant pass)
+                from ao_tpu.ops.act_quant import norm_modulate_quant
+
+                g1 = jnp.broadcast_to(lp["ln1"]["scale"][None],
+                                      (b, d)) - 1.0
+                b1 = jnp.broadcast_to(lp["ln1"]["bias"][None], (b, d))
+                xa = norm_modulate_quant(x.reshape(b, h * w, d), b1, g1,
+                                         cfg.norm_eps)
+            else:
+                xa = _layernorm(x, lp["ln1"], cfg.norm_eps
+                                ).reshape(b, h * w, d)
             xa = _mha(lp["attn"], xa, xa, cfg.n_heads, rel_side=h)
             x = x + xa.reshape(b, h, w, d)
             x = _mlp(x, lp)

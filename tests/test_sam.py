@@ -72,6 +72,9 @@ class TestQuantized:
         (ao_tpu.Int8WeightOnlyConfig(), 25.0),
         (ao_tpu.Int4WeightOnlyConfig(group_size=32), 9.0),
         (ao_tpu.Float8WeightOnlyConfig(), 20.0),
+        # w8a8 exercises the producer-epilogue quant paths (global-attn
+        # LN-quant + MLP LN/GELU-quant, fused_act.py)
+        (ao_tpu.Int8DynamicActivationInt8WeightConfig(), 18.0),
     ])
     def test_quantized_masks_close(self, tiny, config, min_db):
         cfg, params, imgs, coords, labels = tiny
