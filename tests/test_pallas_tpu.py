@@ -301,6 +301,59 @@ def test_decode_attention_kernel_parity():
     rkf = ref(q, ckf.dequantize(jnp.float32), cvf.dequantize(jnp.float32))
     assert compute_error(rkf, ykf) > 40
 
+    # fp8 parity pair ("ktp" K + "ptok" V): byte-splice decode, the
+    # serving default for fp8 caches
+    ckp = QuantKVCache.create(b, t, hkv, d, "float8_e4m3fn",
+                              layout="ktp").update(k, 0)
+    cvp = QuantKVCache.create(b, t, hkv, d, "float8_e4m3fn",
+                              layout="ptok").update(v, 0)
+    ykp = decode_attention(q, ckp.qdata, cvp.qdata, lengths,
+                           k_scale=ckp.scale, v_scale=cvp.scale,
+                           k_layout="ktp")
+    rkp = ref(q, ckp.dequantize(jnp.float32), cvp.dequantize(jnp.float32))
+    assert compute_error(rkp, ykp) > 40
+
+    # int4 plane pair ("ck4" channel-packed K + "ptok4" flat V): the
+    # MXU-native kt-form int4 decode, the serving default for int4 caches
+    ck4 = QuantKVCache.create(b, t, hkv, d, "int4",
+                              layout="ck4").update(k, 0)
+    cp4 = QuantKVCache.create(b, t, hkv, d, "int4",
+                              layout="ptok4").update(v, 0)
+    yc4 = decode_attention(q, ck4.qdata, cp4.qdata, lengths,
+                           k_scale=ck4.scale, v_scale=cp4.scale,
+                           k_layout="ck4")
+    rc4 = ref(q, ck4.dequantize(jnp.float32), cp4.dequantize(jnp.float32))
+    assert compute_error(rc4, yc4) > 40
+
+
+def test_fused_act_quant_kernels():
+    """Producer-epilogue quant kernels on real TPU vs the XLA math."""
+    from ao_tpu.ops.pallas.fused_act import (
+        gelu_quant_pallas, norm_modulate_quant_pallas, silu_mul_quant_pallas,
+    )
+
+    b, t, d = 2, 200, 256
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    h = jax.random.normal(ks[0], (b, t, d), jnp.bfloat16)
+    sh = jax.random.normal(ks[1], (b, d), jnp.float32) * 0.1
+    sm = jax.random.normal(ks[2], (b, d), jnp.float32) * 0.1
+    q, s = norm_modulate_quant_pallas(h, sh, sm, 1e-6)
+    xf = h.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+    y = y * (1.0 + sm[:, None]) + sh[:, None]
+    assert compute_error(y, q.astype(jnp.float32) * s) > 30
+
+    yy = jax.random.normal(ks[3], (b, t, d), jnp.bfloat16) * 2
+    q, s = gelu_quant_pallas(yy)
+    ref_g = jax.nn.gelu(yy.astype(jnp.float32), approximate=True)
+    assert compute_error(ref_g, q.astype(jnp.float32) * s) > 30
+
+    q, s = silu_mul_quant_pallas(h, yy)
+    ref_s = jax.nn.silu(h.astype(jnp.float32)) * yy.astype(jnp.float32)
+    assert compute_error(ref_s, q.astype(jnp.float32) * s) > 30
+
 
 def test_paged_attention_kernel_parity():
     """DMA-gather paged attention vs the XLA reference, bf16 + int8 pools."""
