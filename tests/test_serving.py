@@ -152,6 +152,22 @@ class TestQuantizedKVDecoding:
         agree = float(jnp.mean((toks_bf16 == toks_int8).astype(jnp.float32)))
         assert agree >= 0.5, agree
 
+    def test_generate_with_fp8_parity_cache(self, params):
+        """fp8 ktp/ptok parity caches through prefill (window-aligned
+        gather write) + decode (scalar-index DUS) — the XLA fallback
+        dequantizes per step, exercising the stored-scale fold both ways.
+        Note CFG/max_seq must be parity-compatible for the fast pair."""
+        caches = init_quant_kv_caches(CFG, 2, 64, "float8_e4m3fn")
+        assert caches[0][0].layout == "ktp"
+        prompt = jax.random.randint(KEY, (2, 4), 0, CFG.vocab_size)
+        toks = generate(params, prompt, CFG, 6, 64,
+                        kv_quant="float8_e4m3fn")
+        toks_bf16 = generate(params, prompt, CFG, 6, 64)
+        agree = float(jnp.mean((toks == toks_bf16).astype(jnp.float32)))
+        assert toks.shape == (2, 6)
+        # fp8 KV is ~31dB — greedy tokens should mostly agree with bf16
+        assert agree >= 0.5, agree
+
     def test_generate_with_int4_cache(self, params):
         """int4 word-packed KV through prefill + decode (XLA fallback path
         on CPU; the Pallas kernel is covered by interpret/tpu suites).
