@@ -179,10 +179,7 @@ def forward(params: Dict[str, Any], x: jax.Array, t: jax.Array,
     # measured ~3.5ms/step on DiT-XL — it cancelled the int8 MXU win)
     from ao_tpu.ops.act_quant import gelu_quant, norm_modulate_quant
 
-    def _w8a8(wleaf):
-        aq = getattr(wleaf, "act_quant", None)
-        return (aq is not None and aq.dtype == "int8" and aq.symmetric
-                and aq.granularity == "per_token")
+    from ao_tpu.ops.act_quant import producer_quant_ok as _w8a8
 
     for lp in params["layers"]:
         m = linear(c_act, lp["mod"]) + lp["mod_b"]

@@ -194,11 +194,11 @@ def forward(
         x = x + attn_out
         h = rms_norm(x, layer["ln2"], cfg.norm_eps)
         w2 = layer["mlp"]["w2"]
-        aq = getattr(w2, "act_quant", None)
+        from ao_tpu.ops.act_quant import producer_quant_ok
+
         a_gate = linear(h, layer["mlp"]["w1"])
         up = linear(h, layer["mlp"]["w3"])
-        if (aq is not None and aq.dtype == "int8" and aq.symmetric
-                and aq.granularity == "per_token" and h.shape[-2] > 1):
+        if producer_quant_ok(w2) and h.shape[-2] > 1:
             # prefill W8A8/W4A8: GeGLU emits int8 qdata+scales in one HBM
             # pass (producer-epilogue quant — see models/llama.py mlp)
             from ao_tpu.ops.act_quant import silu_mul_quant

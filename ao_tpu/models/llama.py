@@ -363,10 +363,9 @@ def mlp(layer: Dict[str, Any], x: jax.Array, cfg=None) -> jax.Array:
         return moe_forward(layer, x, mcfg)
     a, bq = linear(x, layer["w1"]), linear(x, layer["w3"])
     w2 = layer["w2"]
-    aq = getattr(w2, "act_quant", None)
-    if ("r4" not in layer and aq is not None and aq.dtype == "int8"
-            and aq.symmetric and aq.granularity == "per_token"
-            and x.shape[-2] > 1):
+    from ao_tpu.ops.act_quant import producer_quant_ok
+
+    if "r4" not in layer and producer_quant_ok(w2) and x.shape[-2] > 1:
         # prefill W8A8/W4A8: emit the SwiGLU gate as int8 qdata+scales in
         # one HBM pass (producer-epilogue quant, ops/pallas/fused_act.py)
         # — the standalone per-token quantize chain re-reads the f32

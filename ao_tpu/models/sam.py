@@ -393,10 +393,7 @@ def encode_image(params: Dict[str, Any], images: jax.Array,
     else:
         vmask = None
 
-    def _w8a8(wleaf):
-        aq = getattr(wleaf, "act_quant", None)
-        return (aq is not None and aq.dtype == "int8" and aq.symmetric
-                and aq.granularity == "per_token")
+    from ao_tpu.ops.act_quant import producer_quant_ok as _w8a8
 
     def _mlp(xin, lp):
         w1, w2 = lp["mlp"]["w1"], lp["mlp"]["w2"]

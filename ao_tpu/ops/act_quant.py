@@ -46,6 +46,17 @@ class QuantizedActivation:
         return jnp.dtype(jnp.bfloat16)
 
 
+def producer_quant_ok(w) -> bool:
+    """True when a weight leaf can consume a producer-quantized activation:
+    int8 per-token symmetric dynamic-activation spec and NO act_pre_scale
+    (AWQ/SmoothQuant pre-scales must multiply the hp activation BEFORE
+    quantization — the producer kernels don't apply them)."""
+    aq = getattr(w, "act_quant", None)
+    return (aq is not None and aq.dtype == "int8" and aq.symmetric
+            and aq.granularity == "per_token"
+            and getattr(w, "act_pre_scale", None) is None)
+
+
 def _xla_row_quant(y):
     amax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
     sc = jnp.maximum(amax, 1e-8) / 127.0

@@ -137,6 +137,10 @@ def _int8_linear(x: jax.Array, w: Int8Array, b):
     if isinstance(x, QuantizedActivation):
         # producer-epilogue-quantized activation: skip the standalone
         # quantize chain entirely (ops/pallas/fused_act.py)
+        if w.act_pre_scale is not None:
+            raise ValueError(
+                "producer-quantized activation cannot apply this weight's "
+                "act_pre_scale (AWQ/SmoothQuant) — quantize after scaling")
         k = x.qdata.shape[-1]
         qx = x.qdata.reshape(-1, k)
         sx = x.scale.reshape(-1, 1)
@@ -185,6 +189,10 @@ def _int4_linear(x: jax.Array, w: Int4Array, b):
 
     pre_q = isinstance(x, QuantizedActivation)
     if pre_q:
+        if w.act_pre_scale is not None:
+            raise ValueError(
+                "producer-quantized activation cannot apply this weight's "
+                "act_pre_scale (AWQ/SmoothQuant) — quantize after scaling")
         k_in = x.qdata.shape[-1]
         x2, lead = x.qdata.reshape(-1, k_in), x.qdata.shape[:-1]
     else:
