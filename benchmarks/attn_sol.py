@@ -53,9 +53,12 @@ def _dequant(qd, sc, layout):
 
         t = sc.shape[2]
         pcols = parity_slot(jnp.arange(t), parity_window(t))
-        scp = sc[..., pcols].transpose(0, 2, 1)[..., None]
-        x = (qd[..., pcols].transpose(0, 3, 1, 2) if layout == "ktp"
-             else qd)
+        unfold = jnp.float32(2.0 ** (-60 if layout == "ktp" else -120))
+        scp = (sc[..., pcols] * unfold).transpose(0, 2, 1)[..., None]
+        if layout == "ktp":
+            x = qd[..., pcols].transpose(0, 3, 1, 2)
+        else:  # ptok stores flat token-natural (B, T, Hkv*D)
+            x = qd.reshape(qd.shape[0], t, scp.shape[2], -1)
         return x.astype(jnp.float32) * scp
     x = (qd.astype(jnp.float32).transpose(0, 3, 1, 2) if layout == "kt"
          else qd.astype(jnp.float32))
